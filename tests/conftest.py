@@ -1,0 +1,28 @@
+"""Shared fixtures: one SparkSession per test session, DuckDB per sf_dir."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from weather_etl_spark import get_spark
+
+#: The driver's correctness gate runs at sf0.01 — test at the same SF.
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    session = get_spark(
+        app_name="weather-etl-spark-tests",
+        master=f"local[{os.environ.get('SPARK_GRAFT_TEST_CPUS', '8')}]",
+        shuffle_partitions=8,
+    )
+    yield session
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_DIR

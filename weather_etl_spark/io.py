@@ -1,0 +1,72 @@
+"""Table IO over the driver testdata layout (TESTDATA.md / FIXTURES.md).
+
+The reference is fail-fast / DDL-first about schemas (it aborts when the
+target table is missing — /root/reference/lambda_function.py:55-72,
+207-214, invariant A9).  The engine mirrors that: readers validate the
+path exists before handing Catalyst the scan, and the events reader
+applies the verified ns-timestamp recipe instead of letting a read blow
+up downstream.
+
+Scale note (100 TB): these readers return plain lazy DataFrames over
+Parquet — predicate pushdown, column pruning and partition pruning all
+happen in Catalyst.  Nothing here collects, counts, or caches.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from weather_etl_spark.session import ensure_engine_confs
+
+#: Every table the driver generates (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir.rstrip('/')}/{name}.parquet"
+
+
+def table_exists(spark: SparkSession, sf_dir: str, name: str) -> bool:
+    """Catalog/path existence gate (reference A9: information_schema probe,
+    lambda_function.py:58-64).  For catalog tables use
+    ``spark.catalog.tableExists``; testdata lives on the filesystem."""
+    return os.path.exists(table_path(sf_dir, name))
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver testdata table with the engine's session contract.
+
+    events.ts is Parquet TIMESTAMP(NANOS): with
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives as LongType
+    nanoseconds; we convert via integer division (``ts div 1000`` stays
+    in exact int64 — a double division would lose precision above 2^53)
+    to match DuckDB's read of the same column as microsecond TIMESTAMP
+    (truncation verified identical, FIXTURES.md).
+    """
+    ensure_engine_confs(spark)
+    path = table_path(sf_dir, name)
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"table {name!r} not found at {path} (fail-fast schema contract, "
+            "reference invariant A9)"
+        )
+    df = spark.read.parquet(path)
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
