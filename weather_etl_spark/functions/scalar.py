@@ -1,0 +1,299 @@
+"""Scalar function surface (SURVEY.md §2 B.7): string, regexp, split,
+date, timestamp, math, conditional, array, JSON, decimal-cast.
+
+All expressions stay JVM-side (whole-stage codegen) — no Python UDFs
+in this module.  Oracle-portability rules applied: POSIX-simple
+regexes, explicit DATE casts for date math, ROUND(x,4) on
+transcendental outputs (libm last-ulp differences), exact decimal for
+money (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from weather_etl_spark.functions.exact import dec2, dec6
+from weather_etl_spark.io import read_table
+from weather_etl_spark.registry import register
+
+
+@register(
+    "q_fn_string",
+    oracle="""
+SELECT p_partkey,
+       upper(p_name)                    AS name_upper,
+       lower(p_brand)                   AS brand_lower,
+       substring(p_name, 1, 10)         AS name_prefix,
+       trim(concat(p_type, ' '))        AS type_trim,
+       length(p_name)                   AS name_len,
+       replace(p_brand, 'Brand#', 'B')  AS brand_short,
+       concat(p_brand, ':', p_type)     AS brand_type
+FROM part
+""",
+    doc="upper/lower/substring/trim/concat/length/replace.",
+)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_name", 1, 10).alias("name_prefix"),
+        F.trim(F.concat(F.col("p_type"), F.lit(" "))).alias("type_trim"),
+        F.length("p_name").alias("name_len"),
+        F.expr("replace(p_brand, 'Brand#', 'B')").alias("brand_short"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias(
+            "brand_type"
+        ),
+    )
+
+
+@register(
+    "q_fn_regexp",
+    oracle="""
+SELECT p_partkey,
+       CAST(regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS INT) AS brand_num
+FROM part
+WHERE regexp_matches(p_type, '^(ECONOMY|STANDARD)')
+""",
+    doc="regexp_extract + rlike filter (POSIX-simple patterns).",
+)
+def q_fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_type").rlike("^(ECONOMY|STANDARD)"))
+        .select(
+            "p_partkey",
+            F.regexp_extract("p_brand", "Brand#([0-9]+)", 1)
+            .cast("int")
+            .alias("brand_num"),
+        )
+    )
+
+
+@register(
+    "q_fn_split",
+    oracle="""
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 20
+""",
+    doc="split + explode tokens, top-20 token counts (single-space split, "
+    "tie-break on token).",
+    scale_notes="explode multiplies rows ~60x; the count aggregate "
+    "partial-reduces map-side so the shuffle carries only distinct tokens.",
+)
+def q_fn_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "q_fn_date",
+    oracle="""
+SELECT o_orderkey,
+       year(o_orderdate)    AS y,
+       month(o_orderdate)   AS m,
+       day(o_orderdate)     AS d,
+       CAST(date_trunc('month', o_orderdate) AS DATE)    AS month_start,
+       date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01')
+                                                         AS days_to_y2k,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+                                                         AS plus_3m,
+       last_day(CAST(o_orderdate AS DATE))               AS month_end
+FROM orders
+""",
+    doc="year/month/day/date_trunc/datediff/add_months/last_day "
+    "(weekofyear/dayofweek excluded — known numbering divergence, §7.4).",
+)
+def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month_start"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.to_date("o_orderdate"))
+        .alias("days_to_y2k"),
+        F.add_months(F.to_date("o_orderdate"), 3).alias("plus_3m"),
+        F.last_day(F.to_date("o_orderdate")).alias("month_end"),
+    )
+
+
+@register(
+    "q_fn_ts",
+    oracle="""
+SELECT event_id,
+       epoch_us(ts)                          AS ts_us,
+       hour(ts)                              AS h,
+       minute(ts)                            AS mi,
+       epoch_us(ts + INTERVAL 90 MINUTE)     AS ts_plus90m_us,
+       epoch_us(date_trunc('hour', ts))      AS hour_start_us
+FROM events
+""",
+    doc="Epoch extraction, us truncation, interval arithmetic over the "
+    "ns-origin events table (reference A7 tz normalization + §7.3 recipe).",
+)
+def q_fn_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.hour("ts").alias("h"),
+        F.minute("ts").alias("mi"),
+        F.unix_micros(F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias(
+            "ts_plus90m_us"
+        ),
+        F.unix_micros(F.date_trunc("hour", "ts")).alias("hour_start_us"),
+    )
+
+
+@register(
+    "q_fn_math",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice, 1)        AS price_r1,
+       abs(0 - l_discount)              AS disc_abs,
+       CAST(ceil(l_extendedprice) AS BIGINT)  AS price_ceil,
+       CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+       round(sqrt(l_quantity), 4)       AS qty_sqrt,
+       l_quantity * l_quantity          AS qty_sq,
+       round(ln(l_extendedprice), 4)    AS price_ln,
+       round(exp(l_discount), 4)        AS disc_exp,
+       l_orderkey % 7                   AS key_mod7
+FROM lineitem
+""",
+    doc="round/abs/ceil/floor/sqrt/pow/ln/exp/mod (transcendentals "
+    "rounded to 4 places — libm ulp differences across engines).",
+)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.abs(F.lit(0) - F.col("l_discount")).alias("disc_abs"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.round(F.sqrt("l_quantity"), 4).alias("qty_sqrt"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        F.round(F.log("l_extendedprice"), 4).alias("price_ln"),
+        F.round(F.exp("l_discount"), 4).alias("disc_exp"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+    )
+
+
+@register(
+    "q_fn_cond",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice < 50000  THEN 'low'
+            WHEN o_totalprice < 200000 THEN 'mid'
+            ELSE 'high' END                            AS band,
+       COALESCE(NULLIF(o_orderstatus, 'P'), '(was P)') AS status_norm,
+       LEAST(o_totalprice, 100000.0)                   AS price_capped,
+       GREATEST(o_totalprice, 1000.0)                  AS price_floored
+FROM orders
+""",
+    doc="CASE WHEN / coalesce / nullif / least / greatest (the "
+    "reference's status envelope logic, A13, generalized).",
+)
+def q_fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 200000, "mid")
+        .otherwise("high")
+    )
+    return o.select(
+        "o_orderkey",
+        band.alias("band"),
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("(was P)")
+        ).alias("status_norm"),
+        F.least(F.col("o_totalprice"), F.lit(100000.0)).alias("price_capped"),
+        F.greatest(F.col("o_totalprice"), F.lit(1000.0)).alias(
+            "price_floored"
+        ),
+    )
+
+
+@register(
+    "q_fn_array",
+    oracle="""
+SELECT doc_id,
+       len(toks)                     AS n_toks,
+       len(list_distinct(toks))      AS n_uniq,
+       list_contains(toks, 'spark')  AS has_spark,
+       list_sort(toks)[1:3]          AS first3
+FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
+""",
+    doc="Array ops on token arrays: size, distinct, contains, sorted "
+    "slice (array_distinct order differs across engines — sort first).",
+)
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.slice(F.sort_array(toks), 1, 3).alias("first3"),
+    )
+
+
+@register(
+    "q_fn_json",
+    oracle="""
+SELECT event_type,
+       SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+""",
+    doc="JSON field extraction from events.props ({\"k\": <int>}).",
+    scale_notes="get_json_object evaluates in codegen; for repeated "
+    "multi-field access use from_json once into a struct column.",
+)
+def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "q_fn_cast_decimal",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,6))) AS DOUBLE)
+         AS net_revenue,
+       SUM(CAST(l_quantity AS BIGINT)) AS total_qty_int,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="Decimal-cast arithmetic: DECIMAL(18,2) money x DECIMAL(18,6) "
+    "factor, plus integral casts (§7.4 rule 1).",
+)
+def q_fn_cast_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    net = dec2("l_extendedprice") * dec6(F.lit(1.0) - F.col("l_discount"))
+    return li.groupBy("l_returnflag").agg(
+        F.sum(net).cast("double").alias("net_revenue"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty_int"),
+        F.count(F.lit(1)).alias("n"),
+    )

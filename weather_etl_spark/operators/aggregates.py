@@ -75,3 +75,223 @@ def q_agg_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+
+
+@register(
+    "q_agg_global_max",
+    oracle="""
+SELECT epoch_us(MAX(ts)) AS max_ts_us, epoch_us(MIN(ts)) AS min_ts_us,
+       COUNT(*) AS n_rows
+FROM events
+""",
+    doc="Global min/max/count — the reference's cursor discovery "
+    "(A8: SELECT MAX(date), lambda_function.py:78) as a Spark aggregate.",
+    scale_notes="Min/max over parquet are answered largely from footer "
+    "statistics; the aggregate reduces map-side to one row per partition.",
+)
+def q_agg_global_max(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.unix_micros(F.max("ts")).alias("max_ts_us"),
+        F.unix_micros(F.min("ts")).alias("min_ts_us"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "q_agg_count_distinct",
+    oracle="""
+SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n
+FROM orders GROUP BY o_orderstatus
+""",
+    doc="Exact distinct count per group.",
+    scale_notes="Expands to a two-phase partial-distinct aggregate; for "
+    "100 TB cardinalities prefer q_agg_approx_cd (HLL) when 2% error is "
+    "acceptable.",
+)
+def q_agg_count_distinct(spark, sf_dir):
+    return (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_cust"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "q_agg_approx_cd",
+    oracle=None,  # HLL sketches are engine-specific (rows-only check)
+    doc="Approximate distinct count (HyperLogLog++): the 100 TB-scale "
+    "substitute for exact distinct.",
+    scale_notes="Fixed-size sketch per partition, mergeable — no distinct "
+    "shuffle expansion at any scale.",
+)
+def q_agg_approx_cd(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q_agg_rollup",
+    oracle="""
+SELECT o_year, o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM (SELECT year(o_orderdate) AS o_year, o_orderstatus, o_totalprice
+      FROM orders) t
+GROUP BY ROLLUP (o_year, o_orderstatus)
+""",
+    doc="ROLLUP hierarchy totals (year -> status -> grand total).",
+    scale_notes="Spark expands rollup into a single Expand+Aggregate — "
+    "one shuffle for all grouping levels.",
+)
+def q_agg_rollup(spark, sf_dir):
+    return (
+        read_table(spark, sf_dir, "orders")
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            "o_orderstatus",
+            "o_totalprice",
+        )
+        .rollup("o_year", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec2("o_totalprice")).cast("double").alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "q_agg_cube",
+    oracle="""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    doc="CUBE over two dimensions (all 4 grouping combinations).",
+    scale_notes="Same Expand+Aggregate shape as rollup; cube of k columns "
+    "multiplies map output by 2^k — keep k small at scale.",
+)
+def q_agg_cube(spark, sf_dir):
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec2("l_quantity")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "q_agg_gsets",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                        (l_returnflag, l_linestatus), ())
+""",
+    doc="GROUPING SETS with grouping() indicator columns (SQL surface).",
+    scale_notes="Single Expand+Aggregate like rollup/cube.",
+)
+def q_agg_gsets(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_rf,
+               CAST(grouping(l_linestatus) AS INT) AS g_ls,
+               COUNT(*) AS n
+        FROM {li}
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus), ())
+        """,
+        li=li,
+    )
+
+
+@register(
+    "q_agg_having",
+    oracle="""
+SELECT c_mktsegment,
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*), 4) AS avg_bal,
+       COUNT(*) AS n
+FROM customer
+GROUP BY c_mktsegment
+HAVING CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+       / COUNT(*) > 4400
+""",
+    doc="Post-aggregation filter (HAVING) on an exact-decimal average.",
+    scale_notes="HAVING is a filter above the aggregate — no extra pass.",
+)
+def q_agg_having(spark, sf_dir):
+    cust = read_table(spark, sf_dir, "customer")
+    avg_exact = F.sum(dec2("c_acctbal")).cast("double") / F.count(F.lit(1))
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.round(avg_exact, 4).alias("avg_bal"),
+            F.count(F.lit(1)).alias("n"),
+            avg_exact.alias("_avg_exact"),
+        )
+        .filter(F.col("_avg_exact") > 4400)
+        .drop("_avg_exact")
+    )
+
+
+@register(
+    "q_agg_collect",
+    oracle="""
+SELECT c_nationkey, (array_agg(c_name ORDER BY c_name))[1:5] AS sample_names,
+       COUNT(*) AS n
+FROM customer GROUP BY c_nationkey
+""",
+    doc="Deterministic array aggregation: sorted collect_list, first 5 "
+    "(unordered collect_list is a known oracle divergence — §7.4).",
+    scale_notes="collect_list materializes the group in memory — only "
+    "safe on bounded groups; at scale cap with slice/top-k first.",
+)
+def q_agg_collect(spark, sf_dir):
+    return (
+        read_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.slice(F.sort_array(F.collect_list("c_name")), 1, 5).alias(
+                "sample_names"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "q_agg_percentile",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50,
+       ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="Exact interpolated percentiles (the reference API's own agg "
+    "vocabulary includes median/p10..p90 — openmeteo_sdk Aggregation.py:8-12).",
+    scale_notes="Exact percentile sorts each group; at 100 TB use "
+    "percentile_approx (t-digest-style sketch, mergeable).",
+)
+def q_agg_percentile(spark, sf_dir):
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90"),
+        )
+    )

@@ -1,0 +1,315 @@
+"""Join operators (SURVEY.md §2 B.3).
+
+The reference's only "join" is key matching at the sink
+(ON CONFLICT (date) DO NOTHING — /root/reference/lambda_function.py:176-182):
+its two duals here are the anti join (rows whose key is absent) and the
+semi join (present).  The rest generalize to the full Spark join
+surface: broadcast/sort-merge equi joins, outer joins, cross, range
+(theta), as-of, and multi-way star joins.
+
+Scale notes (100 TB): dimension sides (region/nation/customer-filtered,
+the cursor row, the time axis) are broadcast — no shuffle of the fact
+table for those.  Large-large joins (lineitem x orders) shuffle both
+sides on the join key; AQE handles skew splitting.  The as-of join is
+a single shuffle of the unioned stream, not a per-row lookup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from weather_etl_spark.functions.exact import dec2, dec6
+from weather_etl_spark.io import read_table
+from weather_etl_spark.registry import register
+
+
+@register(
+    "q_join_bcast",
+    oracle="""
+SELECT r_name, COUNT(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+    doc="Broadcast hash inner equi join (small dim).",
+    scale_notes="region is tiny at every SF — broadcast eliminates the "
+    "shuffle entirely; the plan should show BroadcastHashJoin.",
+)
+def q_join_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    return (
+        nation.join(
+            F.broadcast(region),
+            nation.n_regionkey == region.r_regionkey,
+            "inner",
+        )
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
+
+
+@register(
+    "q_join_smj",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+""",
+    doc="Large-large inner equi join (sort-merge/shuffled-hash per AQE) "
+    "with revenue aggregation.",
+    scale_notes="Both sides shuffle on orderkey once; at 100 TB bucketing "
+    "both tables by orderkey removes this shuffle. Revenue is an exact "
+    "decimal sum (per-row double product is IEEE-identical across engines).",
+)
+def q_join_smj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    revenue_row = dec2("l_extendedprice") * dec6(
+        F.lit(1.0) - F.col("l_discount")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum(revenue_row).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q_join_left",
+    oracle="""
+SELECT c_custkey, COUNT(e.event_id) AS n_events,
+       COALESCE(CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE), 0.0)
+         AS total_value
+FROM customer c LEFT JOIN events e ON c.c_custkey = e.user_id
+GROUP BY c_custkey
+""",
+    doc="Left outer join with null-side aggregation (customers with zero "
+    "events keep a row with n_events = 0).",
+    scale_notes="Aggregate-after-join; Catalyst pushes the count into a "
+    "partial agg. At scale, pre-aggregate events per user before the join "
+    "to shrink the shuffle (same result, fewer rows moved).",
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        cust.join(ev, cust.c_custkey == ev.user_id, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("event_id").alias("n_events"),
+            F.coalesce(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"),
+                F.lit(0.0),
+            ).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "q_join_full",
+    oracle="""
+SELECT CASE WHEN o_orderkey IS NULL THEN 'event_only'
+            WHEN event_id  IS NULL THEN 'order_only'
+            ELSE 'both' END AS side,
+       COUNT(*) AS n
+FROM orders FULL JOIN events ON o_custkey = user_id
+GROUP BY side
+""",
+    doc="Full outer join over sparsely-overlapping keys, classified by "
+    "which side matched.",
+    scale_notes="Full outer cannot broadcast — single shuffle on the key; "
+    "AQE skew-split covers hot users.",
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    ev = read_table(spark, sf_dir, "events")
+    joined = orders.join(ev, orders.o_custkey == ev.user_id, "full")
+    side = (
+        F.when(F.col("o_orderkey").isNull(), "event_only")
+        .when(F.col("event_id").isNull(), "order_only")
+        .otherwise("both")
+    )
+    return joined.groupBy(side.alias("side")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+SELECT o_orderkey FROM orders
+WHERE EXISTS (SELECT 1 FROM events WHERE user_id = o_custkey)
+""",
+    doc="Left semi join (EXISTS): orders of users with >=1 event — no "
+    "row duplication regardless of match count.",
+    scale_notes="Semi join only ships the distinct key set of the right "
+    "side; broadcastable when the key set is small.",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    ev = read_table(spark, sf_dir, "events")
+    return orders.join(
+        ev, orders.o_custkey == ev.user_id, "left_semi"
+    ).select("o_orderkey")
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+""",
+    doc="Left anti join (NOT EXISTS): customers with no events — the "
+    "relational dual of the reference's ON CONFLICT DO NOTHING dedup "
+    "(A11, lambda_function.py:176-182).",
+    scale_notes="Anti join against a small key set broadcasts; this is "
+    "exactly the engine's idempotent-append merge primitive.",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    ev = read_table(spark, sf_dir, "events")
+    return cust.join(
+        ev, cust.c_custkey == ev.user_id, "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "q_join_cross",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+    doc="Cross product of two bounded dimensions.",
+    scale_notes="Only valid for bounded dims; the engine never cross-joins "
+    "two fact tables (kNN uses a broadcast probe set instead).",
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = read_table(spark, sf_dir, "region")
+    nation = read_table(spark, sf_dir, "nation")
+    return region.crossJoin(nation).select("r_name", "n_name")
+
+
+@register(
+    "q_join_range",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem JOIN orders
+  ON l_orderkey = o_orderkey
+ AND l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 90 DAY
+GROUP BY o_orderstatus
+""",
+    doc="Range (theta) join: equi key + temporal BETWEEN predicate "
+    "(generalizes the reference's temporal window predicates, A5/A14).",
+    scale_notes="The equi key carries the shuffle; the range predicate "
+    "evaluates post-match (no O(n^2) blowup).",
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cond = (
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate >= orders.o_orderdate)
+        & (li.l_shipdate <= orders.o_orderdate + F.expr("INTERVAL 90 DAYS"))
+    )
+    return (
+        li.join(orders, cond, "inner")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec2("l_extendedprice")).cast("double").alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+SELECT p.event_id AS purchase_id, p.user_id,
+       epoch_us(p.ts) AS ts_us, epoch_us(v.ts) AS view_ts_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+""",
+    doc="As-of join: each purchase matched to the user's latest view at "
+    "or before it. Spark has no native as-of; built as tag + union + "
+    "last(ignorenulls) window (SURVEY.md §7.5), oracled by DuckDB ASOF.",
+    scale_notes="One shuffle of the unioned stream on user_id — the "
+    "standard distributed as-of pattern; beats per-row lookups and "
+    "merge_asof-per-group for skewed users.",
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    is_probe = (F.col("event_type") == "purchase").cast("int")
+    # At equal ts a view sorts before a purchase => ASOF's >= semantics.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), is_probe, F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    view_ts = F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+    return (
+        ev.withColumn("view_ts_us", F.last(view_ts, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "view_ts_us",
+        )
+    )
+
+
+@register(
+    "q_join_star",
+    oracle="""
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       CAST(MIN(o_orderdate) AS DATE) AS order_date
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1996-06-30 00:00:00'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+    doc="Multi-way star join (TPC-H Q3 shape): filtered dim -> fact -> "
+    "fact chain with top-k on aggregated revenue.",
+    scale_notes="customer(BUILDING) broadcasts; lineitem<->orders is the "
+    "one big shuffle; TakeOrderedAndProject handles the top-10 without a "
+    "global sort.",
+)
+def q_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-30 00:00:00").cast("timestamp")
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-06-30 00:00:00").cast("timestamp")
+    )
+    revenue_row = dec2("l_extendedprice") * dec6(
+        F.lit(1.0) - F.col("l_discount")
+    )
+    return (
+        F.broadcast(cust)
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(revenue_row).cast("double").alias("revenue"),
+            F.to_date(F.min("o_orderdate")).alias("order_date"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )

@@ -1,0 +1,261 @@
+"""Scan / projection / filter operators (SURVEY.md §2 B.1 + B.2).
+
+These generalize the reference's source-side behaviors:
+- columnar projection/assembly (A4, lambda_function.py:105-122),
+- temporal + cursor filters with half-open semantics (A5/A6, :130-145),
+- NaN/NULL normalization at boundaries (A10, :168-173),
+- 15-minute time-axis generation, left-inclusive (A3, :106-111),
+- MAX-cursor discovery (A8, :78) — here as a broadcast scalar join.
+
+Scale notes (100 TB): projections and filters compile to parquet
+PushedFilters + pruned ReadSchema (verify via .explain); the cursor is
+a 1-row broadcast (no driver collect); the time axis is generated, not
+scanned.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from weather_etl_spark.io import TABLES, read_table
+from weather_etl_spark.registry import register
+
+
+@register(
+    "q_scan_project",
+    oracle="""
+SELECT l_orderkey AS order_key, l_linenumber AS line_no,
+       l_quantity AS qty, l_extendedprice AS price
+FROM lineitem
+""",
+    doc="Parquet scan + projection + rename (A1/A4): column pruning "
+    "reaches the scan's ReadSchema.",
+    scale_notes="Reads 4 of 11 columns; no shuffle at all.",
+)
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_linenumber").alias("line_no"),
+        F.col("l_quantity").alias("qty"),
+        F.col("l_extendedprice").alias("price"),
+    )
+
+
+@register(
+    "q_scan_count",
+    oracle=" UNION ALL ".join(
+        f"SELECT '{t}' AS table_name, COUNT(*) AS n FROM {t}" for t in TABLES
+    ),
+    doc="Full-scan row count per table via union of per-table counts (A1).",
+    scale_notes="count(*) over parquet is answered from row-group metadata "
+    "(no column IO).",
+)
+def q_scan_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = [
+        read_table(spark, sf_dir, t).agg(
+            F.lit(t).alias("table_name"), F.count(F.lit(1)).alias("n")
+        )
+        for t in TABLES
+    ]
+    return reduce(DataFrame.unionAll, counts)
+
+
+@register(
+    "q_filter_cmp",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
+       l_extendedprice, l_linestatus
+FROM lineitem
+WHERE (l_quantity > 30 AND l_discount <= 0.05 AND NOT l_linestatus = 'F')
+   OR l_extendedprice < 2000
+""",
+    doc="Comparison predicates with AND/OR/NOT (A5/A6 generalized).",
+    scale_notes="Predicate pushes to parquet (PushedFilters); no shuffle.",
+)
+def q_filter_cmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    pred = (
+        (F.col("l_quantity") > 30)
+        & (F.col("l_discount") <= 0.05)
+        & ~(F.col("l_linestatus") == "F")
+    ) | (F.col("l_extendedprice") < 2000)
+    return li.filter(pred).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_discount",
+        "l_extendedprice",
+        "l_linestatus",
+    )
+
+
+@register(
+    "q_filter_in_between",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, CAST(o_orderdate AS DATE) AS order_date,
+       o_orderpriority
+FROM orders
+WHERE o_orderstatus IN ('F', 'P')
+  AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                      AND TIMESTAMP '1997-12-31 00:00:00'
+  AND o_orderpriority LIKE '1-%'
+  AND o_totalprice IS NOT NULL
+""",
+    doc="IN / BETWEEN / LIKE / IS NULL predicate surface (A6).",
+    scale_notes="All four predicates push down; IN-list becomes a parquet "
+    "filter.",
+)
+def q_filter_in_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            F.col("o_orderstatus").isin("F", "P")
+            & F.col("o_orderdate").between(
+                F.lit("1996-01-01 00:00:00").cast("timestamp"),
+                F.lit("1997-12-31 00:00:00").cast("timestamp"),
+            )
+            & F.col("o_orderpriority").like("1-%")
+            & F.col("o_totalprice").isNotNull()
+        )
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.to_date("o_orderdate").alias("order_date"),
+            "o_orderpriority",
+        )
+    )
+
+
+@register(
+    "q_filter_ts_cursor",
+    oracle="""
+SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
+FROM events
+WHERE ts > (SELECT max(ts) FROM events
+            WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+  AND ts <= TIMESTAMP '2024-01-25 00:00:00'
+""",
+    doc="FLAGSHIP incremental cursor filter: strict > over a discovered "
+    "MAX cursor, bounded above (reference A5+A6+A8, "
+    "lambda_function.py:75-86,130-145).",
+    scale_notes="The cursor aggregate reduces map-side to 1 row and is "
+    "broadcast — no driver collect, no second full scan shuffle. At 100 TB "
+    "the upper/lower bounds become partition-pruning predicates on a "
+    "date-partitioned layout.",
+)
+def q_filter_ts_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    lower_probe = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    upper_bound = F.lit("2024-01-25 00:00:00").cast("timestamp")
+    cursor = ev.filter(F.col("ts") <= lower_probe).agg(
+        F.max("ts").alias("cursor_ts")
+    )
+    return (
+        ev.crossJoin(F.broadcast(cursor))
+        .filter((F.col("ts") > F.col("cursor_ts")) & (F.col("ts") <= upper_bound))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+            "value",
+        )
+    )
+
+
+@register(
+    "q_null_norm",
+    oracle="""
+WITH src AS (
+  SELECT value,
+         CASE WHEN event_id % 7 = 0 THEN 'NaN'::DOUBLE ELSE value END AS v_nan,
+         CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v_b
+  FROM events
+), norm AS (
+  SELECT v_nan, v_b,
+         CASE WHEN isnan(v_nan) THEN NULL ELSE v_nan END AS v_a
+  FROM src
+)
+SELECT COUNT(*) AS n_total,
+       COUNT(CASE WHEN isnan(v_nan) THEN 1 END) AS n_nan,
+       COUNT(CASE WHEN v_a IS NULL THEN 1 END) AS n_null_after,
+       COUNT(CASE WHEN v_a IS NOT DISTINCT FROM v_b THEN 1 END) AS n_nullsafe_eq,
+       COUNT(COALESCE(v_a, v_b)) AS n_coalesce
+FROM norm
+""",
+    doc="NaN->NULL normalization + null-safe equality (reference A10: NaN "
+    "kept upstream, NULL only at the sink boundary, "
+    "lambda_function.py:168-173). NaN injected deterministically.",
+    scale_notes="Single pass, map-side aggregate to one row.",
+)
+def q_null_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    v_nan = F.when(F.col("event_id") % 7 == 0, F.lit(float("nan"))).otherwise(
+        F.col("value")
+    )
+    v_b = F.when(F.col("event_id") % 5 == 0, F.lit(None).cast("double")).otherwise(
+        F.col("value")
+    )
+    # nanvl(x, NULL): the engine's sink-boundary normalization.
+    v_a = F.nanvl(v_nan, F.lit(None).cast("double"))
+    return ev.select(
+        v_nan.alias("v_nan"), v_a.alias("v_a"), v_b.alias("v_b")
+    ).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.isnan("v_nan"), 1)).alias("n_nan"),
+        F.count(F.when(F.col("v_a").isNull(), 1)).alias("n_null_after"),
+        F.count(F.when(F.col("v_a").eqNullSafe(F.col("v_b")), 1)).alias(
+            "n_nullsafe_eq"
+        ),
+        F.count(F.coalesce("v_a", "v_b")).alias("n_coalesce"),
+    )
+
+
+@register(
+    "q_seq_timeaxis",
+    oracle="""
+WITH slots AS (
+  SELECT CAST(epoch(g) AS BIGINT) AS slot_s
+  FROM generate_series(TIMESTAMP '2024-01-02 00:00:00',
+                       TIMESTAMP '2024-01-03 00:00:00',
+                       INTERVAL 15 MINUTE) t(g)
+  WHERE g < TIMESTAMP '2024-01-03 00:00:00'
+), ev AS (
+  SELECT event_id, (epoch_us(ts) // 900000000) * 900 AS slot_s FROM events
+)
+SELECT s.slot_s, COUNT(ev.event_id) AS n_events
+FROM slots s LEFT JOIN ev ON s.slot_s = ev.slot_s
+GROUP BY s.slot_s
+""",
+    doc="15-min time-axis generation, left-inclusive [start, end), joined "
+    "to events (reference A3: pd.date_range inclusive='left', "
+    "lambda_function.py:106-111).",
+    scale_notes="Axis is generated (96 rows), events bucket by integer "
+    "math — the join broadcasts the axis side.",
+)
+def q_seq_timeaxis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    start = F.lit("2024-01-02 00:00:00").cast("timestamp")
+    end = F.lit("2024-01-03 00:00:00").cast("timestamp")
+    slots = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(start, end, F.expr("INTERVAL 15 MINUTES"))
+            ).alias("slot")
+        )
+        .filter(F.col("slot") < end)  # half-open [start, end)
+        .select(F.unix_timestamp("slot").alias("slot_s"))
+    )
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.expr("unix_micros(ts) div 900000000") * 900).alias("slot_s"),
+    )
+    return (
+        F.broadcast(slots)
+        .join(ev, "slot_s", "left")
+        .groupBy("slot_s")
+        .agg(F.count("event_id").alias("n_events"))
+    )

@@ -1,0 +1,257 @@
+"""Window-function operators (SURVEY.md §2 B.5).
+
+The reference's cursor semantics ("compare each row to the previous
+state", A6/A8) generalize to the full window surface: ranking, lag/lead,
+running and moving frames, time-range frames, ntile, first/last.
+
+Every ORDER BY carries a unique tie-break (event_id / orderkey) so
+results are deterministic across engines (§7.4 rule 4).
+
+Scale notes (100 TB): a window = one shuffle on partitionBy keys + a
+per-partition sort. All partitions here are natural entity keys
+(user_id, custkey, brand) — high cardinality, no single giant
+partition; skewed entities would be handled by pre-splitting sessions
+(salt on date) before the window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from weather_etl_spark.functions.exact import dec2
+from weather_etl_spark.io import read_table
+from weather_etl_spark.registry import register
+
+
+@register(
+    "q_win_rownum",
+    oracle="""
+SELECT c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date
+FROM (
+  SELECT c_custkey, o_orderkey, o_orderdate,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) t WHERE rn = 1
+""",
+    doc="row_number per partition: latest order per customer.",
+)
+def q_win_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("order_date"),
+        )
+    )
+
+
+@register(
+    "q_win_rank",
+    oracle="""
+SELECT p_brand, p_partkey,
+       RANK()       OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS rnk,
+       DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS drnk
+FROM part
+""",
+    doc="rank + dense_rank with ties (identical retailprice within brand).",
+)
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+    return read_table(spark, sf_dir, "part").select(
+        "p_brand",
+        "p_partkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@register(
+    "q_win_lag",
+    oracle="""
+SELECT event_id,
+       epoch_us(ts) - LAG(epoch_us(ts)) OVER
+         (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us,
+       LEAD(event_id) OVER
+         (PARTITION BY user_id ORDER BY ts, event_id) AS next_event_id
+FROM events
+""",
+    doc="lag/lead inter-event gap per user (cursor = previous-row "
+    "semantics, reference A6).",
+)
+def q_win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros("ts")
+    return ev.select(
+        "event_id",
+        (ts_us - F.lag(ts_us).over(w)).alias("gap_us"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    )
+
+
+@register(
+    "q_win_runsum",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS run_total
+FROM orders
+""",
+    doc="Running sum, unbounded preceding frame (exact decimal).",
+)
+def q_win_runsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec2("o_totalprice")).over(w).cast("double").alias("run_total"),
+    )
+
+
+@register(
+    "q_win_moving",
+    oracle="""
+SELECT event_id,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             / COUNT(*) OVER w, 4) AS mov_avg7
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+    doc="Moving average over a 7-row frame (exact decimal sum / count — "
+    "sliding-window FP accumulation differs across engines otherwise).",
+)
+def q_win_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    mov = F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast(
+        "double"
+    ) / F.count(F.lit(1)).over(w)
+    return ev.select("event_id", F.round(mov, 4).alias("mov_avg7"))
+
+
+@register(
+    "q_win_rangeframe",
+    oracle="""
+SELECT event_id, epoch_s,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_s
+                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_1h
+FROM (SELECT event_id, user_id, epoch_us(ts) // 1000000 AS epoch_s
+      FROM events) t
+""",
+    doc="Time-range frame: events in the preceding hour per user "
+    "(the reference's overlap re-fetch window, A14).",
+)
+def q_win_rangeframe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(ts) div 1000000").alias("epoch_s"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "epoch_s", F.count(F.lit(1)).over(w).alias("n_1h")
+    )
+
+
+@register(
+    "q_win_ntile",
+    oracle="""
+SELECT c_custkey,
+       NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+FROM customer
+""",
+    doc="ntile quartiles over a deterministic total order.",
+    scale_notes="A global (unpartitioned) window is a single-partition "
+    "sort — fine for bounded dims; at 100 TB use approx percentiles to "
+    "bucket instead.",
+)
+def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return read_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.ntile(4).over(w).alias("quartile")
+    )
+
+
+@register(
+    "q_win_firstlast",
+    oracle="""
+SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+       FIRST_VALUE(event_type) OVER w AS first_et,
+       LAST_VALUE(event_type)  OVER w AS last_et
+FROM events
+WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE)
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+    doc="first/last value over a full frame per user-day.",
+)
+def q_win_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    w = (
+        Window.partitionBy("user_id", "day")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "day",
+            F.first("event_type").over(w).alias("first_et"),
+            F.last("event_type").over(w).alias("last_et"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "q_topk_group",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) t WHERE rn <= 2
+""",
+    doc="Top-k per group (k=2) via ranked window, unique tie-break.",
+    scale_notes="Window + filter(rn<=k) lets Spark's WindowGroupLimit "
+    "push the limit into the sort — no full materialization per group.",
+)
+def q_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        read_table(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
