@@ -1,0 +1,51 @@
+"""Streaming semantics: batch<->stream parity (SURVEY.md §5.2.5) and the
+rows-only runtime operators' deterministic summaries."""
+
+from __future__ import annotations
+
+from weather_etl_spark.registry import load_all
+
+SPECS = load_all()
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_availnow_parity_with_batch(spark, sf_dir):
+    """The tumbling aggregate computed by a real Trigger.AvailableNow
+    stream equals the batch result (modulo the value column the stream
+    variant omits)."""
+    stream_out = SPECS["st_trigger_availnow"].fn(spark, sf_dir)
+    batch_out = (
+        SPECS["q_stream_tumbling"].fn(spark, sf_dir)
+        .select("ws_us", "event_type", "n")
+    )
+    assert _rows(stream_out) == _rows(batch_out)
+
+
+def test_watermark_drops_late_rows(spark, sf_dir):
+    """Late row beyond the watermark is dropped: its window keeps the
+    batch-1 count; the fresh batch-2 row's window appears."""
+    out = {r["ws_us"]: r["n_final"] for r in SPECS["st_watermark"].fn(spark, sf_dir).collect()}
+    t0 = 1704103200_000_000
+    five_min = 300_000_000
+    # 10:05 window stayed at its batch-1 count (late duplicate dropped).
+    assert out[t0 + five_min] == 5
+    # 10:50 window holds only the fresh 10:52 row.
+    assert out[t0 + 10 * five_min] == 1
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir):
+    row = SPECS["st_dedup_wm"].fn(spark, sf_dir).collect()[0]
+    assert (row["n_rows"], row["n_distinct"]) == (5, 5)
+
+
+def test_foreachbatch_incremental_idempotent(spark, sf_dir):
+    row = SPECS["st_foreachbatch"].fn(spark, sf_dir).collect()[0]
+    # 12 distinct keys across overlapping batches; no key stored twice.
+    assert (row["total_rows"], row["distinct_keys"], row["inserted_sum"]) == (
+        12,
+        12,
+        12,
+    )

@@ -1,0 +1,83 @@
+"""Declared sink operators (SURVEY.md §2 B.1: snk_append_idem,
+snk_partitioned). The write targets are temp dirs; the declared result
+summarizes the sink state so idempotence is oracle-checkable."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from weather_etl_spark.io import read_table
+from weather_etl_spark.registry import register
+from weather_etl_spark.sinks import idempotent_append, write_partitioned
+
+
+@register(
+    "snk_append_idem",
+    oracle="""
+SELECT (SELECT COUNT(*) FROM events) AS first_insert,
+       0                             AS second_insert,
+       (SELECT COUNT(*) FROM events) AS total_rows
+""",
+    doc="Idempotent keyed append: writing the same batch twice inserts "
+    "0 the second time and leaves the sink unchanged — the reference's "
+    "ON CONFLICT (date) DO NOTHING re-expressed (A11/A14, "
+    "lambda_function.py:176-186).",
+    scale_notes="Anti-join reads only the sink's key column; with a "
+    "date-partitioned sink + bounded cursor window it prunes to the "
+    "overlap partitions.",
+)
+def snk_append_idem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="snk_append_idem_")
+    sink = f"{tmp}/sink"
+    try:
+        first = idempotent_append(spark, ev, sink, ["event_id"])
+        second = idempotent_append(spark, ev, sink, ["event_id"])
+        total = spark.read.parquet(sink).count()
+        return spark.createDataFrame(
+            [(first, second, total)],
+            "first_insert long, second_insert long, total_rows long",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "snk_partitioned",
+    oracle="""
+SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS n
+FROM events GROUP BY CAST(ts AS DATE)
+""",
+    doc="Partitioned Parquet write (partitionBy event_date) + read-back "
+    "with partition-column recovery.",
+    scale_notes="Directory partitioning is the engine's primary 100 TB "
+    "layout: every date/cursor predicate becomes partition pruning; "
+    "repartition by the partition key before writing to avoid "
+    "small-files explosion (one file per task per key otherwise).",
+)
+def snk_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .withColumn("event_date", F.to_date("ts"))
+        .select("event_id", "value", "event_date")
+    )
+    tmp = tempfile.mkdtemp(prefix="snk_partitioned_")
+    sink = f"{tmp}/sink"
+    try:
+        write_partitioned(
+            ev.repartition("event_date"), sink, ["event_date"]
+        )
+        back = spark.read.parquet(sink)
+        return (
+            back.groupBy("event_date")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .localCheckpoint()  # materialize before the tmp dir vanishes
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

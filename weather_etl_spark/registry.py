@@ -65,6 +65,7 @@ def load_all() -> dict[str, QuerySpec]:
     # (operator modules import `register` from here).
     import weather_etl_spark.operators  # noqa: F401
     import weather_etl_spark.functions  # noqa: F401
+    import weather_etl_spark.sources  # noqa: F401
     import weather_etl_spark.streaming  # noqa: F401
 
     return REGISTRY

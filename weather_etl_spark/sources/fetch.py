@@ -1,0 +1,169 @@
+"""External columnar source -> DataFrame (SURVEY.md §2 B.1 src_fetch).
+
+Re-expresses the reference's source stage (A1/A2):
+- columnar HTTP fetch with zero-copy float vectors
+  (/root/reference/lambda_function.py:89-124; FlatBuffers decode in
+  package/openmeteo_requests/Client.py:26-43),
+- retry/backoff wrapper: 5 retries, backoff_factor 0.2, on HTTP
+  500/502/504 (lambda_function.py:92-94;
+  package/retry_requests/__init__.py:40-86),
+- time-axis expansion [start, end) at a fixed interval
+  (lambda_function.py:106-111).
+
+Spark-first shape: the fetch happens on the driver (or inside a
+Python DataSource partition reader at scale), lands as Arrow-backed
+columns, and ``spark.createDataFrame`` hands Catalyst a normal
+DataFrame with an explicit schema — no schema inference (A9).
+
+The container has no network: the default transport is a
+deterministic in-process fake producing the reference's wire shape
+(a dict of parallel float vectors + an epoch-second time axis).  A
+real HTTP transport would plug in via the same ``transport``
+callable without touching the Spark side.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from collections.abc import Callable
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from weather_etl_spark.registry import register
+from weather_etl_spark.session import ensure_engine_confs
+
+#: The reference's 8 measure variables, in request order — the request
+#: list IS the schema (lambda_function.py:27-36, read back by index
+#: 0..7 at :112-119).
+MEASURES = (
+    "temperature_2m",
+    "relative_humidity_2m",
+    "apparent_temperature",
+    "rain",
+    "sunshine_duration",
+    "precipitation",
+    "dew_point_2m",
+    "wind_speed_10m",
+)
+
+WEATHER_SCHEMA = T.StructType(
+    [T.StructField("date", T.TimestampType(), False)]
+    + [T.StructField(m, T.DoubleType(), True) for m in MEASURES]
+)
+
+
+@dataclass(frozen=True)
+class RetryConfig:
+    """The reference's retry envelope (retry_requests/__init__.py:42-44,73)."""
+
+    retries: int = 5
+    backoff_factor: float = 0.2
+    retry_statuses: tuple[int, ...] = (500, 502, 504)
+
+    def backoff(self, attempt: int) -> float:
+        return self.backoff_factor * (2**attempt)
+
+
+class TransientSourceError(Exception):
+    def __init__(self, status: int):
+        super().__init__(f"transient source error: HTTP {status}")
+        self.status = status
+
+
+def fake_columnar_transport(
+    start_s: int = 1704067200,  # 2024-01-01 00:00:00 UTC
+    end_s: int = 1704240000,  # 2024-01-03 00:00:00 UTC (2 days)
+    interval_s: int = 900,
+    fail_times: int = 0,
+    _state: dict | None = None,
+) -> Callable[[], dict]:
+    """Deterministic stand-in for the FlatBuffers wire decode: returns the
+    same columnar dict shape the reference builds at
+    lambda_function.py:105-121 (time axis + 8 float vectors, some NaN)."""
+    state = _state if _state is not None else {"calls": 0}
+
+    def transport() -> dict:
+        state["calls"] += 1
+        if state["calls"] <= fail_times:
+            raise TransientSourceError(502)
+        n = (end_s - start_s) // interval_s  # half-open [start, end)
+        rng = np.random.default_rng(42)
+        cols = {"time_s": start_s + interval_s * np.arange(n, dtype=np.int64)}
+        for i, m in enumerate(MEASURES):
+            v = rng.normal(10.0 * (i + 1), 3.0, n).astype(np.float32)
+            v[(np.arange(n) + i) % 37 == 0] = np.nan  # missing = NaN (A10)
+            cols[m] = v
+        return cols
+
+    return transport
+
+
+def fetch_timeseries(
+    spark: SparkSession,
+    transport: Callable[[], dict] | None = None,
+    retry: RetryConfig = RetryConfig(),
+    sleep: Callable[[float], None] = time.sleep,
+) -> DataFrame:
+    """Fetch columnar data with retries and land it as a DataFrame.
+
+    Mirrors A1+A2: retried transport -> columnar vectors -> Arrow ->
+    DataFrame with the declared schema.  NaNs are preserved (the
+    reference converts NaN->NULL only at the sink, A10)."""
+    ensure_engine_confs(spark)
+    transport = transport or fake_columnar_transport()
+
+    last_err: Exception | None = None
+    for attempt in range(retry.retries + 1):
+        try:
+            cols = transport()
+            break
+        except TransientSourceError as err:
+            last_err = err
+            if err.status not in retry.retry_statuses or attempt == retry.retries:
+                raise
+            sleep(retry.backoff(attempt))
+    else:  # pragma: no cover
+        raise last_err  # type: ignore[misc]
+
+    # Arrow table, not pandas: pandas uses NaN as its missing-value
+    # sentinel, so createDataFrame(pandas) silently turns NaN into NULL —
+    # breaking the reference's "NaN stays NaN until the sink" invariant
+    # (A10).  Arrow keeps NaN as a value (null mask is separate), matching
+    # the zero-copy float-vector decode of the reference (A1).
+    import pyarrow as pa
+
+    arrays = [
+        pa.array((cols["time_s"] * 1_000_000).astype("int64")).cast(
+            pa.timestamp("us")
+        )
+    ]
+    names = ["date"]
+    for m in MEASURES:
+        arrays.append(pa.array(cols[m].astype("float64"), from_pandas=False))
+        names.append(m)
+    table = pa.Table.from_arrays(arrays, names=names)
+    return spark.createDataFrame(table, schema=WEATHER_SCHEMA)
+
+
+@register(
+    "src_fetch",
+    oracle=None,  # engine API surface, not a testdata query (rows-only)
+    doc="External fetch -> DataFrame with declared schema; retry/backoff "
+    "per the reference envelope (A1/A2). Offline: deterministic fake "
+    "transport that fails twice with HTTP 502 before succeeding.",
+    scale_notes="Fetch is a driver-side (or Python-DataSource) boundary; "
+    "everything after createDataFrame is a normal distributed plan. For "
+    "many locations/shards, fan the transport out with mapInPandas over a "
+    "shard table instead of looping on the driver.",
+)
+def src_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = fetch_timeseries(
+        spark,
+        transport=fake_columnar_transport(fail_times=2),
+        sleep=lambda _s: None,  # don't actually sleep in tests
+    )
+    return df
