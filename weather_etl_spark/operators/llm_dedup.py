@@ -1,0 +1,232 @@
+"""Deduplication operators for LLM training-data pipelines
+(SURVEY.md §2 B.9 + the north-star mandate, BASELINE.json:6).
+
+Generalizes the reference's keyed dedup-on-write (A11, ON CONFLICT DO
+NOTHING) to content-level dedup over the `documents` table:
+
+- exact dedup (hash groupBy on the full text),
+- content fingerprinting (md5 — portable across engines),
+- SimHash (64-bit-ish locality hash from md5-derived token hashes —
+  fully deterministic, exact-oracled),
+- n-gram (3-token shingle) Jaccard near-dup pairs,
+- MinHash + LSH (pyspark.ml, banded approximate join — rows-only:
+  hash family is engine-specific).
+
+Scale notes (100 TB): exact dedup on raw text shuffles full documents —
+at scale group on md5(text) instead (same equivalence classes, 16-byte
+shuffle keys; q_llm_fingerprint is that path).  Shingle/MinHash/LSH
+costs scale with Σ df² of the banded buckets, not n² — the standard
+web-scale near-dup pipeline shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from weather_etl_spark.io import read_table
+from weather_etl_spark.registry import register
+
+
+@register(
+    "q_llm_exact_dedup",
+    oracle="""
+SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY text
+""",
+    doc="Exact text dedup: group by content, keep the smallest doc_id "
+    "as canonical (A11 generalized from key to content identity).",
+)
+def q_llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    ).select("keep_id", "n_copies")
+
+
+@register(
+    "q_llm_fingerprint",
+    oracle="""
+SELECT doc_id, md5(text) AS fp,
+       COUNT(*) OVER (PARTITION BY md5(text)) AS n_same_fp
+FROM documents
+""",
+    doc="Document fingerprinting: md5 content hash (portable across "
+    "engines) + per-fingerprint cardinality — the 100 TB exact-dedup "
+    "path (16-byte shuffle keys instead of full text).",
+)
+def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    fp = F.md5("text")
+    w = Window.partitionBy(fp)
+    return docs.select(
+        "doc_id", fp.alias("fp"), F.count(F.lit(1)).over(w).alias("n_same_fp")
+    )
+
+
+@register(
+    "q_llm_simhash",
+    oracle="""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+), th AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) AS h
+  FROM tok
+), bits AS (
+  SELECT doc_id, b.b,
+         SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS net
+  FROM th CROSS JOIN generate_series(0, 59) b(b)
+  GROUP BY doc_id, b.b
+)
+SELECT doc_id,
+       SUM(CASE WHEN net > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+         AS simhash
+FROM bits GROUP BY doc_id
+""",
+    doc="SimHash document sketch: 60-bit locality-sensitive hash from "
+    "md5-derived token hashes (deterministic, engine-portable — near-dup "
+    "docs differ in few bits).",
+    scale_notes="Two grouped aggregates over an exploded (doc x bit) "
+    "relation; at 100 TB compute the 60 bit-counters in one pass with a "
+    "vectorized Pandas UDF per partition instead of the x60 explode.",
+)
+def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    )
+    th = tok.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("token"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    bits = spark.range(60).select(F.col("id").cast("int").alias("b"))
+    net = (
+        th.crossJoin(F.broadcast(bits))
+        .groupBy("doc_id", "b")
+        .agg(
+            F.sum(
+                F.when(F.expr("(h >> b) & 1") == 1, 1).otherwise(-1)
+            ).alias("net")
+        )
+    )
+    return net.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("net") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)"))
+            .otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+
+
+@register(
+    "q_llm_ngram_jaccard",
+    oracle="""
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           generate_series(1, len(string_split(text, ' ')) - 2),
+           i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+         )) AS shingle
+  FROM documents
+), card AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(CAST(common AS DOUBLE) / (ca.n + cb.n - common), 4) AS jaccard
+FROM pairs
+JOIN card ca ON ca.doc_id = id_a
+JOIN card cb ON cb.doc_id = id_b
+WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.5
+""",
+    doc="n-gram (3-token shingle) Jaccard near-duplicate pairs: "
+    "shingle -> inverted index self-join -> |A∩B| / |A∪B| >= 0.5.",
+    scale_notes="Cost is Σ df(shingle)² (inverted-index join), not n² — "
+    "the shingle selectivity is what makes near-dup tractable at scale; "
+    "MinHash banding (llm_near_dedup) bounds it further.",
+)
+def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    shingles = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 2),"
+                    " i -> concat_ws(' ', slice(toks, i, 3)))"
+                )
+            )
+        ).alias("shingle"),
+    )
+    card = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    ca = card.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    cb = card.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    jac = F.col("common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("common")
+    )
+    return (
+        pairs.join(ca, "id_a")
+        .join(cb, "id_b")
+        .filter(jac >= 0.5)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@register(
+    "llm_near_dedup",
+    oracle=None,  # LSH hash family is engine-specific (rows-only)
+    doc="MinHash + LSH near-duplicate detection (pyspark.ml MinHashLSH, "
+    "fixed seed): shingle -> sparse vector -> minhash bands -> "
+    "approxSimilarityJoin at Jaccard distance <= 0.5.",
+    scale_notes="The banded join only compares within-bucket candidates "
+    "— the web-scale near-dedup shape. numHashTables trades recall for "
+    "bucket width.",
+)
+def llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    tf = HashingTF(
+        inputCol="toks", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    feats = tf.transform(docs)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
+    )
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(
+        feats, feats, threshold=0.5, distCol="jaccard_dist"
+    )
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("id_a"),
+            F.col("datasetB.doc_id").alias("id_b"),
+            F.round("jaccard_dist", 4).alias("jaccard_dist"),
+        )
+    )

@@ -1,0 +1,288 @@
+"""Text-analysis operators for LLM training-data pipelines
+(SURVEY.md §2 B.9 + north-star mandate): token statistics, TF-IDF,
+corpus profiling, language ID, quality scoring, tokenizer-style counts.
+
+All pure built-in-function pipelines (JVM-side, codegen) — no Python
+in the hot path.
+
+Scale notes (100 TB): every query is explode -> partial-agg -> shuffle
+of DISTINCT tokens (vocabulary-sized, not corpus-sized).  Per-doc
+metrics are narrow projections; corpus joins (df for TF-IDF) broadcast
+the vocabulary side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from weather_etl_spark.io import read_table
+from weather_etl_spark.registry import register
+
+#: Deterministic marker-token sets for the language-ID heuristic.
+_LANG_MARKERS = {
+    "en": ("the", "a", "value"),
+    "de": ("der", "die", "und"),
+    "es": ("el", "los", "una"),
+    "fr": ("le", "les", "une"),
+}
+
+_STOPWORDS = ("the", "a", "of")
+
+
+@register(
+    "q_llm_tokenstats",
+    oracle="""
+SELECT lang, token, COUNT(*) AS n
+FROM (SELECT lang, unnest(string_split(text, ' ')) AS token
+      FROM documents) t
+GROUP BY lang, token
+ORDER BY n DESC, lang ASC, token ASC
+LIMIT 25
+""",
+    doc="Tokenize + token frequency per language, top 25.",
+)
+def q_llm_tokenstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("lang").asc(), F.col("token").asc())
+        .limit(25)
+    )
+
+
+@register(
+    "q_llm_tfidf",
+    oracle="""
+WITH tok AS (
+  SELECT lang, doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+), tf AS (
+  SELECT lang, token, COUNT(*) AS tf FROM tok GROUP BY lang, token
+), df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+), n AS (
+  SELECT COUNT(*) AS n FROM documents
+), scored AS (
+  SELECT lang, tf.token,
+         ROUND(tf * ln(CAST(n.n AS DOUBLE) / df.df), 4) AS score
+  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+)
+SELECT lang, token, score
+FROM (SELECT lang, token, score,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY score DESC, token ASC) AS rn
+      FROM scored) t
+WHERE rn <= 5
+""",
+    doc="TF-IDF: tf x ln(N/df), top-5 terms per language (tie-break "
+    "token).",
+    scale_notes="df and N are vocabulary/corpus scalars — broadcast "
+    "joins; the only big shuffle is the (lang, token) partial count.",
+)
+def q_llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    tf = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "lang",
+            "token",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n").cast("double") / F.col("df")),
+                4,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "token", "score")
+    )
+
+
+@register(
+    "q_llm_docprofile",
+    oracle="""
+SELECT lang, source, COUNT(*) AS n_docs,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars,
+       MAX(n_chars) AS max_chars
+FROM documents GROUP BY lang, source
+""",
+    doc="Corpus profile per (lang, source): doc counts, exact-integer "
+    "average length, max length.",
+)
+def q_llm_docprofile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+def _marker_score(toks, markers):
+    return F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers])))
+
+
+@register(
+    "q_llm_langid",
+    oracle=f"""
+WITH scored AS (
+  SELECT lang,
+         len(list_intersect(toks, {list(_LANG_MARKERS['en'])})) AS s_en,
+         len(list_intersect(toks, {list(_LANG_MARKERS['de'])})) AS s_de,
+         len(list_intersect(toks, {list(_LANG_MARKERS['es'])})) AS s_es,
+         len(list_intersect(toks, {list(_LANG_MARKERS['fr'])})) AS s_fr
+  FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents) t
+), pred AS (
+  SELECT lang,
+         CASE WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+              WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+              WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+              WHEN s_es >= s_fr THEN 'es'
+              ELSE 'fr' END AS predicted
+  FROM scored
+)
+SELECT lang, predicted, COUNT(*) AS n
+FROM pred GROUP BY lang, predicted
+""",
+    doc="Language-ID heuristic: marker-token overlap scoring with a "
+    "deterministic argmax, reported as a (actual, predicted) confusion "
+    "matrix. (N-gram scoring mechanism; markers are fixture-scale.)",
+)
+def q_llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        "lang", F.split("text", " ").alias("toks")
+    )
+    scored = docs.select(
+        "lang",
+        *[
+            _marker_score(F.col("toks"), markers).alias(f"s_{lang}")
+            for lang, markers in _LANG_MARKERS.items()
+        ],
+    )
+    predicted = (
+        F.when(
+            (F.col("s_en") == 0)
+            & (F.col("s_de") == 0)
+            & (F.col("s_es") == 0)
+            & (F.col("s_fr") == 0),
+            "und",
+        )
+        .when(
+            (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_fr")),
+            "en",
+        )
+        .when(
+            (F.col("s_de") >= F.col("s_es")) & (F.col("s_de") >= F.col("s_fr")),
+            "de",
+        )
+        .when(F.col("s_es") >= F.col("s_fr"), "es")
+        .otherwise("fr")
+    )
+    return (
+        scored.select("lang", predicted.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q_llm_quality",
+    oracle=f"""
+WITH m AS (
+  SELECT lang,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_intersect(string_split(text, ' '),
+                            {list(_STOPWORDS)})) AS n_stop_kinds,
+         n_chars
+  FROM documents
+), q AS (
+  SELECT lang,
+         CASE WHEN n_tokens < 20 THEN 'short'
+              WHEN n_stop_kinds = 0 THEN 'no_stopwords'
+              WHEN n_chars > 400 THEN 'long'
+              ELSE 'ok' END AS bucket,
+         ROUND(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens, 4)
+           AS avg_tok_len
+  FROM m
+)
+SELECT lang, bucket, COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(avg_tok_len AS DECIMAL(18,4))) AS DOUBLE)
+             / COUNT(*), 4) AS mean_tok_len
+FROM q GROUP BY lang, bucket
+""",
+    doc="Quality scoring: token counts, stopword presence, length "
+    "buckets, average token length — per (lang, bucket) profile.",
+)
+def q_llm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_stop_kinds = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(s) for s in _STOPWORDS]))
+    )
+    m = docs.select(
+        "lang",
+        n_tokens.alias("n_tokens"),
+        n_stop_kinds.alias("n_stop_kinds"),
+        "n_chars",
+    )
+    bucket = (
+        F.when(F.col("n_tokens") < 20, "short")
+        .when(F.col("n_stop_kinds") == 0, "no_stopwords")
+        .when(F.col("n_chars") > 400, "long")
+        .otherwise("ok")
+    )
+    avg_tok_len = F.round(
+        (F.col("n_chars") - (F.col("n_tokens") - 1)).cast("double")
+        / F.col("n_tokens"),
+        4,
+    )
+    q = m.select("lang", bucket.alias("bucket"), avg_tok_len.alias("avg_tok_len"))
+    return q.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("avg_tok_len").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("mean_tok_len"),
+    )
+
+
+@register(
+    "q_llm_tokencount",
+    oracle="""
+SELECT lang,
+       SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS n_bpe_ish,
+       SUM(len(string_split(text, ' '))) AS n_ws
+FROM documents GROUP BY lang
+""",
+    doc="Token counting two ways: whitespace split vs a BPE-ish "
+    "alpha/numeric-run regex — the standard pre-tokenizer estimate.",
+)
+def q_llm_tokencount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.sum(
+            F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+"), 0))
+        ).alias("n_bpe_ish"),
+        F.sum(F.size(F.split("text", " "))).alias("n_ws"),
+    )

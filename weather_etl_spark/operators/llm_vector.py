@@ -1,0 +1,240 @@
+"""Vector-similarity operators over the embeddings table
+(SURVEY.md §2 B.9; PAPERS.md top-k similarity corpus).
+
+- pairwise cosine similarity above a threshold (self-join),
+- brute-force cosine top-k for a fixed probe set (the ANN baseline),
+- random-hyperplane LSH-bucketed ANN (the scale path),
+- per-label centroids (posexplode/agg/reassemble).
+
+Cosine is computed with built-in higher-order functions
+(zip_with + aggregate) — JVM-side, no Python in the row path.
+
+Scale notes (100 TB): the probe set is broadcast, so kNN is a single
+scan of the candidate side (no n² shuffle).  The LSH variant buckets
+by sign-bit sketch so only same-bucket candidates are compared —
+recall/cost tradeoff measured against brute force in the tests.
+IVF would replace the hash bucketing with k-means cell assignment;
+same join shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from weather_etl_spark.io import read_table
+from weather_etl_spark.registry import register
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double precision (left-to-right, engine-portable)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm2(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm2(a) * norm2(b))
+
+
+@register(
+    "q_llm_cosine_pairs",
+    oracle="""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[]))
+                  AS DOUBLE), 4) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) > 0.45
+""",
+    doc="Embedding-cosine near-duplicate pairs above a threshold "
+    "(self-join, id_a < id_b).",
+    scale_notes="O(n²) compare — correct baseline at test SF; the scale "
+    "path is llm_ann_lsh (bucketed) or blocked matrix multiply via "
+    "Pandas UDF. Never run this shape on a full 100 TB corpus.",
+)
+def q_llm_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+    )
+    cos = cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") > 0.45)
+        .select("id_a", "id_b", F.round("cos_raw", 4).alias("cos"))
+    )
+
+
+@register(
+    "q_llm_knn",
+    oracle="""
+WITH probes AS (
+  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pe
+  FROM embeddings WHERE vec_id IN (1, 2, 3, 4, 5)
+), scored AS (
+  SELECT probe_id, e.vec_id,
+         CAST(list_cosine_similarity(pe, CAST(e.embedding AS DOUBLE[]))
+              AS DOUBLE) AS cos_raw
+  FROM probes JOIN embeddings e ON e.vec_id <> probe_id
+)
+SELECT probe_id, vec_id, ROUND(cos_raw, 4) AS cos
+FROM (SELECT probe_id, vec_id, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY cos_raw DESC, vec_id ASC) AS rn
+      FROM scored) t
+WHERE rn <= 5
+""",
+    doc="Brute-force cosine top-k (k=5) for a fixed probe set — the "
+    "exact ANN baseline (tie-break vec_id).",
+    scale_notes="Probes broadcast -> one scan of the candidates -> "
+    "per-probe top-k via window (WindowGroupLimit). Scales linearly in "
+    "corpus size for a bounded probe set.",
+)
+def q_llm_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id").isin(1, 2, 3, 4, 5)).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            cosine(F.col("pe"), F.col("embedding")).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_raw").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("probe_id", "vec_id", F.round("cos_raw", 4).alias("cos"))
+    )
+
+
+@register(
+    "q_llm_centroid",
+    oracle="""
+WITH e AS (
+  SELECT label, unnest(embedding) AS val,
+         generate_subscripts(embedding, 1) - 1 AS pos
+  FROM embeddings
+), c AS (
+  SELECT label, pos, ROUND(AVG(CAST(val AS DOUBLE)), 4) AS v
+  FROM e GROUP BY label, pos
+)
+SELECT label, array_agg(v ORDER BY pos) AS centroid
+FROM c GROUP BY label
+""",
+    doc="Per-label embedding centroid: posexplode -> per-(label,pos) "
+    "mean -> reassemble ordered array.",
+    scale_notes="Shuffle carries (label, pos) partial sums — "
+    "labels x dim rows, independent of corpus size.",
+)
+def q_llm_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    )
+    per_pos = exploded.groupBy("label", "pos").agg(
+        F.round(F.avg(F.col("val").cast("double")), 4).alias("v")
+    )
+    return per_pos.groupBy("label").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "v"))
+            ),
+            lambda s: s.getField("v"),
+        ).alias("centroid")
+    )
+
+
+@register(
+    "llm_ann_lsh",
+    oracle=None,  # approximate; recall vs brute force asserted in tests
+    doc="Multi-table LSH approximate nearest neighbors: 8 hash tables x "
+    "6 random hyperplanes (seeded, broadcast as literals) -> sign-bit "
+    "bucket per table -> union of same-bucket candidates -> cosine "
+    "top-k for the same probe set as q_llm_knn.",
+    scale_notes="Each table's bucket holds ~n/2^bits candidates; the "
+    "union over tables trades compute for recall (measured vs brute "
+    "force in tests). Only candidate IDs shuffle; at 100 TB add "
+    "multi-probe (flip low-margin bits) before adding tables. IVF "
+    "replaces hashing with k-means cells — same join shape.",
+)
+def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    n_tables, n_bits = 8, 6
+    emb = read_table(spark, sf_dir, "embeddings")
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((n_tables, n_bits, 64))
+
+    def table_bucket(table: int) -> Column:
+        bits = [
+            F.when(
+                dot(
+                    F.col("embedding"),
+                    F.array(*[F.lit(float(x)) for x in planes[table, i]]),
+                )
+                > 0,
+                F.lit(1 << i),
+            ).otherwise(F.lit(0))
+            for i in range(n_bits)
+        ]
+        return sum(bits[1:], start=bits[0])
+
+    bucketed = emb.withColumn(
+        "bkt", F.array(*[table_bucket(t) for t in range(n_tables)])
+    )
+    flat = bucketed.select(
+        "vec_id", "embedding", F.posexplode("bkt").alias("tbl", "bucket")
+    )
+    probes = flat.filter(F.col("vec_id").isin(1, 2, 3, 4, 5)).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pe"),
+        F.col("tbl").alias("ptbl"),
+        F.col("bucket").alias("pbucket"),
+    )
+    candidates = (
+        flat.join(
+            F.broadcast(probes),
+            (F.col("tbl") == F.col("ptbl"))
+            & (F.col("bucket") == F.col("pbucket")),
+        )
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .dropDuplicates(["probe_id", "vec_id"])
+    )
+    scored = candidates.select(
+        "probe_id",
+        "vec_id",
+        cosine(F.col("pe"), F.col("embedding")).alias("cos_raw"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_raw").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("probe_id", "vec_id", F.round("cos_raw", 4).alias("cos"))
+    )

@@ -1,0 +1,126 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2 B.10).
+
+The slow-path hierarchy, demonstrated and oracled:
+- scalar Python UDF (row-at-a-time — kept out of hot paths, shown for
+  parity with the reference's per-row NaN conversion, A10/A13),
+- vectorized Pandas UDF (Arrow batches — the acceptable Python path),
+- grouped-aggregate Pandas UDF (per-group numpy reduction),
+- mapInPandas batch-iterator transform (the A4 assembly shape).
+
+Scale notes (100 TB): every Python stage pays an Arrow serialization
+round-trip; the engine uses built-ins everywhere it can and reserves
+these for logic Spark genuinely lacks. Pandas UDFs parallelize per
+Arrow batch per core — no driver bottleneck.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from weather_etl_spark.io import read_table
+from weather_etl_spark.registry import register
+
+
+@F.udf(T.StringType())
+def _band_udf(price: float) -> str:
+    if price is None:
+        return None
+    if price < 50000:
+        return "low"
+    if price < 200000:
+        return "mid"
+    return "high"
+
+
+@register(
+    "q_udf_py",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice < 50000 THEN 'low'
+            WHEN o_totalprice < 200000 THEN 'mid'
+            ELSE 'high' END AS band
+FROM orders
+""",
+    doc="Scalar Python UDF (price-band labeler); oracle is the same "
+    "CASE expression in SQL.",
+)
+def q_udf_py(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return o.select("o_orderkey", _band_udf("o_totalprice").alias("band"))
+
+
+@F.pandas_udf(T.DoubleType())
+def _log_scale_udf(v: pd.Series) -> pd.Series:
+    import numpy as np
+
+    return np.round(np.log1p(v) * 2.0, 4)
+
+
+@register(
+    "q_udf_pandas",
+    oracle="""
+SELECT event_id, ROUND(ln(1 + value) * 2.0, 4) AS log_scaled
+FROM events
+""",
+    doc="Vectorized Pandas UDF (Arrow batch transfer): numpy log1p over "
+    "the value column — the A1 numpy-vector path in UDF form.",
+)
+def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", _log_scale_udf("value").alias("log_scaled")
+    )
+
+
+@F.pandas_udf(T.DoubleType())
+def _weighted_mean_udf(v: pd.Series, w: pd.Series) -> float:
+    import numpy as np
+
+    return float(np.round(np.sum(v * w) / np.sum(w), 4))
+
+
+@register(
+    "q_udaf_pandas",
+    oracle="""
+SELECT event_type,
+       ROUND(SUM(value * (1 + user_id % 3)) / SUM(1 + user_id % 3), 4)
+         AS wmean
+FROM events GROUP BY event_type
+""",
+    doc="Grouped-aggregate Pandas UDF: per-group weighted mean "
+    "(weights derived deterministically from user_id).",
+)
+def q_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "w", (F.lit(1) + F.col("user_id") % 3).cast("double")
+    )
+    return ev.groupBy("event_type").agg(
+        _weighted_mean_udf("value", "w").alias("wmean")
+    )
+
+
+@register(
+    "udtf_mapinpandas",
+    oracle="""
+SELECT doc_id, n_chars * 2 AS derived
+FROM documents
+""",
+    doc="Batch-iterator transform (mapInPandas) re-implementing the "
+    "reference's columnar assembly (A4, lambda_function.py:105-122): "
+    "per-Arrow-batch columnar math, exact integer oracle.",
+)
+def udtf_mapinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def assemble(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "derived": pdf["n_chars"] * 2}
+            )
+
+    return docs.mapInPandas(assemble, schema="doc_id long, derived long")
