@@ -42,8 +42,12 @@ def main() -> None:
     names = [n for n in HEADLINE if n in specs] or sorted(specs)[:5]
 
     spark = get_spark(app_name="weather-etl-spark-bench")
-    # JVM + first-query warmup so we measure the engine, not session boot.
-    specs[names[0]].fn(spark, sf_dir).count()
+    # JVM + codegen warmup through the SAME action path as the timed runs
+    # (noop write), so timings measure the engine, not session boot or
+    # first-use whole-stage-codegen compilation.
+    specs[names[0]].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name in names:

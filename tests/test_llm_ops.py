@@ -99,3 +99,35 @@ def test_multimodal_decode_stub_is_explicit():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF (nprobe=2 of 8 cells) must recall a meaningful share of the
+    exact top-5 and be deterministic across runs (fixed init, no RNG)."""
+    exact = SPECS["q_llm_knn"].fn(spark, sf_dir).collect()
+    a1 = SPECS["llm_ann_ivf"].fn(spark, sf_dir).collect()
+    a2 = SPECS["llm_ann_ivf"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, a1)) == sorted(map(tuple, a2))
+    exact_sets, ivf_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    for r in a1:
+        ivf_sets.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    assert set(ivf_sets) <= set(exact_sets)
+    hits = sum(len(exact_sets[p] & ivf_sets.get(p, set())) for p in exact_sets)
+    total = sum(len(s) for s in exact_sets.values())
+    assert hits / total >= 0.2, f"IVF recall {hits}/{total} too low"
+
+
+def test_embed_dedup_greedy_minid(spark, sf_dir):
+    """Every reported duplicate's canonical must be a lower id, and the
+    dup relation must be consistent with the declared cosine pairs."""
+    rows = SPECS["q_llm_embed_dedup"].fn(spark, sf_dir).collect()
+    pairs = SPECS["q_llm_cosine_pairs"].fn(spark, sf_dir).collect()
+    near = {}
+    for p in pairs:
+        near.setdefault(p["id_b"], set()).add(p["id_a"])
+    for r in rows:
+        assert r["dup_of"] < r["vec_id"]
+        assert r["dup_of"] == min(near[r["vec_id"]])
+        assert r["n_near"] == len(near[r["vec_id"]])

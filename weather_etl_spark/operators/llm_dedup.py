@@ -230,3 +230,45 @@ def llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("jaccard_dist", 4).alias("jaccard_dist"),
         )
     )
+
+
+@register(
+    "q_llm_embed_dedup",
+    oracle="""
+WITH pairs AS (
+  SELECT e.vec_id, o.vec_id AS other_id
+  FROM embeddings e JOIN embeddings o ON o.vec_id < e.vec_id
+  WHERE list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                               CAST(o.embedding AS DOUBLE[])) > 0.45
+)
+SELECT vec_id, MIN(other_id) AS dup_of, COUNT(*) AS n_near
+FROM pairs GROUP BY vec_id
+""",
+    doc="Embedding-cosine near-duplicate dedup: a vector is a duplicate "
+    "if some LOWER-id vector has cosine > 0.45; emit (vec_id, its "
+    "canonical lowest-id near-neighbor, neighbor count). Rows absent "
+    "from the output are the kept set — greedy min-id representative "
+    "semantics, the vector-space analogue of A11's keyed ON CONFLICT "
+    "dedup (/root/reference/lambda_function.py:176-182).",
+    scale_notes="The self-join shape is the correctness baseline; at "
+    "100 TB block it with llm_ann_lsh/llm_ann_ivf cell assignment first "
+    "so only same-bucket pairs are compared, then apply the same "
+    "min-id-wins reduction per bucket.",
+)
+def q_llm_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_etl_spark.operators.llm_vector import cosine
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    a = emb.select("vec_id", F.col("embedding").alias("ea"))
+    b = emb.select(
+        F.col("vec_id").alias("other_id"), F.col("embedding").alias("eb")
+    )
+    return (
+        a.join(b, F.col("other_id") < F.col("vec_id"))
+        .filter(cosine(F.col("ea"), F.col("eb")) > 0.45)
+        .groupBy("vec_id")
+        .agg(
+            F.min("other_id").alias("dup_of"),
+            F.count(F.lit(1)).alias("n_near"),
+        )
+    )

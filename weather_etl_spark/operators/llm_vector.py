@@ -238,3 +238,121 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("probe_id", "vec_id", F.round("cos_raw", 4).alias("cos"))
     )
+
+
+def _assign_cell(emb_col: Column, centroids: list[list[float]]) -> Column:
+    """cell id of the max-cosine centroid (deterministic: ties -> higher
+    cell id via struct comparison, but exact FP ties don't occur here)."""
+    scored = F.array(
+        *[
+            F.struct(
+                cosine(
+                    emb_col, F.array(*[F.lit(float(x)) for x in c])
+                ).alias("cos"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.array_max(scored).getField("cell")
+
+
+@register(
+    "llm_ann_ivf",
+    oracle=None,  # approximate; recall vs brute force asserted in tests
+    doc="IVF (inverted-file) approximate nearest neighbors: deterministic "
+    "Lloyd k-means (k=8, init = vec_id 1..8, 3 iterations, all in "
+    "DataFrame ops) trains the coarse quantizer; every vector is "
+    "assigned to its max-cosine cell; each probe searches only its "
+    "nprobe=2 nearest cells; exact cosine top-5 within the candidate "
+    "union (same probe set and output schema as q_llm_knn).",
+    scale_notes="Training aggregates k x dim floats to the driver per "
+    "iteration (constant, corpus-size independent — the same contract "
+    "as MLlib KMeans). Search shuffles only same-cell candidates: cost "
+    "~ nprobe/k of a full scan per probe. At 100 TB: persist the cell "
+    "assignment as a bucketed column, raise k ~ sqrt(n), and add a "
+    "product-quantized residual for in-cell pruning.",
+)
+def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k, nprobe, iters = 8, 2, 3
+    emb = read_table(spark, sf_dir, "embeddings")
+
+    # --- train: deterministic Lloyd iterations (no RNG, fixed init) ---
+    init = (
+        emb.filter(F.col("vec_id") <= k)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    centroids = [[float(x) for x in r["embedding"]] for r in init]
+    for _ in range(iters):
+        assigned = emb.withColumn(
+            "cell", _assign_cell(F.col("embedding"), centroids)
+        )
+        per_pos = (
+            assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        )
+        rows = (
+            per_pos.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.getField("m"),
+                ).alias("centroid")
+            )
+            .collect()  # k rows x dim floats — bounded, size-independent
+        )
+        new = {r["cell"]: [float(x) for x in r["centroid"]] for r in rows}
+        centroids = [new.get(i, centroids[i]) for i in range(k)]
+
+    # --- search: candidates = union of the probe's nprobe nearest cells ---
+    celled = emb.withColumn("cell", _assign_cell(F.col("embedding"), centroids))
+    probe_cells = F.slice(
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        (-cosine(
+                            F.col("embedding"),
+                            F.array(*[F.lit(float(x)) for x in c]),
+                        )).alias("negcos"),
+                        F.lit(i).alias("cell"),
+                    )
+                    for i, c in enumerate(centroids)
+                ]
+            )
+        ),
+        1,
+        nprobe,
+    )
+    probes = (
+        emb.filter(F.col("vec_id").isin(1, 2, 3, 4, 5))
+        .withColumn("pcells", probe_cells)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("pe"),
+            F.explode(F.transform("pcells", lambda s: s.getField("cell"))).alias(
+                "pcell"
+            ),
+        )
+    )
+    candidates = (
+        celled.join(F.broadcast(probes), F.col("cell") == F.col("pcell"))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .dropDuplicates(["probe_id", "vec_id"])
+    )
+    scored = candidates.select(
+        "probe_id",
+        "vec_id",
+        cosine(F.col("pe"), F.col("embedding")).alias("cos_raw"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_raw").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("probe_id", "vec_id", F.round("cos_raw", 4).alias("cos"))
+    )
