@@ -42,19 +42,21 @@ def main() -> None:
     names = [n for n in HEADLINE if n in specs] or sorted(specs)[:5]
 
     spark = get_spark(app_name="weather-etl-spark-bench")
-    # JVM + codegen warmup through the SAME action path as the timed runs
-    # (noop write), so timings measure the engine, not session boot or
-    # first-use whole-stage-codegen compilation.
-    specs[names[0]].fn(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
 
-    timings: dict[str, float] = {}
-    for name in names:
+    def run(name: str) -> float:
         start = time.perf_counter()
-        df = specs[name].fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        specs[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return round(time.perf_counter() - start, 3)
+
+    # Warm each query once through the SAME action path as the timed run,
+    # so timings measure steady-state engine throughput — not session
+    # boot or first-use whole-stage-codegen JIT compilation.
+    for name in names:
+        run(name)
+
+    timings = {name: run(name) for name in names}
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -90,11 +90,13 @@ FROM bits GROUP BY doc_id
     doc="SimHash document sketch: 60-bit locality-sensitive hash from "
     "md5-derived token hashes (deterministic, engine-portable — near-dup "
     "docs differ in few bits).",
-    scale_notes="Two grouped aggregates over an exploded (doc x bit) "
-    "relation; at 100 TB compute the 60 bit-counters in one pass with a "
-    "vectorized Pandas UDF per partition instead of the x60 explode.",
+    scale_notes="Single grouped aggregate: the 60 bit-counters are 60 "
+    "map-side partial sums over the token-hash rows (one shuffle "
+    "carrying 60 longs per doc, no x60 row explosion). All bit math is "
+    "codegen'd JVM expressions.",
 )
 def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_bits = 60
     docs = read_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
@@ -105,22 +107,25 @@ def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("h"),
     )
-    bits = spark.range(60).select(F.col("id").cast("int").alias("b"))
-    net = (
-        th.crossJoin(F.broadcast(bits))
-        .groupBy("doc_id", "b")
-        .agg(
+    # One aggregate with 60 partial-summed ±1 counters beats the
+    # (doc x bit) explode: the shuffle carries 60 longs per doc instead
+    # of 60 rows per token.
+    net = th.groupBy("doc_id").agg(
+        *[
             F.sum(
-                F.when(F.expr("(h >> b) & 1") == 1, 1).otherwise(-1)
-            ).alias("net")
-        )
+                F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"net{b}")
+            for b in range(n_bits)
+        ]
     )
-    return net.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("net") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)"))
-            .otherwise(F.lit(0))
-        ).alias("simhash")
-    )
+    bit_terms = [
+        F.when(F.col(f"net{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        for b in range(n_bits)
+    ]
+    simhash = bit_terms[0]
+    for term in bit_terms[1:]:
+        simhash = simhash + term
+    return net.select("doc_id", simhash.cast("bigint").alias("simhash"))
 
 
 @register(
@@ -199,17 +204,26 @@ def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_near_dedup",
     oracle=None,  # LSH hash family is engine-specific (rows-only)
     doc="MinHash + LSH near-duplicate detection (pyspark.ml MinHashLSH, "
-    "fixed seed): shingle -> sparse vector -> minhash bands -> "
-    "approxSimilarityJoin at Jaccard distance <= 0.5.",
+    "fixed seed) over 3-token shingle sets: shingle -> sparse vector -> "
+    "minhash bands -> approxSimilarityJoin at Jaccard distance <= 0.2 "
+    "(the standard ~0.8-similarity web-dedup threshold).",
     scale_notes="The banded join only compares within-bucket candidates "
     "— the web-scale near-dedup shape. numHashTables trades recall for "
-    "bucket width.",
+    "bucket width. Shingling (not unigrams) is what keeps buckets "
+    "selective: on a shared-vocabulary corpus unigram sets make most "
+    "pairs collide and the join degenerates toward n².",
 )
 def llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     docs = read_table(spark, sf_dir, "documents").select(
-        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),"
+                " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+            )
+        ).alias("toks"),
     )
     tf = HashingTF(
         inputCol="toks", outputCol="features", numFeatures=1 << 18, binary=True
@@ -220,7 +234,7 @@ def llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     model = lsh.fit(feats)
     pairs = model.approxSimilarityJoin(
-        feats, feats, threshold=0.5, distCol="jaccard_dist"
+        feats, feats, threshold=0.2, distCol="jaccard_dist"
     )
     return (
         pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
