@@ -38,6 +38,95 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+#: Default 100 TB scale note per operator family (first matching prefix).
+#: An explicit per-op ``scale_notes`` always wins; these document the
+#: shared physical shape of the family (details in SCALE.md).
+FAMILY_SCALE_NOTES: list[tuple[str, str]] = [
+    (
+        "q_fn_",
+        "Embarrassingly parallel codegen'd JVM expressions, zero shuffle; "
+        "scale cost is the pruned/pushed-down scan (SCALE.md §2).",
+    ),
+    (
+        "q_win_",
+        "One shuffle on the window partition key, per-partition sort, "
+        "bounded frame state; skewed keys pre-aggregate into salted "
+        "time-buckets before the window (SCALE.md §5).",
+    ),
+    (
+        "q_topk_",
+        "Compiles to TakeOrderedAndProject / WindowGroupLimit rank "
+        "pushdown: per-partition heaps of k, no global sort (SCALE.md §6).",
+    ),
+    (
+        "q_sort_",
+        "LIMIT-ed sort compiles to TakeOrderedAndProject (per-partition "
+        "heaps + driver merge of parts x k rows) — never a full global "
+        "sort (SCALE.md §6).",
+    ),
+    (
+        "q_set_",
+        "UNION ALL is shuffle-free concatenation; distinct/intersect/"
+        "except add one hash shuffle on the row key (SCALE.md §6).",
+    ),
+    (
+        "q_stream_",
+        "Structured Streaming with watermark-bounded state; aggregation "
+        "is incremental per micro-batch, verified in batch parity "
+        "(SCALE.md §7).",
+    ),
+    (
+        "st_",
+        "Runtime streaming semantics: watermark/dedup state bounded by "
+        "event-time expiry; foreachBatch reuses the idempotent keyed "
+        "append so replays are no-ops (SCALE.md §7).",
+    ),
+    (
+        "q_udf_",
+        "Python reached only via Arrow-batched pandas_udf — vectorized "
+        "transfer, no per-row pickling (SCALE.md §9).",
+    ),
+    (
+        "q_udaf_",
+        "Grouped-agg pandas UDF: groups stream through Arrow batches on "
+        "executors, never the driver (SCALE.md §9).",
+    ),
+    (
+        "udtf_",
+        "mapInPandas batch-iterator: O(batch) memory per task, "
+        "partition-parallel (SCALE.md §9).",
+    ),
+    (
+        "q_llm_",
+        "Built-in string fns + two-phase aggregation: shuffles carry "
+        "(key, partial-aggregate) pairs, never full documents "
+        "(SCALE.md §8).",
+    ),
+    (
+        "llm_",
+        "Blocked/banded candidate generation keeps compare cost "
+        "sub-quadratic; see SCALE.md §8.",
+    ),
+    (
+        "q_scan_",
+        "Pushed filters + pruned ReadSchema verified in the plan; at "
+        "100 TB becomes partition pruning + row-group skipping "
+        "(SCALE.md §1).",
+    ),
+    (
+        "snk_",
+        "Partitioned/idempotent Parquet writes; anti-join prunes the "
+        "sink side to the batch's key range (SCALE.md §1).",
+    ),
+]
+
+
+def _default_scale_notes(name: str) -> str:
+    for prefix, note in FAMILY_SCALE_NOTES:
+        if name.startswith(prefix):
+            return note
+    return ""
+
 
 def register(
     name: str, oracle: str | None = None, doc: str = "", scale_notes: str = ""
@@ -52,7 +141,7 @@ def register(
             fn=fn,
             oracle=oracle,
             doc=doc or (fn.__doc__ or "").strip(),
-            scale_notes=scale_notes,
+            scale_notes=scale_notes or _default_scale_notes(name),
         )
         return fn
 
