@@ -270,8 +270,9 @@ FROM pairs GROUP BY vec_id
     "min-id-wins reduction per bucket.",
 )
 def q_llm_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from weather_etl_spark.operators.llm_vector import cosine
+    from weather_etl_spark.operators.llm_vector import _make_cosine_pandas
 
+    cos = _make_cosine_pandas()
     emb = read_table(spark, sf_dir, "embeddings")
     a = emb.select("vec_id", F.col("embedding").alias("ea"))
     b = emb.select(
@@ -279,7 +280,7 @@ def q_llm_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         a.join(b, F.col("other_id") < F.col("vec_id"))
-        .filter(cosine(F.col("ea"), F.col("eb")) > 0.45)
+        .filter(cos(F.col("ea"), F.col("eb")) > 0.45)
         .groupBy("vec_id")
         .agg(
             F.min("other_id").alias("dup_of"),
