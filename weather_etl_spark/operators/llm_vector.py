@@ -306,7 +306,8 @@ def _assign_cell(emb_col: Column, centroids: list[list[float]]) -> Column:
 )
 def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     k, nprobe, iters = 8, 2, 3
-    emb = read_table(spark, sf_dir, "embeddings")
+    # Cached: Lloyd training scans the corpus once per iteration.
+    emb = read_table(spark, sf_dir, "embeddings").cache()
 
     # --- train: deterministic Lloyd iterations (no RNG, fixed init) ---
     init = (

@@ -23,10 +23,28 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from contextlib import contextmanager
+
 from weather_etl_spark.incremental import run_incremental
 from weather_etl_spark.io import table_path
 from weather_etl_spark.registry import register
 from weather_etl_spark.session import ensure_engine_confs
+
+
+@contextmanager
+def _small_state(spark: SparkSession, n: int = 4):
+    """Temporarily size shuffle/state-store partitions to the tiny
+    runtime fixtures (each micro-batch otherwise spins up the full
+    session partition count of state stores). Streaming checkpoints pin
+    the partition count at first run, and every runtime op here uses a
+    fresh checkpoint, so this is safe. At scale the same knob is sized
+    to state volume, not left at the relational default."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 #: Raw parquet schema of the events table (ts = TIMESTAMP(NANOS) read as
 #: long under nanosAsLong — see io.read_table).
@@ -147,24 +165,26 @@ def st_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.unix_micros("w.start").alias("ws_us"), "n")
         )
         name = f"st_wm_{uuid.uuid4().hex[:8]}"
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .start()
-        )
-        q.processAllAvailable()
-        # Batch 2: one row at 10:05 — its 5-min window [10:05,10:10) ended
-        # before the 10:50 watermark => DROPPED; one row at 10:52 => kept.
-        _write_batch(
-            spark,
-            [(200, _T0 + 5 * _MIN, 1, 1.0), (201, _T0 + 52 * _MIN, 1, 1.0)],
-            in_dir,
-            2,
-        )
-        q.processAllAvailable()
-        q.stop()
+        with _small_state(spark):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .start()
+            )
+            q.processAllAvailable()
+            # Batch 2: one row at 10:05 — its 5-min window [10:05,10:10)
+            # ended before the 10:50 watermark => DROPPED; one row at
+            # 10:52 => kept.
+            _write_batch(
+                spark,
+                [(200, _T0 + 5 * _MIN, 1, 1.0), (201, _T0 + 52 * _MIN, 1, 1.0)],
+                in_dir,
+                2,
+            )
+            q.processAllAvailable()
+            q.stop()
         # Final state per window = the last update emitted for it.
         out = (
             spark.table(name)
@@ -216,7 +236,8 @@ def st_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped = stream.withWatermark(
             "ts", "1 hour"
         ).dropDuplicatesWithinWatermark(["event_id"])
-        out = _run_to_memory(deduped.select("event_id"), "append", tmp)
+        with _small_state(spark):
+            out = _run_to_memory(deduped.select("event_id"), "append", tmp)
         return (
             out.agg(
                 F.count(F.lit(1)).alias("n_rows"),
@@ -271,13 +292,14 @@ def st_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             inserted_counts.append(result["records_inserted"])
 
-        q = (
-            stream.writeStream.foreachBatch(handle_batch)
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _small_state(spark):
+            q = (
+                stream.writeStream.foreachBatch(handle_batch)
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         total = spark.read.parquet(sink).count()
         distinct = (
             spark.read.parquet(sink).select("event_id").distinct().count()
