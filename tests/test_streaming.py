@@ -49,3 +49,32 @@ def test_foreachbatch_incremental_idempotent(spark, sf_dir):
         12,
         12,
     )
+
+
+def test_stateful_sessionizer_state_survives_batches(spark, sf_dir):
+    """applyInPandasWithState: the session split across micro-batches
+    (11:00 in batch 1, 11:05 in batch 2) must close as ONE 2-event
+    session — state carried through the store; open tails unemitted."""
+    rows = sorted(
+        map(tuple, SPECS["st_stateful_sessionizer"].fn(spark, sf_dir).collect())
+    )
+    t0 = 1704103200_000_000
+    m = 60_000_000
+    assert rows == [
+        (1, t0, 2),            # user 1: [10:00, 10:10]
+        (1, t0 + 60 * m, 2),   # user 1: [11:00, 11:05] across batches
+        (2, t0, 1),            # user 2: [10:00]
+    ]
+
+
+def test_stream_stream_join_interval_bounds(spark, sf_dir):
+    """Stream-stream join keeps only purchases within [view, view+1h)."""
+    rows = sorted(
+        map(tuple, SPECS["st_stream_stream_join"].fn(spark, sf_dir).collect())
+    )
+    t0 = 1704103200_000_000
+    m = 60_000_000
+    assert rows == [
+        (1, t0, t0 + 20 * m, 5.0),           # in window
+        (2, t0 + 30 * m, t0 + 45 * m, 9.0),  # in window
+    ]                                         # u1 buy @+150min excluded

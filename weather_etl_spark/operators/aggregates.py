@@ -295,3 +295,38 @@ def q_agg_percentile(spark, sf_dir):
             F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90"),
         )
     )
+
+
+@register(
+    "q_agg_skew_salted",
+    oracle="""
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type
+""",
+    doc="Skew-resistant two-phase aggregation: the low-cardinality, "
+    "skewed grouping key (5 event_types over the whole table) is salted "
+    "with pmod(xxhash64(event_id), 32), partially aggregated per "
+    "(key, salt), then merged per key. Decimal sums are associative, so "
+    "the result is bit-identical to the direct GROUP BY the oracle runs.",
+    scale_notes="The first shuffle spreads each hot key over 32 "
+    "reducers; the second merges 32 partial rows per key — the manual "
+    "equivalent of AQE skew splitting, usable where AQE can't help "
+    "(e.g. deterministic partitioning for a downstream co-located "
+    "join). Salt fan-out trades a tiny second shuffle for hot-reducer "
+    "elimination.",
+)
+def q_agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    partial = (
+        ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(32)))
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("pv"),
+        )
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.sum("pv").cast("double").alias("total_value"),
+    )

@@ -310,3 +310,155 @@ def st_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "st_stateful_sessionizer",
+    oracle=None,  # custom stateful operator; engine tests assert semantics
+    doc="Custom stateful streaming operator (applyInPandasWithState): a "
+    "per-user 30-minute-gap sessionizer whose open session survives "
+    "micro-batch boundaries in the state store. Emits each session when "
+    "a later event closes it (gap > 30min). The fixture splits one "
+    "session across two micro-batches to prove state carry-over; the "
+    "still-open tail session is deliberately unemitted — the streaming "
+    "analogue of the reference's cursor that persists between runs "
+    "(A6/A14, /root/reference/lambda_function.py:75-86).",
+    scale_notes="State is one (start, last, count) triple per user key, "
+    "partitioned by the grouping key across executors; Arrow-batched "
+    "per-group processing, no driver involvement. At scale add an "
+    "event-time timeout to flush idle sessions instead of holding them "
+    "forever.",
+)
+def st_stateful_sessionizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ensure_engine_confs(spark)
+    gap_us = 30 * _MIN
+
+    def sessionize(key, pdf_iter, state: GroupState):
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us, last_us, n = None, None, 0
+        closed: list[tuple[int, int, int]] = []
+        for pdf in pdf_iter:
+            for ts_us in sorted(int(v) for v in pdf["ts_us"]):
+                if start_us is None:
+                    start_us, last_us, n = ts_us, ts_us, 1
+                elif ts_us - last_us > gap_us:
+                    closed.append((key[0], start_us, n))
+                    start_us, last_us, n = ts_us, ts_us, 1
+                else:
+                    last_us, n = ts_us, n + 1
+        state.update((start_us, last_us, n))
+        yield pd.DataFrame(
+            closed, columns=["user_id", "session_start_us", "n_events"]
+        )
+
+    tmp = tempfile.mkdtemp(prefix="st_sess_")
+    try:
+        import os
+
+        in_dir = f"{tmp}/in"
+        os.makedirs(in_dir)
+        # user 1: sessions [10:00,10:10], [11:00,11:05], open [12:00...]
+        # user 2: session  [10:00], open [11:30...]
+        # batch split lands INSIDE user 1's second session (11:00 in b1,
+        # 11:05 in b2) => state must carry across micro-batches.
+        _write_batch(
+            spark,
+            [(1, _T0, 1, 1.0), (2, _T0 + 10 * _MIN, 1, 1.0),
+             (3, _T0 + 60 * _MIN, 1, 1.0), (4, _T0, 2, 1.0)],
+            in_dir,
+            1,
+        )
+        _write_batch(
+            spark,
+            [(5, _T0 + 65 * _MIN, 1, 1.0), (6, _T0 + 120 * _MIN, 1, 1.0),
+             (7, _T0 + 90 * _MIN, 2, 1.0)],
+            in_dir,
+            2,
+        )
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, value double"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+            .select("user_id", F.unix_micros("ts").alias("ts_us"))
+        )
+        sessions = stream.groupBy("user_id").applyInPandasWithState(
+            sessionize,
+            outputStructType="user_id long, session_start_us long, n_events long",
+            stateStructType="start_us long, last_us long, n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        with _small_state(spark):
+            out = _run_to_memory(sessions, "append", tmp)
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "st_stream_stream_join",
+    oracle=None,  # runtime semantics (watermark-bounded state)
+    doc="Stream-stream interval join: a 'view' stream joined to a "
+    "'purchase' stream on user_id with purchase.ts in [view.ts, "
+    "view.ts + 1h), both sides watermarked so join state is bounded "
+    "and GC'd. The temporal-bound condition generalizes the "
+    "reference's overlap-window semantics (A14) to two live inputs.",
+    scale_notes="Watermarks bound both join-state buffers; without the "
+    "time-range condition state would grow unboundedly. State is "
+    "key-partitioned; the interval condition is evaluated post "
+    "key-match, never as a cross product.",
+)
+def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_engine_confs(spark)
+    tmp = tempfile.mkdtemp(prefix="st_ssj_")
+    try:
+        import os
+
+        views_dir, buys_dir = f"{tmp}/views", f"{tmp}/buys"
+        os.makedirs(views_dir)
+        os.makedirs(buys_dir)
+        # views: u1@10:00, u2@10:30 | buys: u1@10:20 (in window),
+        # u1@11:30 (outside 1h window), u2@10:45 (in window)
+        _write_batch(spark, [(1, _T0, 1, 1.0), (2, _T0 + 30 * _MIN, 2, 1.0)],
+                     views_dir, 1)
+        _write_batch(spark, [(3, _T0 + 20 * _MIN, 1, 5.0),
+                             (4, _T0 + 150 * _MIN, 1, 7.0),
+                             (5, _T0 + 45 * _MIN, 2, 9.0)],
+                     buys_dir, 1)
+        schema = "event_id long, ts timestamp, user_id long, value double"
+        views = (
+            spark.readStream.schema(schema).parquet(views_dir)
+            .select(F.col("user_id").alias("v_user"),
+                    F.col("ts").alias("v_ts"))
+            .withWatermark("v_ts", "2 hours")
+        )
+        buys = (
+            spark.readStream.schema(schema).parquet(buys_dir)
+            .select(F.col("user_id").alias("b_user"),
+                    F.col("ts").alias("b_ts"),
+                    F.col("value").alias("amount"))
+            .withWatermark("b_ts", "2 hours")
+        )
+        joined = views.join(
+            buys,
+            (F.col("v_user") == F.col("b_user"))
+            & (F.col("b_ts") >= F.col("v_ts"))
+            & (F.col("b_ts") < F.col("v_ts") + F.expr("interval 1 hour")),
+        ).select(
+            F.col("v_user").alias("user_id"),
+            F.unix_micros("v_ts").alias("view_us"),
+            F.unix_micros("b_ts").alias("buy_us"),
+            "amount",
+        )
+        with _small_state(spark):
+            out = _run_to_memory(joined, "append", tmp)
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
