@@ -313,3 +313,63 @@ def q_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
     )
+
+
+@register(
+    "q_join_bucketed",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+""",
+    doc="Shuffle-free co-located join via bucketing: both fact tables "
+    "are written bucketed+sorted by orderkey (8 buckets), then joined — "
+    "the physical plan contains NO Exchange on the join path (asserted "
+    "in tests). Result is identical to the shuffled join q_join_smj; "
+    "this is the 100 TB answer to the fact-fact shuffle called out in "
+    "SCALE.md §3.",
+    scale_notes="Bucket count is chosen at write time (~ total data / "
+    "target partition size); every subsequent equi-join or aggregation "
+    "on the bucket key reads co-located buckets and skips the exchange "
+    "entirely. The one-time bucketed write amortizes across every "
+    "downstream join.",
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    suffix = uuid.uuid4().hex[:8]
+    li_tbl, od_tbl = f"li_bkt_{suffix}", f"od_bkt_{suffix}"
+    warehouse = tempfile.mkdtemp(prefix="bucketed_wh_")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    od = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    for df, tbl, key in ((li, li_tbl, "l_orderkey"), (od, od_tbl, "o_orderkey")):
+        (
+            df.write.mode("overwrite")
+            .option("path", f"{warehouse}/{tbl}")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(tbl)
+        )
+    joined = (
+        spark.table(li_tbl)
+        .join(
+            spark.table(od_tbl),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum(dec2("l_extendedprice") * dec6(F.lit(1) - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    return joined
