@@ -330,3 +330,73 @@ def q_agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n"),
         F.sum("pv").cast("double").alias("total_value"),
     )
+
+
+@register(
+    "q_agg_pivot",
+    oracle="""
+SELECT EXTRACT(year FROM o_orderdate) AS order_year,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+FROM orders GROUP BY EXTRACT(year FROM o_orderdate)
+""",
+    doc="Pivot: order counts per year spread across one column per "
+    "status. Explicit pivot value list, so the plan is a single "
+    "two-phase aggregate (no extra distinct-values job).",
+    scale_notes="Always pass the pivot value list: without it Spark "
+    "runs an extra distinct scan AND the column set becomes "
+    "data-dependent — both wrong at 100 TB. With the list this is one "
+    "ordinary two-phase aggregation.",
+)
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = read_table(spark, sf_dir, "orders")
+    return (
+        od.withColumn("order_year", F.year("o_orderdate").cast("long"))
+        .groupBy("order_year")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "order_year",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+@register(
+    "q_agg_unpivot",
+    oracle="""
+WITH w AS (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_price
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS metric_value FROM w
+UNION ALL
+SELECT l_returnflag, 'sum_price' AS metric, sum_price AS metric_value FROM w
+""",
+    doc="Unpivot (melt): a wide per-returnflag aggregate folded to "
+    "(key, metric, value) long form via DataFrame.unpivot.",
+    scale_notes="Unpivot is a zero-shuffle projection (each input row "
+    "emits V rows map-side); the cost is the upstream aggregate.",
+)
+def q_agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price"],
+        variableColumnName="metric",
+        valueColumnName="metric_value",
+    )

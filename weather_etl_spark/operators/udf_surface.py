@@ -124,3 +124,50 @@ def udtf_mapinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(assemble, schema="doc_id long, derived long")
+
+
+@register(
+    "q_udtf_py",
+    oracle="""
+WITH e AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+         CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS BIGINT)
+           AS pos
+  FROM documents WHERE doc_id <= 20
+)
+SELECT doc_id, token, pos FROM e WHERE length(token) >= 6
+""",
+    doc="Python UDTF (table function): tokenize(text) lateral-joined "
+    "per document, emitting (token, pos) rows for tokens of length >= "
+    "6 — the UDTF analogue of the columnar assembly loop (A4, "
+    "/root/reference/lambda_function.py:105-122). Oracle is DuckDB "
+    "unnest WITH ORDINALITY.",
+    scale_notes="UDTFs run partition-parallel like any projection; each "
+    "eval sees one row and yields its expansion, so memory is O(row), "
+    "never O(table). Prefer built-in explode when semantics allow — "
+    "the UDTF exists for logic explode can't express.",
+)
+def q_udtf_py(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token string, pos bigint")
+    class Tokenize:
+        def eval(self, text: str):
+            for pos, token in enumerate(text.split(" ")):
+                if len(token) >= 6:
+                    yield token, pos
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") <= 20)
+        .select("doc_id", "text")
+    )
+    docs.createOrReplaceTempView("udtf_docs_in")
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.token, t.pos
+        FROM udtf_docs_in d,
+             LATERAL tokenize_udtf(d.text) t
+        """
+    )
