@@ -81,3 +81,50 @@ def snk_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "snk_csv_roundtrip",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+""",
+    doc="CSV sink + source round-trip: nation written as headered CSV "
+    "to a temp dir, read back with the EXPLICIT schema (no inference — "
+    "the reference's fail-fast DDL-first contract, A9), returned "
+    "losslessly (int/string columns only, so text format is exact).",
+    scale_notes="CSV is the interchange format, not the analytical one: "
+    "no column pruning, no predicate pushdown, no row-group stats. The "
+    "engine reads it at the edge and lands Parquet immediately.",
+)
+def snk_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tmp = tempfile.mkdtemp(prefix="snk_csv_")
+    nat = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    nat.write.mode("overwrite").option("header", "true").csv(tmp)
+    back = (
+        spark.read.schema("n_nationkey long, n_name string, n_regionkey long")
+        .option("header", "true")
+        .csv(tmp)
+    )
+    # Materialize before the temp dir can be cleaned up.
+    return back.localCheckpoint()
+
+
+@register(
+    "snk_json_roundtrip",
+    oracle="""
+SELECT r_regionkey, r_name FROM region
+""",
+    doc="JSON-lines sink + source round-trip: region written as JSONL, "
+    "read back with the explicit schema (A9: no inference in production "
+    "paths).",
+    scale_notes="Same edge-format caveats as CSV; JSONL additionally "
+    "pays per-row parse. Land to Parquet at ingest.",
+)
+def snk_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tmp = tempfile.mkdtemp(prefix="snk_json_")
+    reg = read_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    reg.write.mode("overwrite").json(tmp)
+    back = spark.read.schema("r_regionkey long, r_name string").json(tmp)
+    return back.localCheckpoint()
