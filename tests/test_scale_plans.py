@@ -89,3 +89,11 @@ def test_knn_broadcasts_probe_set(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
         "kNN must broadcast the bounded probe side"
     )
+
+
+def test_dpp_prunes_fact_partitions(spark, sf_dir):
+    df = SPECS["q_join_dpp"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "dynamicpruning" in plan or "DynamicPruning" in plan, (
+        "fact scan must carry a runtime partition-pruning subquery"
+    )

@@ -373,3 +373,57 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return joined
+
+
+@register(
+    "q_join_dpp",
+    oracle="""
+WITH sel AS (SELECT DISTINCT EXTRACT(year FROM o_orderdate) AS yr
+             FROM orders WHERE o_orderpriority = '1-URGENT'
+             AND EXTRACT(year FROM o_orderdate) <= 1996)
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders JOIN sel ON EXTRACT(year FROM o_orderdate) = sel.yr
+GROUP BY EXTRACT(year FROM o_orderdate)
+""",
+    doc="Dynamic partition pruning: orders are staged PARTITIONED BY "
+    "order_year, then joined to a small filtered dimension of selected "
+    "years — at runtime Spark prunes the fact scan to only the "
+    "partitions the dim side produces (dynamicpruning#N subquery in "
+    "the plan, asserted in tests/test_scale_plans.py).",
+    scale_notes="DPP is THE mechanism that makes dim-filtered fact "
+    "scans cheap on a date-partitioned 100 TB table: the fact side "
+    "reads only partitions surviving the runtime filter, without the "
+    "user writing the partition predicate. Requires the join key to be "
+    "the partition column and a broadcastable filtered dim.",
+)
+def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="dpp_orders_")
+    od = read_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("long")
+    )
+    od.select(
+        "o_orderkey", "o_totalprice", "o_orderpriority", "order_year"
+    ).write.mode("overwrite").partitionBy("order_year").parquet(tmp)
+    fact = spark.read.parquet(tmp)
+    sel = (
+        fact.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("order_year") <= 1996)
+        )
+        .select(F.col("order_year").alias("yr"))
+        .distinct()
+    )
+    return (
+        fact.join(F.broadcast(sel), fact.order_year == sel.yr)
+        .groupBy(fact.order_year)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
