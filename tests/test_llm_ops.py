@@ -11,9 +11,10 @@ SPECS = load_all()
 
 
 def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
-    """LSH top-5 must overlap the exact brute-force top-5 meaningfully
-    (recall >= 0.4 with 12 bits on random near-orthogonal data), and
-    every LSH hit must be a real candidate (cos computed identically)."""
+    """Multi-probe LSH top-5 must overlap the exact brute-force top-5
+    strongly (measured 1.00 at sf0.01/sf0.1 with 8 tables x 6 bits x
+    Hamming-1 probing; floor set at 0.6 for margin), and every hit must
+    be a real candidate (cos computed identically)."""
     exact = SPECS["q_llm_knn"].fn(spark, sf_dir).collect()
     approx = SPECS["llm_ann_lsh"].fn(spark, sf_dir).collect()
     exact_sets = {}
@@ -27,7 +28,7 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
         len(exact_sets[p] & approx_sets.get(p, set())) for p in exact_sets
     )
     total = sum(len(s) for s in exact_sets.values())
-    assert hits / total >= 0.2, f"LSH recall {hits}/{total} too low"
+    assert hits / total >= 0.6, f"LSH recall {hits}/{total} too low"
 
 
 def test_simhash_locality(spark, sf_dir):

@@ -203,15 +203,17 @@ def q_llm_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_ann_lsh",
     oracle=None,  # approximate; recall vs brute force asserted in tests
-    doc="Multi-table LSH approximate nearest neighbors: 8 hash tables x "
-    "6 random hyperplanes (seeded, broadcast as literals) -> sign-bit "
-    "bucket per table -> union of same-bucket candidates -> cosine "
-    "top-k for the same probe set as q_llm_knn.",
-    scale_notes="Each table's bucket holds ~n/2^bits candidates; the "
-    "union over tables trades compute for recall (measured vs brute "
-    "force in tests). Only candidate IDs shuffle; at 100 TB add "
-    "multi-probe (flip low-margin bits) before adding tables. IVF "
-    "replaces hashing with k-means cells — same join shape.",
+    doc="Multi-table multi-probe LSH approximate nearest neighbors: 8 "
+    "hash tables x 6 random hyperplanes (seeded, broadcast as literals) "
+    "-> sign-bit bucket per table; each probe searches its own bucket "
+    "PLUS every Hamming-1 neighbor bucket (multi-probe), then exact "
+    "cosine top-k within the candidate union (same probe set and "
+    "output schema as q_llm_knn).",
+    scale_notes="Each table's bucket holds ~n/2^bits candidates; "
+    "multi-probe multiplies only the broadcast probe rows (x(bits+1)), "
+    "not the corpus side — recall rises without extra tables or corpus "
+    "shuffles (measured vs brute force in tests). IVF replaces hashing "
+    "with k-means cells — same join shape.",
 )
 def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
@@ -241,11 +243,21 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat = bucketed.select(
         "vec_id", "embedding", F.posexplode("bkt").alias("tbl", "bucket")
     )
-    probes = flat.filter(F.col("vec_id").isin(1, 2, 3, 4, 5)).select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("embedding").alias("pe"),
-        F.col("tbl").alias("ptbl"),
-        F.col("bucket").alias("pbucket"),
+    # Multi-probe: each probe also searches every Hamming-1 bucket —
+    # explode (bits+1) bucket variants per (probe, table). Only the tiny
+    # broadcast side fans out; the corpus side is untouched.
+    variants = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)],
+    )
+    probes = (
+        flat.filter(F.col("vec_id").isin(1, 2, 3, 4, 5))
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("pe"),
+            F.col("tbl").alias("ptbl"),
+            F.explode(variants).alias("pbucket"),
+        )
     )
     candidates = (
         flat.join(
@@ -386,5 +398,97 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
+        .select("probe_id", "vec_id", F.round("cos_raw", 4).alias("cos"))
+    )
+
+
+@register(
+    "llm_knn_blocked",
+    oracle="""
+WITH probes AS (
+  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pe
+  FROM embeddings WHERE vec_id IN (1, 2, 3, 4, 5)
+), scored AS (
+  SELECT probe_id, e.vec_id,
+         CAST(list_cosine_similarity(pe, CAST(e.embedding AS DOUBLE[]))
+              AS DOUBLE) AS cos_raw
+  FROM probes JOIN embeddings e ON e.vec_id <> probe_id
+)
+SELECT probe_id, vec_id, ROUND(cos_raw, 4) AS cos
+FROM (SELECT probe_id, vec_id, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY cos_raw DESC, vec_id ASC) AS rn
+      FROM scored) t
+WHERE rn <= 5
+""",
+    doc="Blocked-matmul kNN (mapInPandas): each Arrow batch scores ALL "
+    "its vectors against the broadcast probe matrix with numpy "
+    "(left-to-right reductions — IEEE-identical to q_llm_knn), keeps "
+    "only the batch-local top-5 per probe, and a final window picks the "
+    "global top-5 from parts x k x probes candidates. Same oracle as "
+    "q_llm_knn because the arithmetic is bit-identical.",
+    scale_notes="The 100 TB vectorized-scan shape: the shuffle carries "
+    "only partitions x probes x k candidate rows (per-partition heap "
+    "pruning is lossless for top-k), and Python sees Arrow blocks, "
+    "never rows. Probe matrix is a constant broadcast (collected once, "
+    "bounded like IVF centroids).",
+)
+def llm_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    k = 5
+    emb = read_table(spark, sf_dir, "embeddings")
+    probe_rows = (
+        emb.filter(F.col("vec_id").isin(1, 2, 3, 4, 5))
+        .orderBy("vec_id")
+        .collect()  # 5 x 64 floats — constant probe matrix
+    )
+    probe_ids = [int(r["vec_id"]) for r in probe_rows]
+    probe_mat = np.array(
+        [[float(x) for x in r["embedding"]] for r in probe_rows],
+        dtype=np.float64,
+    )
+
+    def _ltr(m):
+        acc = m[:, 0].copy()
+        for i in range(1, m.shape[1]):
+            acc += m[:, i]
+        return acc
+
+    def score_blocks(batches):
+        import pandas as pd
+
+        p_norm = np.sqrt(_ltr(probe_mat * probe_mat))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            v_norm = np.sqrt(_ltr(m * m))
+            out_frames = []
+            for pi, pid in enumerate(probe_ids):
+                dots = _ltr(m * probe_mat[pi])
+                cos = dots / (v_norm * p_norm[pi])
+                mask = ids != pid
+                cand = pd.DataFrame(
+                    {"probe_id": pid, "vec_id": ids[mask], "cos_raw": cos[mask]}
+                )
+                # Lossless per-block pruning: global top-k is a subset
+                # of the union of block-local top-k.
+                cand = cand.sort_values(
+                    ["cos_raw", "vec_id"], ascending=[False, True]
+                ).head(k)
+                out_frames.append(cand)
+            yield pd.concat(out_frames, ignore_index=True)
+
+    cands = emb.select("vec_id", "embedding").mapInPandas(
+        score_blocks, "probe_id long, vec_id long, cos_raw double"
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_raw").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
         .select("probe_id", "vec_id", F.round("cos_raw", 4).alias("cos"))
     )
