@@ -1,20 +1,26 @@
 """Vector-similarity operators over the embeddings table
 (SURVEY.md §2 B.9; PAPERS.md top-k similarity corpus).
 
-- pairwise cosine similarity above a threshold (self-join),
-- brute-force cosine top-k for a fixed probe set (the ANN baseline),
-- random-hyperplane LSH-bucketed ANN (the scale path),
+- pairwise cosine similarity above a threshold (self-join, Arrow-
+  vectorized scoring),
+- brute-force cosine top-k for a fixed probe set (the ANN baseline,
+  JVM-only higher-order functions),
+- blocked-matmul kNN via mapInPandas (bit-identical to brute force,
+  lossless per-block top-k pruning — the vectorized-scan scale shape),
+- multi-probe random-hyperplane LSH ANN (recall 1.0 at test SFs),
+- IVF ANN with a deterministic DataFrame-native Lloyd quantizer,
 - per-label centroids (posexplode/agg/reassemble).
 
-Cosine is computed with built-in higher-order functions
-(zip_with + aggregate) — JVM-side, no Python in the row path.
+Two cosine implementations with IDENTICAL IEEE arithmetic (strict
+left-to-right reduction over the dimension axis): the higher-order-
+function form (JVM, zero Python) and the Arrow pandas-UDF form
+(vectorized across pairs, ~50x faster on O(n²) pair scoring). Both
+match DuckDB's accumulation, so either can sit under an exact oracle.
 
-Scale notes (100 TB): the probe set is broadcast, so kNN is a single
-scan of the candidate side (no n² shuffle).  The LSH variant buckets
-by sign-bit sketch so only same-bucket candidates are compared —
-recall/cost tradeoff measured against brute force in the tests.
-IVF would replace the hash bucketing with k-means cell assignment;
-same join shape.
+Scale notes (100 TB): probe sets/matrices are broadcast, so every kNN
+variant is a single scan of the candidate side (no n² shuffle); LSH
+and IVF bound the scan itself to candidate buckets/cells; recall for
+both is measured against brute force in the tests.
 """
 
 from __future__ import annotations

@@ -112,3 +112,73 @@ FROM documents
 def llm_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return measure_media(to_media_frame(docs))
+
+
+def resize_media(media: DataFrame, max_w: int = 256, max_h: int = 256) -> DataFrame:
+    """mapInPandas resize stage (decoder stubbed): recomputes target
+    dimensions with aspect-preserving clamp arithmetic; a real
+    implementation would also re-encode payload bytes in the same
+    batch loop. Plumbing (schema, batch shape) is the real contract."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = pdf["payload"].map(_fake_measure)
+            w = dims.map(lambda d: d[0]).astype("int64")
+            h = dims.map(lambda d: d[1]).astype("int64")
+            # scale = min(max_w/w, max_h/h, 1) in integer-safe form
+            out_w, out_h = [], []
+            for wi, hi in zip(w, h):
+                wi = max(int(wi), 1)
+                hi = max(int(hi), 1)
+                num = min(max_w * hi, max_h * wi, wi * hi)
+                out_w.append(num // hi)
+                out_h.append(num // wi)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "out_w": out_w, "out_h": out_h}
+            )
+
+    return media.mapInPandas(resize, "doc_id long, out_w long, out_h long")
+
+
+@register(
+    "llm_mm_framesample",
+    oracle="""
+WITH v AS (
+  SELECT doc_id,
+         octet_length(encode(text)) // 100 + 1 AS n_frames
+  FROM documents WHERE doc_id <= 50
+)
+SELECT doc_id,
+       unnest(range(0, n_frames, 5)) AS frame_idx,
+       CAST(unnest(range(0, n_frames, 5)) * 100 AS BIGINT) AS byte_off
+FROM v
+""",
+    doc="Frame sampling for video-like payloads (every 5th frame of a "
+    "payload treated as fixed-100-byte frames): mapInPandas expands "
+    "each payload to its sampled frame index/offset rows — the real "
+    "pipeline would decode those offsets; here the frame math is the "
+    "tested contract (decode stubbed, like decode_image).",
+    scale_notes="Expansion happens batch-wise on executors; payload "
+    "bytes are read once per batch and never shuffled (only the "
+    "sampled index rows move). Frame stride and frame size are "
+    "options, not constants, in a real deployment.",
+)
+def llm_mm_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frame_bytes, stride = 100, 5
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 50)
+    media = to_media_frame(docs)
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "byte_off": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = len(payload) // frame_bytes + 1
+                for idx in range(0, n_frames, stride):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(idx)
+                    rows["byte_off"].append(idx * frame_bytes)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        sample, "doc_id long, frame_idx long, byte_off long"
+    )
