@@ -400,3 +400,33 @@ def q_agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="metric_value",
     )
+
+
+@register(
+    "q_agg_stats",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+       ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+       ROUND(var_samp(l_quantity), 4) AS var_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="Statistical aggregates per group: Pearson correlation, sample "
+    "covariance, sample stddev/variance (rounded to 4 in both engines).",
+    scale_notes="All four are single-pass mergeable moment sketches "
+    "(sum, sum of squares, co-moments) — partial+final aggregation like "
+    "any sum; no extra shuffle over a plain GROUP BY.",
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+    )
