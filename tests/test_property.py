@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import datetime
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from weather_etl_spark.incremental import filter_new_records, run_incremental
@@ -33,17 +33,27 @@ batch_strategy = st.dictionaries(
 
 
 @settings(
-    max_examples=8,
+    max_examples=20,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(batches=st.lists(batch_strategy, min_size=1, max_size=4))
+# Regression pins (drawn unconditionally, not by luck): a re-sent key
+# with a NEWER ts passes the cursor filter but is dropped by the keyed
+# anti-join (ON CONFLICT DO NOTHING keeps the old row,
+# reference lambda_function.py:176-182) — so the cursor must NOT
+# advance to the dropped row's ts.
+@example(batches=[{0: 0}, {0: 1}])
+@example(batches=[{0: 0, 1: 5}, {0: 10, 2: 3}, {1: 60}])
 def test_incremental_matches_model_and_is_idempotent(
     spark, tmp_path_factory, batches
 ):
     sink = str(tmp_path_factory.mktemp("prop_sink") / "sink")
 
     # Pure-Python model of cursor (>) + keyed dedup-on-write semantics.
+    # The cursor is MAX(ts) over the SINK, so it advances only over rows
+    # actually inserted — a row that survives the cursor filter but is
+    # dropped by the keyed anti-join leaves the cursor untouched.
     model_keys: set[int] = set()
     model_cursor: datetime.datetime | None = None
 
@@ -65,11 +75,13 @@ def test_incremental_matches_model_and_is_idempotent(
             for k, (t) in ((k, _ts(off)) for k, off in batch.items())
             if (model_cursor is None or t > model_cursor)
         }
-        expected_inserted = len(set(survivors) - model_keys)
-        assert result["records_inserted"] == expected_inserted
-        model_keys |= set(survivors)
-        if survivors:
-            mx = max(survivors.values())
+        inserted = {
+            k: t for k, t in survivors.items() if k not in model_keys
+        }
+        assert result["records_inserted"] == len(inserted)
+        model_keys |= set(inserted)
+        if inserted:
+            mx = max(inserted.values())
             model_cursor = mx if model_cursor is None or mx > model_cursor else model_cursor
 
         # Idempotence: replaying the SAME batch immediately is a no-op.

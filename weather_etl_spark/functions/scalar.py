@@ -232,24 +232,26 @@ def q_fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fn_array",
     oracle="""
 SELECT doc_id,
-       len(toks)                     AS n_toks,
-       len(list_distinct(toks))      AS n_uniq,
-       list_contains(toks, 'spark')  AS has_spark,
-       list_sort(toks)[1:3]          AS first3
+       CAST(len(toks) AS BIGINT)                AS n_toks,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+       list_contains(toks, 'spark')             AS has_spark,
+       array_to_string(list_sort(toks)[1:3], ' ') AS first3
 FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
 """,
     doc="Array ops on token arrays: size, distinct, contains, sorted "
-    "slice (array_distinct order differs across engines — sort first).",
+    "slice (array_distinct order differs across engines — sort first; "
+    "output column stringified via array_join so external row "
+    "canonicalizers hash it portably, §7.4 rule 5).",
 )
 def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     return docs.select(
         "doc_id",
-        F.size(toks).alias("n_toks"),
-        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.size(toks).cast("bigint").alias("n_toks"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_uniq"),
         F.array_contains(toks, "spark").alias("has_spark"),
-        F.slice(F.sort_array(toks), 1, 3).alias("first3"),
+        F.array_join(F.slice(F.sort_array(toks), 1, 3), " ").alias("first3"),
     )
 
 
@@ -257,7 +259,8 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fn_json",
     oracle="""
 SELECT event_type,
-       SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))
+            AS BIGINT) AS sum_k,
        COUNT(*) AS n
 FROM events
 GROUP BY event_type
@@ -281,7 +284,7 @@ SELECT l_returnflag,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                 * CAST(1 - l_discount AS DECIMAL(18,6))) AS DOUBLE)
          AS net_revenue,
-       SUM(CAST(l_quantity AS BIGINT)) AS total_qty_int,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty_int,
        COUNT(*) AS n
 FROM lineitem
 GROUP BY l_returnflag

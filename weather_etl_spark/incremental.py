@@ -80,7 +80,21 @@ def run_incremental(
 ) -> dict:
     """One scheduled run (A14). Returns the reference's result envelope
     (records_fetched / records_inserted / latest_cursor — A13,
-    lambda_function.py:228-236)."""
+    lambda_function.py:228-236).
+
+    Documented deviations from the reference envelope:
+
+    * ``now`` — the reference excludes future rows unconditionally
+      against its own wall clock (A5, lambda_function.py:130-131); this
+      runner takes ``now`` as an *injected clock* so runs are
+      deterministic and testable.  ``now=None`` (default) skips the
+      future-exclude stage — production callers schedule with
+      ``now=datetime.now(UTC)``.
+    * ``latest_cursor`` here is the POST-insert sink cursor (what the
+      next run will resume from); the reference reports the PRE-run
+      cursor.  Both are returned: ``pre_run_cursor`` carries the
+      reference's value.
+    """
     ensure_engine_confs(spark)
     ts_col = ts_col or key_cols[0]
     if require_sink and not os.path.exists(sink_path):
@@ -99,6 +113,7 @@ def run_incremental(
             "statusCode": 200,
             "records_fetched": fetched,
             "records_inserted": inserted,
+            "pre_run_cursor": None if cursor is None else cursor.isoformat(),
             "latest_cursor": None if latest is None else latest.isoformat(),
         }
     except SinkMissingError:

@@ -251,12 +251,15 @@ def q_agg_having(spark, sf_dir):
 @register(
     "q_agg_collect",
     oracle="""
-SELECT c_nationkey, (array_agg(c_name ORDER BY c_name))[1:5] AS sample_names,
+SELECT c_nationkey,
+       array_to_string((array_agg(c_name ORDER BY c_name))[1:5], '|')
+         AS sample_names,
        COUNT(*) AS n
 FROM customer GROUP BY c_nationkey
 """,
     doc="Deterministic array aggregation: sorted collect_list, first 5 "
-    "(unordered collect_list is a known oracle divergence — §7.4).",
+    "(unordered collect_list is a known oracle divergence — §7.4; the "
+    "output column is stringified so row canonicalizers hash it).",
     scale_notes="collect_list materializes the group in memory — only "
     "safe on bounded groups; at scale cap with slice/top-k first.",
 )
@@ -265,9 +268,9 @@ def q_agg_collect(spark, sf_dir):
         read_table(spark, sf_dir, "customer")
         .groupBy("c_nationkey")
         .agg(
-            F.slice(F.sort_array(F.collect_list("c_name")), 1, 5).alias(
-                "sample_names"
-            ),
+            F.array_join(
+                F.slice(F.sort_array(F.collect_list("c_name")), 1, 5), "|"
+            ).alias("sample_names"),
             F.count(F.lit(1)).alias("n"),
         )
     )

@@ -83,8 +83,8 @@ WITH tok AS (
   GROUP BY doc_id, b.b
 )
 SELECT doc_id,
-       SUM(CASE WHEN net > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
-         AS simhash
+       CAST(SUM(CASE WHEN net > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+            AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id
 """,
     doc="SimHash document sketch: 60-bit locality-sensitive hash from "
@@ -281,6 +281,128 @@ def q_llm_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, F.col("other_id") < F.col("vec_id"))
         .filter(cos(F.col("ea"), F.col("eb")) > 0.45)
+        .groupBy("vec_id")
+        .agg(
+            F.min("other_id").alias("dup_of"),
+            F.count(F.lit(1)).alias("n_near"),
+        )
+    )
+
+
+@register(
+    "llm_embed_dedup_blocked",
+    oracle="""
+WITH pairs AS (
+  SELECT e.vec_id, o.vec_id AS other_id
+  FROM embeddings e JOIN embeddings o ON o.vec_id < e.vec_id
+  WHERE list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                               CAST(o.embedding AS DOUBLE[])) > 0.45
+)
+SELECT vec_id, MIN(other_id) AS dup_of, COUNT(*) AS n_near
+FROM pairs GROUP BY vec_id
+""",
+    doc="Banded-EXACT embedding near-dup dedup: identical output to "
+    "q_llm_embed_dedup (same oracle) without the unconditional all-pairs "
+    "self-join. K-means cells band the corpus; only cell pairs the "
+    "triangle inequality cannot rule out are compared, with exact "
+    "cosine inside. Proof of no missed pair: cos(a,b) > t implies "
+    "||a_hat-b_hat|| < r = sqrt(2-2t) on the unit sphere, and for cell "
+    "representatives c_A, c_B with radii r_A = max dist(member, c_A): "
+    "d(c_A,c_B) <= d(c_A,a_hat) + d(a_hat,b_hat) + d(b_hat,c_B) "
+    "< r_A + r + r_B — so every qualifying pair lives in an admissible "
+    "cell pair, for ANY assignment (better clustering only tightens "
+    "radii, never correctness).",
+    scale_notes="Compare cost is sum(|c_i|*|c_j|) over admissible cell "
+    "pairs — sub-quadratic whenever clusters are separated relative to "
+    "r, degrading gracefully to the exact O(n^2) on pathological "
+    "(unclusterable) data instead of losing pairs. At 100 TB: raise "
+    "k ~ sqrt(n), persist the cell column bucketed so the per-cell-pair "
+    "join co-locates, and recurse (band within oversized cells). "
+    "Centroid/radius state is k x dim floats on the driver (bounded).",
+)
+def llm_embed_dedup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from weather_etl_spark.operators.llm_vector import (
+        _assign_cell,
+        _make_cosine_pandas,
+        cosine,
+        lloyd_kmeans,
+    )
+
+    t, k, iters = 0.45, 8, 2
+    r = float(np.sqrt(2.0 - 2.0 * t))
+
+    emb = read_table(spark, sf_dir, "embeddings").cache()
+    try:
+        centroids = lloyd_kmeans(emb, k, iters)
+        # Representatives live on the unit sphere (cosine-threshold
+        # geometry); assignment by max cosine is scale-invariant so raw
+        # centroids serve as assignment anchors unchanged.
+        reps = np.array(centroids, dtype=np.float64)
+        reps /= np.linalg.norm(reps, axis=1, keepdims=True)
+
+        rep_lits = F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in rep])
+                for rep in reps
+            ]
+        )
+        celled = emb.withColumn(
+            "cell", _assign_cell(F.col("embedding"), centroids)
+        ).withColumn(
+            # dist(x_hat, rep_cell) on the unit sphere via the cosine
+            # identity — no normalized-vector column materialized.
+            "dist",
+            F.sqrt(
+                F.lit(2.0)
+                - F.lit(2.0)
+                * cosine(
+                    F.col("embedding"),
+                    F.element_at(rep_lits, F.col("cell") + 1),
+                )
+            ),
+        )
+        radius_rows = (
+            celled.groupBy("cell").agg(F.max("dist").alias("radius")).collect()
+        )
+    finally:
+        emb.unpersist()
+    radii = np.zeros(k)
+    for row in radius_rows:
+        radii[row["cell"]] = float(row["radius"])
+
+    # Admissible ordered cell pairs (k x k driver-side — bounded).
+    cd = np.linalg.norm(reps[:, None, :] - reps[None, :, :], axis=2)
+    admissible = [
+        (int(i), int(j))
+        for i in range(k)
+        for j in range(k)
+        if cd[i, j] <= r + radii[i] + radii[j]
+    ]
+    pairs_df = spark.createDataFrame(admissible, "ca int, cb int")
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    celled = emb.withColumn(
+        "cell", _assign_cell(F.col("embedding"), centroids)
+    )
+    a = celled.select(
+        "vec_id", F.col("embedding").alias("ea"), F.col("cell").alias("cell_a")
+    )
+    b = celled.select(
+        F.col("vec_id").alias("other_id"),
+        F.col("embedding").alias("eb"),
+        F.col("cell").alias("cell_b"),
+    )
+    cos = _make_cosine_pandas()
+    return (
+        a.join(F.broadcast(pairs_df), F.col("cell_a") == F.col("ca"))
+        .join(
+            b,
+            (F.col("cell_b") == F.col("cb"))
+            & (F.col("other_id") < F.col("vec_id")),
+        )
+        .filter(cos(F.col("ea"), F.col("eb")) > t)
         .groupBy("vec_id")
         .agg(
             F.min("other_id").alias("dup_of"),

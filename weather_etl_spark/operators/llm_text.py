@@ -271,8 +271,9 @@ def q_llm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_llm_tokencount",
     oracle="""
 SELECT lang,
-       SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS n_bpe_ish,
-       SUM(len(string_split(text, ' '))) AS n_ws
+       CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+')))
+            AS BIGINT) AS n_bpe_ish,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_ws
 FROM documents GROUP BY lang
 """,
     doc="Token counting two ways: whitespace split vs a BPE-ish "

@@ -180,11 +180,18 @@ WITH e AS (
   SELECT label, pos, ROUND(AVG(CAST(val AS DOUBLE)), 4) AS v
   FROM e GROUP BY label, pos
 )
-SELECT label, array_agg(v ORDER BY pos) AS centroid
+SELECT label,
+       array_to_string(
+         list_transform(array_agg(v ORDER BY pos),
+                        v -> CAST(ROUND(v * 10000) AS BIGINT)),
+         ',') AS centroid
 FROM c GROUP BY label
 """,
     doc="Per-label embedding centroid: posexplode -> per-(label,pos) "
-    "mean -> reassemble ordered array.",
+    "mean -> reassemble ordered array (emitted as a comma-joined "
+    "x1e4-scaled integer string so external row canonicalizers can "
+    "hash it — §7.4 rule 5; elements are pre-rounded to 4 decimals so "
+    "the scaling is exact).",
     scale_notes="Shuffle carries (label, pos) partial sums — "
     "labels x dim rows, independent of corpus size.",
 )
@@ -197,11 +204,14 @@ def q_llm_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.col("val").cast("double")), 4).alias("v")
     )
     return per_pos.groupBy("label").agg(
-        F.transform(
-            F.array_sort(
-                F.collect_list(F.struct("pos", "v"))
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                lambda s: F.round(s.getField("v") * 10000)
+                .cast("bigint")
+                .cast("string"),
             ),
-            lambda s: s.getField("v"),
+            ",",
         ).alias("centroid")
     )
 
@@ -289,6 +299,49 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lloyd_kmeans(
+    emb: DataFrame, k: int, iters: int, vec_col: str = "embedding"
+) -> list[list[float]]:
+    """Deterministic DataFrame-native Lloyd k-means (no RNG: init =
+    vec_id 1..k, max-cosine assignment, per-(cell,pos) mean update).
+
+    Only k x dim floats ever reach the driver per iteration — the same
+    bounded-collect contract as MLlib KMeans. Shared by llm_ann_ivf
+    (coarse quantizer) and llm_embed_dedup_blocked (banding cells).
+    The caller should cache ``emb``: training scans it once per
+    iteration.
+    """
+    init = (
+        emb.filter(F.col("vec_id") <= k)
+        .orderBy("vec_id")
+        .select(vec_col)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in init]
+    for _ in range(iters):
+        assigned = emb.withColumn(
+            "cell", _assign_cell(F.col(vec_col), centroids)
+        )
+        per_pos = (
+            assigned.select("cell", F.posexplode(vec_col).alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        )
+        rows = (
+            per_pos.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.getField("m"),
+                ).alias("centroid")
+            )
+            .collect()  # k rows x dim floats — bounded, size-independent
+        )
+        new = {r["cell"]: [float(x) for x in r["centroid"]] for r in rows}
+        centroids = [new.get(i, centroids[i]) for i in range(k)]
+    return centroids
+
+
 def _assign_cell(emb_col: Column, centroids: list[list[float]]) -> Column:
     """cell id of the max-cosine centroid (deterministic: ties -> higher
     cell id via struct comparison, but exact FP ties don't occur here)."""
@@ -326,36 +379,11 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     k, nprobe, iters = 8, 2, 3
     # Cached: Lloyd training scans the corpus once per iteration.
     emb = read_table(spark, sf_dir, "embeddings").cache()
-
-    # --- train: deterministic Lloyd iterations (no RNG, fixed init) ---
-    init = (
-        emb.filter(F.col("vec_id") <= k)
-        .orderBy("vec_id")
-        .select("embedding")
-        .collect()
-    )
-    centroids = [[float(x) for x in r["embedding"]] for r in init]
-    for _ in range(iters):
-        assigned = emb.withColumn(
-            "cell", _assign_cell(F.col("embedding"), centroids)
-        )
-        per_pos = (
-            assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
-            .groupBy("cell", "pos")
-            .agg(F.avg(F.col("v").cast("double")).alias("m"))
-        )
-        rows = (
-            per_pos.groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s.getField("m"),
-                ).alias("centroid")
-            )
-            .collect()  # k rows x dim floats — bounded, size-independent
-        )
-        new = {r["cell"]: [float(x) for x in r["centroid"]] for r in rows}
-        centroids = [new.get(i, centroids[i]) for i in range(k)]
+    try:
+        centroids = lloyd_kmeans(emb, k, iters)
+    finally:
+        emb.unpersist()
+    emb = read_table(spark, sf_dir, "embeddings")
 
     # --- search: candidates = union of the probe's nprobe nearest cells ---
     celled = emb.withColumn("cell", _assign_cell(F.col("embedding"), centroids))

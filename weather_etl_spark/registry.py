@@ -148,6 +148,84 @@ def register(
     return deco
 
 
+#: Queries with a green (or rows-only-accounted) row in a prior driver
+#: CORRECTNESS round.  The external driver evaluates only the FIRST 50
+#: entries of ``queries()`` per round, so ordering is a rotation: rows
+#: that still need a driver verdict come first, already-verified rows
+#: last (they stay regression-guarded by tests/test_oracle_parity.py).
+#: Update after each round from CORRECTNESS_r{N}.json.
+DRIVER_VERIFIED: frozenset[str] = frozenset({
+    # round 1 green (42) + rows-only-by-design rows that got a row (2)
+    "q_fn_string", "q_fn_regexp", "q_fn_split", "q_fn_date", "q_fn_ts",
+    "q_fn_math", "q_fn_cond",
+    "q_agg_q1", "q_agg_global_max", "q_agg_count_distinct",
+    "q_agg_approx_cd", "q_agg_rollup", "q_agg_cube", "q_agg_gsets",
+    "q_agg_having", "q_agg_percentile", "q_agg_skew_salted",
+    "q_agg_pivot", "q_agg_unpivot", "q_agg_stats",
+    "q_join_bcast", "q_join_smj", "q_join_left", "q_join_full",
+    "q_join_semi", "q_join_anti", "q_join_cross", "q_join_range",
+    "q_join_asof", "q_join_star", "q_join_bucketed", "q_join_dpp",
+    "q_llm_exact_dedup", "q_llm_fingerprint", "q_llm_ngram_jaccard",
+    "llm_near_dedup", "q_llm_embed_dedup", "q_llm_tokenstats",
+    "q_llm_tfidf", "q_llm_docprofile", "q_llm_langid", "q_llm_quality",
+    "q_llm_cosine_pairs", "q_llm_knn",
+})
+
+#: Explicit order for the round-2 driver window (50 slots): the 45
+#: pending oracled queries (flagship first), then the 5 most valuable
+#: rows-only ones.  Pending rows NOT listed here (the remaining st_*
+#: runtime rows, plus any query registered after this list was cut)
+#: queue directly behind and rotate into the round-3 window.
+DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
+    # scans / filters (flagship first)
+    "q_filter_ts_cursor", "q_scan_project", "q_scan_count",
+    "q_filter_cmp", "q_filter_in_between", "q_null_norm",
+    "q_seq_timeaxis",
+    # round-1 red rows, now fixed (oracle typing / array stringify)
+    "q_fn_array", "q_fn_json", "q_fn_cast_decimal", "q_agg_collect",
+    "q_llm_simhash", "q_llm_tokencount",
+    # windows
+    "q_win_rownum", "q_win_rank", "q_win_lag", "q_win_runsum",
+    "q_win_moving", "q_win_rangeframe", "q_win_ntile",
+    "q_win_firstlast", "q_topk_group",
+    # sorts / sets
+    "q_sort_multikey", "q_topk_global", "q_set_union_all",
+    "q_set_union", "q_set_intersect", "q_set_except",
+    # UDF surface
+    "q_udf_py", "q_udf_pandas", "q_udaf_pandas", "udtf_mapinpandas",
+    "q_udtf_py",
+    # sinks
+    "snk_append_idem", "snk_partitioned", "snk_csv_roundtrip",
+    "snk_json_roundtrip",
+    # streaming batch-parity queries
+    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
+    "q_stream_static_join",
+    # llm / vector pending oracled
+    "q_llm_centroid", "llm_knn_blocked", "llm_multimodal",
+    "llm_mm_framesample", "llm_embed_dedup_blocked",
+    # rows-only picks for the remaining slots
+    "llm_ann_lsh", "llm_ann_ivf", "src_pyds", "src_fetch",
+)
+
+
+def _rotation_order(reg: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
+    """Order the registry for the driver's 50-entry correctness window:
+    explicit priority list first, then other not-yet-verified rows in
+    registration order, then driver-verified rows last."""
+    prio = {n: i for i, n in enumerate(DRIVER_WINDOW_PRIORITY)}
+
+    def key(item: tuple[int, str]) -> tuple[int, int, int]:
+        reg_pos, name = item
+        if name in prio:
+            return (0, prio[name], reg_pos)
+        if name not in DRIVER_VERIFIED:
+            return (1, 0, reg_pos)
+        return (2, 0, reg_pos)
+
+    ordered = sorted(enumerate(reg), key=key)
+    return {name: reg[name] for _, name in ordered}
+
+
 def load_all() -> dict[str, QuerySpec]:
     """Import every operator module so registration side effects run."""
     # Imports are inside the function to avoid import cycles
@@ -157,7 +235,7 @@ def load_all() -> dict[str, QuerySpec]:
     import weather_etl_spark.sources  # noqa: F401
     import weather_etl_spark.streaming  # noqa: F401
 
-    return REGISTRY
+    return _rotation_order(REGISTRY)
 
 
 def queries() -> dict[str, QueryFn]:

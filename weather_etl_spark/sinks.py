@@ -28,7 +28,7 @@ import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def idempotent_append(
@@ -48,12 +48,21 @@ def idempotent_append(
         to_insert = deduped.join(existing_keys, on=list(key_cols), how="left_anti")
     else:
         to_insert = deduped
-    # One count action doubles as the empty-input short-circuit (A12):
-    # Spark writes nothing when the plan yields no rows, but skipping the
-    # write avoids even the empty-job overhead.
-    inserted = to_insert.count()
-    if inserted > 0:
-        to_insert.write.mode("append").parquet(sink_path)
+    # Persist the anti-join output so the sink-scan + anti-join plan
+    # executes exactly ONCE per run: count materializes the cache, the
+    # write replays it.  (Count-then-write on the raw plan would run the
+    # merge twice — at 100 TB that doubles the merge cost, and a
+    # non-deterministic source could report a count that differs from
+    # the rows written.)  The cache is bounded by the BATCH size (the
+    # cursor window), never the sink size.  The count doubles as the
+    # empty-input short-circuit (A12): no rows -> no write job at all.
+    to_insert = to_insert.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        inserted = to_insert.count()
+        if inserted > 0:
+            to_insert.write.mode("append").parquet(sink_path)
+    finally:
+        to_insert.unpersist()
     return inserted
 
 
