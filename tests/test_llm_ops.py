@@ -92,14 +92,33 @@ def test_minhash_lsh_deterministic(spark, sf_dir):
     assert r1 == r2  # fixed seed => stable pairs
 
 
-def test_multimodal_decode_stub_is_explicit():
-    """The real decoder is a documented stub, not silently fake."""
+def test_image_codec_roundtrip_and_failfast():
+    """Pure-python PPM/BMP codecs: lossless round-trip (including BMP
+    bottom-up rows, BGR order, and 4-byte row padding for widths where
+    3w % 4 != 0), and fail-fast on unknown magic / unsupported shapes."""
     import pytest
 
-    from weather_etl_spark.operators.multimodal import decode_image
+    from weather_etl_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+        encode_ppm,
+    )
 
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+    for w, h in [(1, 1), (2, 3), (5, 4), (31, 17)]:
+        pix = bytes((7 * i + 3) % 256 for i in range(w * h * 3))
+        assert decode_image(encode_ppm(w, h, pix)) == ("ppm", w, h, pix)
+        assert decode_image(encode_bmp(w, h, pix)) == ("bmp", w, h, pix)
+
+    # PPM comments are part of the public spec — parse past them.
+    assert decode_image(b"P6\n# a comment\n1 1\n255\n\x01\x02\x03") == (
+        "ppm", 1, 1, b"\x01\x02\x03"
+    )
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG....")
+    with pytest.raises(ValueError):
+        decode_image(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
+    with pytest.raises(ValueError):
+        encode_bmp(2, 2, b"\x00" * 5)
 
 
 def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):

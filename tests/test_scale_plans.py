@@ -97,3 +97,53 @@ def test_dpp_prunes_fact_partitions(spark, sf_dir):
     assert "dynamicpruning" in plan or "DynamicPruning" in plan, (
         "fact scan must carry a runtime partition-pruning subquery"
     )
+
+
+def test_tpch_q3_pushes_filters_and_broadcasts_customer(spark, sf_dir):
+    df = SPECS["q_tpch_q3"].fn(spark, sf_dir)
+    scan = _optimized_scan_info(df)
+    # date filters reach the parquet scans on both fact sides
+    assert "PushedFilters:" in scan
+    assert "l_shipdate" in scan and "o_orderdate" in scan
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan, "filtered customer dim not broadcast"
+    assert "TakeOrderedAndProject" in plan, "top-10 must not global-sort"
+
+
+def test_tpch_q5_broadcasts_all_dims(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_tpch_q5"].fn(spark, sf_dir))
+    # customer + supplier(+nation+region) sides broadcast; the only
+    # SortMergeJoin/shuffle join allowed is lineitem<->orders.
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_embed_dedup_blocked_broadcasts_cell_pairs(spark, sf_dir):
+    plan = _executed_plan(SPECS["llm_embed_dedup_blocked"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, (
+        "admissible cell-pair list must join as a broadcast, not shuffle"
+    )
+    assert "CartesianProduct" not in plan, (
+        "blocked dedup must never fall back to an unconditional cross join"
+    )
+
+
+def test_split_assignment_is_shuffle_free(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_llm_split"].fn(spark, sf_dir))
+    assert "Exchange" not in plan, (
+        "hash-split is a pure projection — any shuffle is a regression"
+    )
+
+
+def test_cbo_stats_reach_the_optimizer(spark, sf_dir):
+    """ANALYZE TABLE row counts must be visible to the planner (CBO
+    cardinality estimates), not just file sizes."""
+    df = SPECS["q_join_cbo"].fn(spark, sf_dir)
+    # the staged tables carry ANALYZE stats in the catalog
+    stats = spark.sql("DESCRIBE EXTENDED cbo_customer").filter(
+        "col_name = 'Statistics'"
+    ).collect()
+    assert stats and "rows" in stats[0]["data_type"], (
+        "ANALYZE did not record row counts in the catalog"
+    )
+    assert df.count() > 0

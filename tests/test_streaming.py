@@ -78,3 +78,19 @@ def test_stream_stream_join_interval_bounds(spark, sf_dir):
         (1, t0, t0 + 20 * m, 5.0),           # in window
         (2, t0 + 30 * m, t0 + 45 * m, 9.0),  # in window
     ]                                         # u1 buy @+150min excluded
+
+
+def test_transform_with_state_running_totals(spark, sf_dir):
+    """Per-user running (n, max_ts) state survives micro-batch
+    boundaries, and each batch emits the running total at that point
+    (user 1 spans both batches: n=2 then n=3 with an advanced max)."""
+    rows = sorted(
+        map(tuple, SPECS["st_transform_with_state"].fn(spark, sf_dir).collect())
+    )
+    t0 = 1704103200_000_000
+    m = 60_000_000
+    assert rows == [
+        (1, 2, t0 + 10 * m),  # batch 1 running total
+        (1, 3, t0 + 20 * m),  # batch 2: state carried, max advanced
+        (2, 1, t0 + 5 * m),   # batch 1 only
+    ]

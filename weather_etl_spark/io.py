@@ -37,6 +37,32 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+_SCRATCH_ROOT: str | None = None
+
+
+def scratch_dir(name: str) -> str:
+    """Deterministic per-process scratch directory for queries that
+    stage data on disk (bucketed/partitioned writes, format
+    round-trips).
+
+    Staged data must OUTLIVE the registered function — callers execute
+    the returned lazy DataFrame later — so per-call mkdtemp cannot be
+    rmtree'd in a finally and leaks a fresh dir per registry sweep.
+    Deterministic names + mode("overwrite") make repeat sweeps reuse
+    the same path; one atexit hook removes everything at process exit.
+    """
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="wes_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    path = os.path.join(_SCRATCH_ROOT, name)
+    os.makedirs(path, exist_ok=True)
+    return path
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"

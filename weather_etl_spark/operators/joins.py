@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from weather_etl_spark.functions.exact import dec2, dec6
-from weather_etl_spark.io import read_table
+from weather_etl_spark.io import read_table, scratch_dir
 from weather_etl_spark.registry import register
 
 
@@ -338,12 +338,11 @@ GROUP BY o_orderstatus
     "downstream join.",
 )
 def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-    import uuid
-
-    suffix = uuid.uuid4().hex[:8]
-    li_tbl, od_tbl = f"li_bkt_{suffix}", f"od_bkt_{suffix}"
-    warehouse = tempfile.mkdtemp(prefix="bucketed_wh_")
+    # Deterministic table names + overwrite: repeat registry sweeps
+    # replace rather than accumulate catalog tables; the scratch dir
+    # (and its bucket files) is removed once at process exit.
+    li_tbl, od_tbl = "li_bkt", "od_bkt"
+    warehouse = scratch_dir("bucketed_wh")
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
@@ -399,9 +398,7 @@ GROUP BY EXTRACT(year FROM o_orderdate)
     "the partition column and a broadcastable filtered dim.",
 )
 def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
-    tmp = tempfile.mkdtemp(prefix="dpp_orders_")
+    tmp = scratch_dir("dpp_orders")
     od = read_table(spark, sf_dir, "orders").withColumn(
         "order_year", F.year("o_orderdate").cast("long")
     )
@@ -427,3 +424,79 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total"),
         )
     )
+
+
+@register(
+    "q_join_cbo",
+    oracle="""
+SELECT n_name,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY n_name
+""",
+    doc="Cost-based-optimizer join: the three inputs are staged as "
+    "catalog tables, ANALYZE TABLE ... COMPUTE STATISTICS FOR ALL "
+    "COLUMNS populates row/column stats, and the plan is built with "
+    "spark.sql.cbo.enabled + joinReorder so Catalyst orders and "
+    "strategizes the join tree from CARDINALITY estimates, not file "
+    "sizes (tests assert the optimized plan carries ANALYZE row "
+    "counts).",
+    scale_notes="At 100 TB, size-in-bytes alone misjudges filtered "
+    "dims (a 10 GB dim filtered to 0.1% is broadcastable only if the "
+    "optimizer knows the selectivity) — column histograms/NDV from "
+    "ANALYZE are what make broadcast and join-order decisions right. "
+    "Stats collection is a metadata-only scan amortized across every "
+    "downstream query.",
+)
+def q_join_cbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    warehouse = scratch_dir("cbo_wh")
+    stage = {
+        "cbo_orders": read_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ),
+        "cbo_customer": read_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey", "c_mktsegment"
+        ),
+        "cbo_nation": read_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name"
+        ),
+    }
+    for tbl, df in stage.items():
+        df.write.mode("overwrite").option(
+            "path", f"{warehouse}/{tbl}"
+        ).saveAsTable(tbl)
+        spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR ALL COLUMNS")
+
+    old_cbo = spark.conf.get("spark.sql.cbo.enabled")
+    old_reorder = spark.conf.get("spark.sql.cbo.joinReorder.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    try:
+        joined = (
+            spark.table("cbo_orders")
+            .join(
+                spark.table("cbo_customer").filter(
+                    F.col("c_mktsegment") == "BUILDING"
+                ),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .join(
+                spark.table("cbo_nation"),
+                F.col("c_nationkey") == F.col("n_nationkey"),
+            )
+            .groupBy("n_name")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(dec2("o_totalprice")).cast("double").alias("total"),
+            )
+        )
+        # Materialize the CBO-planned result while the confs are on —
+        # callers may execute the returned frame after the finally.
+        return joined.localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", old_cbo)
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", old_reorder)

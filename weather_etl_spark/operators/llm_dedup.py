@@ -409,3 +409,137 @@ def llm_embed_dedup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_near"),
         )
     )
+
+
+@register(
+    "q_llm_editdist",
+    oracle="""
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40))
+            AS BIGINT) AS dist
+FROM documents a
+JOIN documents b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE a.doc_id <= 150 AND b.doc_id <= 150
+  AND levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 15
+""",
+    doc="Edit-distance near-dup pairs: Levenshtein over 40-char "
+    "prefixes, blocked by language (the standard blocking-key pattern "
+    "— candidate pairs only form inside a block), distance <= 15. "
+    "Both engines implement textbook Levenshtein, so the oracle is "
+    "exact.",
+    scale_notes="Edit distance is O(len^2) per pair — NEVER all-pairs "
+    "at scale. The block key (here lang; in production a coarse "
+    "fingerprint like simhash bands) bounds the candidate set, and the "
+    "prefix cap bounds per-pair cost. Pairs form via a same-key "
+    "self-join: one shuffle on the block key.",
+)
+def q_llm_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") <= 150)
+        .select("doc_id", "lang", F.substring("text", 1, 40).alias("prefix"))
+    )
+    a = docs.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("prefix").alias("pa"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("prefix").alias("pb"),
+    )
+    dist = F.levenshtein("pa", "pb")
+    return (
+        a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .filter(dist <= 15)
+        .select("id_a", "id_b", dist.cast("bigint").alias("dist"))
+    )
+
+
+@register(
+    "q_llm_dedup_components",
+    oracle="""
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           generate_series(1, len(string_split(text, ' ')) - 2),
+           i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+         )) AS shingle
+  FROM documents
+), card AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), edges AS (
+  SELECT id_a, id_b FROM pairs
+  JOIN card ca ON ca.doc_id = id_a
+  JOIN card cb ON cb.doc_id = id_b
+  WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.5
+), sym AS (
+  SELECT id_a AS u, id_b AS v FROM edges
+  UNION SELECT id_b, id_a FROM edges
+), cl AS (
+  WITH RECURSIVE reach(u, v) AS (
+    SELECT u, v FROM sym
+    UNION
+    SELECT reach.u, sym.v FROM reach JOIN sym ON reach.v = sym.u
+  )
+  SELECT u, v FROM reach
+)
+SELECT u AS doc_id, CAST(LEAST(u, MIN(v)) AS BIGINT) AS component
+FROM cl GROUP BY u
+""",
+    doc="Near-duplicate CLUSTERS, not just pairs: connected components "
+    "over the 3-shingle Jaccard >= 0.5 edge graph via iterative "
+    "min-label propagation (each doc converges to the smallest doc_id "
+    "reachable from it — the canonical representative a training "
+    "pipeline keeps). Oracle computes the same components with a "
+    "recursive-CTE transitive closure.",
+    scale_notes="Label propagation runs one join + one min-aggregate "
+    "per round, converging in graph-diameter rounds (near-dup "
+    "clusters are shallow); lineage is truncated per round with "
+    "localCheckpoint so plans stay bounded. At 100 TB switch the loop "
+    "body to the large-star/small-star contraction (alternating "
+    "rounds halve long chains), same per-round join shape.",
+)
+def q_llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = q_llm_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    sym = edges.union(
+        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    sym = sym.localCheckpoint()  # edge list reused every round
+
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("lbl", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(20):  # >= diameter of any near-dup cluster
+        msgs = sym.join(
+            labels.select(F.col("doc_id").alias("src"), "lbl"), "src"
+        ).select(F.col("dst").alias("doc_id"), "lbl")
+        new_labels = (
+            labels.select("doc_id", "lbl")
+            .union(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()  # truncate lineage per round
+        )
+        changed = (
+            labels.join(new_labels.withColumnRenamed("lbl", "new_lbl"), "doc_id")
+            .filter(F.col("lbl") != F.col("new_lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("lbl").cast("bigint").alias("component"))

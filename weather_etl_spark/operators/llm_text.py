@@ -287,3 +287,44 @@ def q_llm_tokencount(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_bpe_ish"),
         F.sum(F.size(F.split("text", " "))).alias("n_ws"),
     )
+
+
+@register(
+    "q_llm_split",
+    oracle="""
+SELECT doc_id,
+       CAST(bucket AS BIGINT) AS bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+           % 100 AS bucket
+  FROM documents
+) t
+""",
+    doc="Deterministic train/val/test split (80/10/10): md5-derived "
+    "hash bucket per doc_id — stable across engines, runs, and "
+    "cluster sizes, so the same document always lands in the same "
+    "split (the property random sampling lacks). The md5-to-bigint "
+    "trick is the same engine-portable hash used by q_llm_simhash.",
+    scale_notes="Embarrassingly parallel projection — zero shuffle, "
+    "codegen'd. Splits stay valid under incremental ingestion because "
+    "assignment depends only on the key, never on corpus statistics.",
+)
+def q_llm_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

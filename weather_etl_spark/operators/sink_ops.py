@@ -10,7 +10,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from weather_etl_spark.io import read_table
+from weather_etl_spark.io import read_table, scratch_dir
 from weather_etl_spark.registry import register
 from weather_etl_spark.sinks import idempotent_append, write_partitioned
 
@@ -97,7 +97,7 @@ SELECT n_nationkey, n_name, n_regionkey FROM nation
     "engine reads it at the edge and lands Parquet immediately.",
 )
 def snk_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tmp = tempfile.mkdtemp(prefix="snk_csv_")
+    tmp = scratch_dir("snk_csv")
     nat = read_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
     )
@@ -123,7 +123,7 @@ SELECT r_regionkey, r_name FROM region
     "pays per-row parse. Land to Parquet at ingest.",
 )
 def snk_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tmp = tempfile.mkdtemp(prefix="snk_json_")
+    tmp = scratch_dir("snk_json")
     reg = read_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
     reg.write.mode("overwrite").json(tmp)
     back = spark.read.schema("r_regionkey long, r_name string").json(tmp)

@@ -1,0 +1,168 @@
+"""Composite benchmark queries (TPC-H Q3/Q5 shapes, SURVEY.md §2 B.11).
+
+The single-operator rows prove each primitive; these prove the engine
+composes them the way real workloads do — multi-way join trees +
+aggregation + ordered top-k in ONE declared query, over the driver's
+TPC-H-ish tables (dates shifted to the synthetic 1995-2001 range).
+
+Spark-first shape: dims are explicitly broadcast (nation/region always;
+the filtered customer side too — it is segment-filtered to ~1/5), the
+fact-fact lineitem<->orders join is the one legitimate shuffle, and the
+final top-k compiles to TakeOrderedAndProject. Catalyst + AQE pick
+join order/physical strategies from the declared plan.
+
+Scale notes (100 TB): identical to q_join_star/q_join_bucketed — the
+lineitem<->orders shuffle dominates; bucketing both facts by orderkey
+(q_join_bucketed) removes it, DPP (q_join_dpp) prunes the fact scan
+under partition filters. Q5's nation/region/supplier dims stay
+broadcast at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from weather_etl_spark.functions.exact import dec2, dec6
+from weather_etl_spark.io import read_table
+from weather_etl_spark.registry import register
+
+
+@register(
+    "q_tpch_q3",
+    oracle="""
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,6))) AS DOUBLE)
+         AS revenue,
+       CAST(o_orderdate AS DATE) AS order_date,
+       o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-03-15'
+  AND l_shipdate  > TIMESTAMP '1997-03-15'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+ORDER BY revenue DESC, order_date ASC, l_orderkey ASC
+LIMIT 10
+""",
+    doc="TPC-H Q3 (shipping priority): segment-filtered customers x "
+    "orders x lineitem, revenue per unshipped order, top 10 "
+    "(tie-broken on order_date + l_orderkey for an exact oracle). "
+    "o_orderpriority stands in for the synthetic schema's missing "
+    "o_shippriority.",
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = "1997-03-15"
+    cust = (
+        read_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    revenue = F.sum(
+        dec2("l_extendedprice") * dec6(F.lit(1) - F.col("l_discount"))
+    ).cast("double")
+    return (
+        li.join(
+            orders.join(
+                F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(revenue.alias("revenue"))
+        .orderBy(
+            F.col("revenue").desc(),
+            F.col("order_date").asc(),
+            F.col("l_orderkey").asc(),
+        )
+        .limit(10)
+        .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
+    )
+
+
+@register(
+    "q_tpch_q5",
+    oracle="""
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,6))) AS DOUBLE)
+         AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+""",
+    doc="TPC-H Q5 (local supplier volume): six-way join — region-"
+    "filtered nations, same-nation customer/supplier constraint, one "
+    "year of orders — revenue per nation. The classic star-with-a-"
+    "twist plan (the c_nationkey = s_nationkey edge makes it "
+    "non-hierarchical).",
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = (
+        read_table(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                read_table(spark, sf_dir, "region").filter(
+                    F.col("r_name") == "ASIA"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    sup = read_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    revenue = F.sum(
+        dec2("l_extendedprice") * dec6(F.lit(1) - F.col("l_discount"))
+    ).cast("double")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(
+            F.broadcast(sup),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(revenue.alias("revenue"))
+    )

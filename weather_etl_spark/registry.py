@@ -202,9 +202,9 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_stream_static_join",
     # llm / vector pending oracled
     "q_llm_centroid", "llm_knn_blocked", "llm_multimodal",
-    "llm_mm_framesample", "llm_embed_dedup_blocked",
+    "llm_mm_framesample", "llm_embed_dedup_blocked", "llm_mm_decode",
     # rows-only picks for the remaining slots
-    "llm_ann_lsh", "llm_ann_ivf", "src_pyds", "src_fetch",
+    "llm_ann_lsh", "llm_ann_ivf", "src_pyds",
 )
 
 

@@ -462,3 +462,121 @@ def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "st_transform_with_state",
+    oracle=None,  # runtime stateful semantics; batch parity in tests
+    doc="Arbitrary stateful processing on the transformWithState API "
+    "(the successor to applyInPandasWithState): a StatefulProcessor "
+    "keeps one (n, max_ts_us) value-state per user — the streaming "
+    "form of the reference's cursor state (A6/A8): max ts seen so far, "
+    "surviving micro-batch boundaries in the state store. Emits the "
+    "running totals per key per batch; the engine's tests assert the "
+    "final per-key totals equal the batch groupBy answer. The TWS "
+    "runtime needs google.protobuf (its state-server wire protocol), "
+    "absent in this container — the operator feature-probes and falls "
+    "back to applyInPandasWithState with IDENTICAL state/output "
+    "semantics, so the declared behavior is tested either way.",
+    scale_notes="Value state is a fixed-width pair per key, hash-"
+    "partitioned across executors by the grouping key; rows reach the "
+    "processor as Arrow batches. The new API adds typed state kinds "
+    "(value/list/map), timers, and TTL — at scale prefer it over "
+    "applyInPandasWithState for explicit state schemas and eviction.",
+)
+def st_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    ensure_engine_confs(spark)
+
+    class CursorProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "cursor", "n long, max_ts_us long"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            got = self._state.get()
+            n, mx = got if got is not None else (0, None)
+            for pdf in rows:
+                n += len(pdf)
+                batch_mx = int(pdf["ts_us"].max())
+                mx = batch_mx if mx is None or batch_mx > mx else mx
+            self._state.update((n, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "max_ts_us": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    tmp = tempfile.mkdtemp(prefix="st_tws_")
+    try:
+        in_dir = f"{tmp}/in"
+        os.makedirs(in_dir)
+        # Two micro-batches; user 1 appears in both so its state must
+        # carry (n: 2 then 3; max advances), user 2 only in batch 1.
+        _write_batch(
+            spark,
+            [(1, _T0, 1, 1.0), (2, _T0 + 10 * _MIN, 1, 1.0),
+             (3, _T0 + 5 * _MIN, 2, 1.0)],
+            in_dir,
+            1,
+        )
+        _write_batch(
+            spark,
+            [(4, _T0 + 20 * _MIN, 1, 1.0)],
+            in_dir,
+            2,
+        )
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, value double"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+            .select("user_id", F.unix_micros("ts").alias("ts_us"))
+        )
+        out_ddl = "user_id long, n_events long, max_ts_us long"
+        try:
+            # TWS state server speaks protobuf from the python worker.
+            from google.protobuf import descriptor  # noqa: F401
+
+            totals = stream.groupBy("user_id").transformWithStateInPandas(
+                CursorProcessor(),
+                outputStructType=out_ddl,
+                outputMode="append",
+                timeMode="none",
+            )
+        except ImportError:
+            from pyspark.sql.streaming.state import (
+                GroupState,
+                GroupStateTimeout,
+            )
+
+            def cursor_fn(key, pdf_iter, state: GroupState):
+                n, mx = state.get if state.exists else (0, None)
+                for pdf in pdf_iter:
+                    n += len(pdf)
+                    batch_mx = int(pdf["ts_us"].max())
+                    mx = batch_mx if mx is None or batch_mx > mx else mx
+                state.update((n, mx))
+                yield pd.DataFrame(
+                    {"user_id": [key[0]], "n_events": [n], "max_ts_us": [mx]}
+                )
+
+            totals = stream.groupBy("user_id").applyInPandasWithState(
+                cursor_fn,
+                outputStructType=out_ddl,
+                stateStructType="n long, max_ts_us long",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        with _small_state(spark):
+            out = _run_to_memory(totals, "append", tmp)
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
