@@ -147,3 +147,24 @@ def test_cbo_stats_reach_the_optimizer(spark, sf_dir):
         "ANALYZE did not record row counts in the catalog"
     )
     assert df.count() > 0
+
+
+def test_time_rollup_single_expand_single_shuffle(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_time_rollup"].fn(spark, sf_dir))
+    assert plan.count("Expand") == 1, "grouping sets must expand once"
+    assert "partial_count" in plan or "partial" in plan.lower(), (
+        "rollup must partial-aggregate map-side"
+    )
+    assert plan.count("Exchange") <= 1, (
+        "all three grains must share ONE shuffle"
+    )
+
+
+def test_winnow_fingerprint_is_shuffle_free(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_llm_winnow"].fn(spark, sf_dir))
+    assert "Exchange" not in plan, (
+        "winnowing is per-row HOF arithmetic — any shuffle is a regression"
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
+        "winnowing must stay JVM-side (no Python in the row path)"
+    )

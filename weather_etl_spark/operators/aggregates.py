@@ -433,3 +433,66 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
         F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
     )
+
+
+@register(
+    "q_time_rollup",
+    oracle="""
+WITH b AS (
+  SELECT epoch_us(date_trunc('hour',  ts)) AS hour_us,
+         epoch_us(date_trunc('day',   ts)) AS day_us,
+         epoch_us(date_trunc('month', ts)) AS month_us,
+         value
+  FROM events
+)
+SELECT CASE WHEN GROUPING(hour_us) = 0 THEN 'hour'
+            WHEN GROUPING(day_us)  = 0 THEN 'day'
+            ELSE 'month' END AS grain,
+       COALESCE(hour_us, day_us, month_us) AS bucket_us,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM b
+GROUP BY GROUPING SETS ((hour_us), (day_us), (month_us))
+""",
+    doc="Hypertable-style time rollup: ONE pass over events aggregates "
+    "simultaneously at hour, day, and month granularity via GROUPING "
+    "SETS on the truncated-timestamp buckets — the batch form of a "
+    "continuous aggregate / materialized rollup hierarchy.",
+    scale_notes="Grouping sets expand rows 3x BEFORE the shuffle but "
+    "partial-aggregate map-side, so the exchange carries one partial "
+    "row per (grain, bucket) per task — bounded by the time-bucket "
+    "count, not the event count. At 100 TB: persist the hour grain "
+    "partitioned by day and derive day/month from it incrementally "
+    "(foreachBatch upsert), exactly like a hypertable's cagg chain.",
+)
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    b = ev.select(
+        F.unix_micros(F.date_trunc("hour", "ts")).alias("hour_us"),
+        F.unix_micros(F.date_trunc("day", "ts")).alias("day_us"),
+        F.unix_micros(F.date_trunc("month", "ts")).alias("month_us"),
+        "value",
+    )
+    return (
+        b.groupingSets(
+            [["hour_us"], ["day_us"], ["month_us"]],
+            "hour_us", "day_us", "month_us",
+        )
+        .agg(
+            F.grouping("hour_us").alias("_g_h"),
+            F.grouping("day_us").alias("_g_d"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.when(F.col("_g_h") == 0, "hour")
+            .when(F.col("_g_d") == 0, "day")
+            .otherwise("month")
+            .alias("grain"),
+            F.coalesce("hour_us", "day_us", "month_us").alias("bucket_us"),
+            "n",
+            "sum_value",
+        )
+    )

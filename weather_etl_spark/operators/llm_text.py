@@ -328,3 +328,60 @@ def q_llm_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+@register(
+    "q_llm_winnow",
+    oracle="""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, length(text) - 8 + 2),
+           i -> CAST('0x' || substr(md5(substr(text, i, 8)), 1, 15)
+                     AS BIGINT)) AS hs
+  FROM documents WHERE length(text) >= 11
+), w AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, len(hs) - 4 + 2),
+           j -> list_min(hs[j:j+3]))) AS fps
+  FROM h
+)
+SELECT doc_id,
+       CAST(len(fps) AS BIGINT) AS n_fp,
+       CAST(list_min(fps) AS BIGINT) AS min_fp,
+       CAST(list_max(fps) AS BIGINT) AS max_fp
+FROM w
+""",
+    doc="Winnowing document fingerprint (rolling-hash k-gram + "
+    "min-sampling): hash every 8-char gram (md5-derived, engine-"
+    "portable), take the min hash of each sliding window of 4, dedup — "
+    "the classic local fingerprinting scheme whose guarantee is that "
+    "any shared substring of length >= k+w-1 = 11 yields a shared "
+    "fingerprint. Emits per-doc fingerprint-set cardinality and "
+    "min/max fingerprint.",
+    scale_notes="Pure per-row higher-order-function pipeline — zero "
+    "shuffle, zero Python; cost is O(len) hashes per doc computed in "
+    "codegen. The fingerprint SET (exploded) is what a near-dup join "
+    "would bucket on — same inverted-index shape as q_llm_ngram_jaccard "
+    "with far fewer keys per doc.",
+)
+def q_llm_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 11
+    )
+    hs = F.expr(
+        "transform(sequence(1, length(text) - 7),"
+        " i -> cast(conv(substr(md5(substring(text, i, 8)), 1, 15), 16, 10)"
+        "      as bigint))"
+    )
+    docs = docs.select("doc_id", hs.alias("hs"))
+    fps = F.array_distinct(
+        F.expr("transform(sequence(1, size(hs) - 3), j -> array_min(slice(hs, j, 4)))")
+    )
+    return docs.select(
+        "doc_id",
+        F.size(fps).cast("bigint").alias("n_fp"),
+        F.array_min(fps).alias("min_fp"),
+        F.array_max(fps).alias("max_fp"),
+    )
