@@ -300,3 +300,74 @@ def q_fn_cast_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty_int"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "q_fn_variant",
+    oracle="""
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))
+            AS BIGINT) AS sum_k,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+""",
+    doc="Semi-structured VARIANT surface (Spark 4): props parsed once "
+    "into a VariantType column with parse_json, fields typed out with "
+    "try_variant_get — the open-schema path a JSON-heavy pipeline uses "
+    "instead of per-access string parsing. Same declared semantics as "
+    "q_fn_json, so the same exact oracle applies to the variant route.",
+    scale_notes="parse_json once per row beats repeated "
+    "get_json_object string scans when several fields are read; the "
+    "binary variant encoding flows through shuffles like any column. "
+    "try_variant_get returns NULL (never throws) on shape mismatches.",
+)
+def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "int")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "q_fn_try",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN o_custkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_div_null,
+       ROUND(SUM(COALESCE(o_totalprice / NULLIF(o_custkey % 3, 0), 0)), 4)
+         AS sum_safe_div,
+       CAST(SUM(CASE WHEN TRY_CAST(o_orderpriority AS INTEGER) IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_uncastable
+FROM orders
+GROUP BY o_orderstatus
+""",
+    doc="Error-safe expression surface: try_divide yields NULL on "
+    "division by zero and try_to_number NULL on an unparseable string "
+    "— the expression-level form of the reference's structured error "
+    "envelope (A13: degrade to a recorded failure, never crash the "
+    "batch).",
+    scale_notes="try_* stays inside whole-stage codegen (a null check, "
+    "not an exception path) — same cost as the unguarded expression; "
+    "the alternative, ANSI-mode task retries on bad rows, is what "
+    "kills 100 TB jobs.",
+)
+def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = read_table(spark, sf_dir, "orders")
+    denom = F.col("o_custkey") % 3
+    safe_div = F.try_divide(F.col("o_totalprice"), denom)
+    return od.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((denom == 0).cast("bigint")).alias("n_div_null"),
+        F.round(F.sum(F.coalesce(safe_div, F.lit(0.0))), 4).alias(
+            "sum_safe_div"
+        ),
+        F.sum(
+            F.try_to_number(F.col("o_orderpriority"), F.lit("999"))
+            .isNull()
+            .cast("bigint")
+        ).alias("n_uncastable"),
+    )

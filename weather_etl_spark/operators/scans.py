@@ -20,7 +20,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from weather_etl_spark.io import TABLES, read_table
+from weather_etl_spark.io import TABLES, read_table, table_path
 from weather_etl_spark.registry import register
 
 
@@ -258,4 +258,28 @@ def q_seq_timeaxis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ev, "slot_s", "left")
         .groupBy("slot_s")
         .agg(F.count("event_id").alias("n_events"))
+    )
+
+
+@register(
+    "q_scan_filemeta",
+    oracle="""
+SELECT 'orders.parquet' AS file_name, COUNT(*) AS n FROM orders
+""",
+    doc="Hidden file-metadata lineage columns: every Parquet scan "
+    "exposes _metadata (file_name, file_size, row_index, ...) — the "
+    "provenance a 100 TB pipeline records per row for reprocessing / "
+    "poisoned-shard excision. Emits per-file row counts; the oracle "
+    "pins the known single-file layout of the testdata tables.",
+    scale_notes="_metadata is populated by the scan itself (no extra "
+    "IO); grouping by file_name is bounded by the file count. The "
+    "same column family drives row-level lineage joins when a shard "
+    "must be recalled from a trained corpus.",
+)
+def q_scan_filemeta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = spark.read.parquet(table_path(sf_dir, "orders"))
+    return (
+        od.select(F.col("_metadata.file_name").alias("file_name"))
+        .groupBy("file_name")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
