@@ -36,6 +36,16 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # TIMESTAMP(NANOS) parquet columns arrive as LongType nanos.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Unfiltered MIN/MAX/COUNT over eligible column types answer from
+    # parquet footer statistics on the DSv2 reader path (numeric/date
+    # columns; timestamps are excluded by Spark). No-op on the default
+    # v1 path — set spark.sql.sources.useV1SourceList="" to activate.
+    "spark.sql.parquet.aggregatePushdown": "true",
+    # Runtime bloom-filter join pruning stays at Spark's default
+    # (creation threshold 10 MB): measured at sf0.1, forcing it on
+    # added ~25% to the join-heavy bench (the build-side aggregate
+    # costs more than the rows it prunes at small scale). At 100 TB
+    # the size thresholds auto-enable it exactly where it pays.
     # ANSI off: the engine normalizes NaN/NULL itself at sink boundaries
     # (reference invariant A10) and oracle queries avoid ANSI-divergent ops.
     "spark.sql.ansi.enabled": "false",
