@@ -171,3 +171,73 @@ def q_udtf_py(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL tokenize_udtf(d.text) t
         """
     )
+
+
+@register(
+    "q_udf_arrow",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice < 50000 THEN 'low'
+            WHEN o_totalprice < 200000 THEN 'mid'
+            ELSE 'high' END AS band
+FROM orders
+""",
+    doc="Arrow-optimized Python UDF (useArrow=True): same scalar "
+    "semantics as q_udf_py but serialized over Arrow batches instead "
+    "of pickled rows — the drop-in migration for legacy row UDFs that "
+    "cannot be vectorized. Same oracle as q_udf_py.",
+    scale_notes="Arrow transfer removes the per-row pickle tax (the "
+    "dominant cost of q_udf_py) while keeping row-at-a-time Python "
+    "logic; still slower than pandas_udf's vectorized compute, which "
+    "remains the preferred Python path.",
+)
+def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.udf(T.StringType(), useArrow=True)
+    def band(price: float) -> str:
+        if price is None:
+            return None
+        if price < 50000:
+            return "low"
+        if price < 200000:
+            return "mid"
+        return "high"
+
+    o = read_table(spark, sf_dir, "orders")
+    return o.select("o_orderkey", band("o_totalprice").alias("band"))
+
+
+@register(
+    "q_udf_grouped_map",
+    oracle="""
+SELECT c_custkey,
+       c_mktsegment,
+       ROUND(c_acctbal - AVG(c_acctbal) OVER (PARTITION BY c_mktsegment), 4)
+         AS bal_centered
+FROM customer
+""",
+    doc="Grouped-map applyInPandas: per-segment mean-centering of "
+    "account balances — each group arrives as ONE pandas DataFrame, "
+    "the full-group custom transform that window functions cannot "
+    "always express (here it can, which is what makes the exact "
+    "window oracle possible).",
+    scale_notes="applyInPandas materializes each GROUP in executor "
+    "memory — bounded by the largest group, not the table; skewed "
+    "groups need salting or a two-pass broadcast-stats rewrite "
+    "(compute group means with a regular agg, broadcast, subtract — "
+    "same result, no group materialization). Python sees Arrow "
+    "batches per group, never the driver.",
+)
+def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf[["c_custkey", "c_mktsegment"]].copy()
+        out["bal_centered"] = (
+            pdf["c_acctbal"] - pdf["c_acctbal"].mean()
+        ).round(4)
+        return out
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    return cust.groupBy("c_mktsegment").applyInPandas(
+        center, "c_custkey long, c_mktsegment string, bal_centered double"
+    )
