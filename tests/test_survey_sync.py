@@ -37,3 +37,13 @@ def test_every_registered_query_has_a_survey_row():
     text = SURVEY.read_text()
     missing = [n for n in load_all() if f"| {n} " not in text]
     assert not missing, f"registered but not in SURVEY.md §2: {missing}"
+
+
+def test_readme_counts_match_registry():
+    readme = (SURVEY.parent / "README.md").read_text()
+    m = re.search(r"(\d+)\s*\ndeclared queries, (\d+) of them", readme)
+    assert m, "README query-count sentence not found / format changed"
+    declared, oracled = map(int, m.groups())
+    reg = load_all()
+    assert declared == len(reg)
+    assert oracled == sum(1 for s in reg.values() if s.oracle is not None)
