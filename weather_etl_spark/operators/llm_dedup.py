@@ -321,16 +321,40 @@ FROM pairs GROUP BY vec_id
     "Centroid/radius state is k x dim floats on the driver (bounded).",
 )
 def llm_embed_dedup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_etl_spark.operators.llm_vector import _make_cosine_pandas
+
+    t = 0.45
+    cand = _banded_candidate_pairs(spark, sf_dir, t)
+    cos = _make_cosine_pandas()
+    return (
+        cand.filter(cos(F.col("e_hi"), F.col("e_lo")) > t)
+        .groupBy(F.col("id_hi").alias("vec_id"))
+        .agg(
+            F.min("id_lo").alias("dup_of"),
+            F.count(F.lit(1)).alias("n_near"),
+        )
+    )
+
+
+def _banded_candidate_pairs(
+    spark: SparkSession, sf_dir: str, t: float, k: int = 8, iters: int = 2
+) -> DataFrame:
+    """Candidate pair generator shared by the banded-EXACT operators:
+    returns every ordered pair (id_lo < id_hi) whose cells the triangle
+    inequality cannot rule out for cosine > t — a PROVABLE superset of
+    the qualifying pairs (see llm_embed_dedup_blocked's proof), at
+    sum(|c_i|*|c_j|) admissible-pair cost instead of n^2/2.
+
+    Columns: id_lo, e_lo, id_hi, e_hi.
+    """
     import numpy as np
 
     from weather_etl_spark.operators.llm_vector import (
         _assign_cell,
-        _make_cosine_pandas,
         cosine,
         lloyd_kmeans,
     )
 
-    t, k, iters = 0.45, 8, 2
     r = float(np.sqrt(2.0 - 2.0 * t))
 
     emb = read_table(spark, sf_dir, "embeddings").cache()
@@ -343,10 +367,7 @@ def llm_embed_dedup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         reps /= np.linalg.norm(reps, axis=1, keepdims=True)
 
         rep_lits = F.array(
-            *[
-                F.array(*[F.lit(float(x)) for x in rep])
-                for rep in reps
-            ]
+            *[F.array(*[F.lit(float(x)) for x in rep]) for rep in reps]
         )
         celled = emb.withColumn(
             "cell", _assign_cell(F.col("embedding"), centroids)
@@ -386,28 +407,22 @@ def llm_embed_dedup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     celled = emb.withColumn(
         "cell", _assign_cell(F.col("embedding"), centroids)
     )
-    a = celled.select(
-        "vec_id", F.col("embedding").alias("ea"), F.col("cell").alias("cell_a")
+    lo = celled.select(
+        F.col("vec_id").alias("id_lo"),
+        F.col("embedding").alias("e_lo"),
+        F.col("cell").alias("cell_lo"),
     )
-    b = celled.select(
-        F.col("vec_id").alias("other_id"),
-        F.col("embedding").alias("eb"),
-        F.col("cell").alias("cell_b"),
+    hi = celled.select(
+        F.col("vec_id").alias("id_hi"),
+        F.col("embedding").alias("e_hi"),
+        F.col("cell").alias("cell_hi"),
     )
-    cos = _make_cosine_pandas()
-    return (
-        a.join(F.broadcast(pairs_df), F.col("cell_a") == F.col("ca"))
-        .join(
-            b,
-            (F.col("cell_b") == F.col("cb"))
-            & (F.col("other_id") < F.col("vec_id")),
-        )
-        .filter(cos(F.col("ea"), F.col("eb")) > t)
-        .groupBy("vec_id")
-        .agg(
-            F.min("other_id").alias("dup_of"),
-            F.count(F.lit(1)).alias("n_near"),
-        )
+    return lo.join(
+        F.broadcast(pairs_df), F.col("cell_lo") == F.col("ca")
+    ).join(
+        hi,
+        (F.col("cell_hi") == F.col("cb"))
+        & (F.col("id_lo") < F.col("id_hi")),
     )
 
 
@@ -543,3 +558,41 @@ def q_llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels.select("doc_id", F.col("lbl").cast("bigint").alias("component"))
+
+
+@register(
+    "llm_cosine_pairs_blocked",
+    oracle="""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[]))
+                  AS DOUBLE), 4) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) > 0.45
+""",
+    doc="Banded-EXACT cosine pair enumeration: identical output to "
+    "q_llm_cosine_pairs (same oracle) via the llm_embed_dedup_blocked "
+    "machinery — k-means cells plus the triangle-inequality "
+    "admissible-cell-pair bound (see that operator's proof), exact "
+    "Arrow-vectorized cosine inside admissible pairs only.",
+    scale_notes="Same cost model as llm_embed_dedup_blocked: "
+    "sum(|c_i|*|c_j|) over admissible cell pairs instead of n^2/2, "
+    "exact by construction. This pair de-weakens the engine's last "
+    "all-pairs-only declared query.",
+)
+def llm_cosine_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_etl_spark.operators.llm_vector import _make_cosine_pandas
+
+    t = 0.45
+    cand = _banded_candidate_pairs(spark, sf_dir, t)
+    cos = _make_cosine_pandas()
+    return (
+        cand.withColumn("cos_raw", cos(F.col("e_lo"), F.col("e_hi")))
+        .filter(F.col("cos_raw") > t)
+        .select(
+            F.col("id_lo").alias("id_a"),
+            F.col("id_hi").alias("id_b"),
+            F.round("cos_raw", 4).alias("cos"),
+        )
+    )
