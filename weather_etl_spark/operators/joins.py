@@ -500,3 +500,36 @@ def q_join_cbo(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.cbo.enabled", old_cbo)
         spark.conf.set("spark.sql.cbo.joinReorder.enabled", old_reorder)
+
+
+@register(
+    "q_join_lateral",
+    oracle="""
+SELECT n_name, t.c_custkey, t.c_acctbal
+FROM nation n,
+     LATERAL (SELECT c_custkey, c_acctbal
+              FROM customer
+              WHERE c_nationkey = n.n_nationkey
+              ORDER BY c_acctbal DESC, c_custkey ASC
+              LIMIT 2) t
+""",
+    doc="Correlated lateral join (Spark 4 DataFrame.lateralJoin): for "
+    "each nation, its top-2 customers by balance — the per-outer-row "
+    "correlated subquery shape (unique tie-break on c_custkey for an "
+    "exact oracle).",
+    scale_notes="Catalyst decorrelates the lateral subquery into a "
+    "join + per-key WindowGroupLimit rank — no per-outer-row re-"
+    "execution; same physical cost as q_topk_group. Correlated "
+    "LIMIT-per-key is exactly the 'top-k per entity' pattern a "
+    "feature-store pipeline runs at 100 TB.",
+)
+def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = read_table(spark, sf_dir, "nation")
+    cust = read_table(spark, sf_dir, "customer")
+    sub = (
+        cust.where(F.col("c_nationkey") == F.col("n_nationkey").outer())
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+        .limit(2)
+        .select("c_custkey", "c_acctbal")
+    )
+    return nat.lateralJoin(sub).select("n_name", "c_custkey", "c_acctbal")

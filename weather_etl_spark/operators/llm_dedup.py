@@ -337,13 +337,18 @@ def llm_embed_dedup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _banded_candidate_pairs(
-    spark: SparkSession, sf_dir: str, t: float, k: int = 8, iters: int = 2
+    spark: SparkSession, sf_dir: str, t: float, k: int = 8, iters: int = 1
 ) -> DataFrame:
     """Candidate pair generator shared by the banded-EXACT operators:
     returns every ordered pair (id_lo < id_hi) whose cells the triangle
     inequality cannot rule out for cosine > t — a PROVABLE superset of
     the qualifying pairs (see llm_embed_dedup_blocked's proof), at
     sum(|c_i|*|c_j|) admissible-pair cost instead of n^2/2.
+
+    Clustering quality affects only pruning, never correctness, so one
+    Lloyd iteration suffices; the (vec_id, cell) assignment is computed
+    ONCE and localCheckpoint'd — the radius pass and both join sides
+    reuse it instead of re-evaluating k cosine assignments per row.
 
     Columns: id_lo, e_lo, id_hi, e_hi.
     """
@@ -369,26 +374,31 @@ def _banded_candidate_pairs(
         rep_lits = F.array(
             *[F.array(*[F.lit(float(x)) for x in rep]) for rep in reps]
         )
-        celled = emb.withColumn(
-            "cell", _assign_cell(F.col("embedding"), centroids)
-        ).withColumn(
-            # dist(x_hat, rep_cell) on the unit sphere via the cosine
-            # identity — no normalized-vector column materialized.
-            "dist",
-            F.sqrt(
-                F.lit(2.0)
-                - F.lit(2.0)
-                * cosine(
-                    F.col("embedding"),
-                    F.element_at(rep_lits, F.col("cell") + 1),
-                )
-            ),
-        )
-        radius_rows = (
-            celled.groupBy("cell").agg(F.max("dist").alias("radius")).collect()
+        celled = (
+            emb.withColumn(
+                "cell", _assign_cell(F.col("embedding"), centroids)
+            )
+            .withColumn(
+                # dist(x_hat, rep_cell) on the unit sphere via the cosine
+                # identity — no normalized-vector column materialized.
+                "dist",
+                F.sqrt(
+                    F.lit(2.0)
+                    - F.lit(2.0)
+                    * cosine(
+                        F.col("embedding"),
+                        F.element_at(rep_lits, F.col("cell") + 1),
+                    )
+                ),
+            )
+            .select("vec_id", "embedding", "cell", "dist")
+            .localCheckpoint()
         )
     finally:
         emb.unpersist()
+    radius_rows = (
+        celled.groupBy("cell").agg(F.max("dist").alias("radius")).collect()
+    )
     radii = np.zeros(k)
     for row in radius_rows:
         radii[row["cell"]] = float(row["radius"])
@@ -403,10 +413,6 @@ def _banded_candidate_pairs(
     ]
     pairs_df = spark.createDataFrame(admissible, "ca int, cb int")
 
-    emb = read_table(spark, sf_dir, "embeddings")
-    celled = emb.withColumn(
-        "cell", _assign_cell(F.col("embedding"), centroids)
-    )
     lo = celled.select(
         F.col("vec_id").alias("id_lo"),
         F.col("embedding").alias("e_lo"),
