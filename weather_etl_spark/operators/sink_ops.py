@@ -128,3 +128,68 @@ def snk_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg.write.mode("overwrite").json(tmp)
     back = spark.read.schema("r_regionkey long, r_name string").json(tmp)
     return back.localCheckpoint()
+
+
+@register(
+    "q_set_union_byname",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+UNION ALL
+SELECT n_nationkey, n_name, CAST(NULL AS BIGINT) AS n_regionkey
+FROM nation
+""",
+    doc="Schema-evolving union: two frames with different column sets "
+    "(one lacks n_regionkey, and its columns are in a different order) "
+    "combined by NAME with missing columns null-filled — the safe "
+    "union for evolving pipelines, where positional UNION silently "
+    "mis-binds.",
+    scale_notes="unionByName is a zero-shuffle concatenation plus a "
+    "projection per side; the null-fill costs nothing. At 100 TB this "
+    "is how monthly re-crawls with added fields append onto an "
+    "existing corpus without rewriting history.",
+)
+def q_set_union_byname(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = read_table(spark, sf_dir, "nation")
+    full = nat.select("n_nationkey", "n_name", "n_regionkey")
+    # different column ORDER and a missing column — both healed by name
+    partial = nat.select("n_name", "n_nationkey")
+    return full.unionByName(partial, allowMissingColumns=True)
+
+
+@register(
+    "snk_schema_evolution",
+    oracle="""
+SELECT r_regionkey, r_name, CAST(NULL AS BIGINT) AS name_len, 1 AS batch
+FROM region
+UNION ALL
+SELECT r_regionkey, r_name, CAST(length(r_name) AS BIGINT) AS name_len,
+       2 AS batch
+FROM region
+""",
+    doc="Parquet schema evolution at the source: batch 1 lands without "
+    "the name_len column, batch 2 adds it; a mergeSchema read returns "
+    "the superset schema with nulls for pre-evolution rows — the "
+    "storage-level dual of q_set_union_byname.",
+    scale_notes="mergeSchema unions footers at planning time (cost "
+    "O(files); cache the merged schema in a table catalog at scale). "
+    "Readers never rewrite old files — new columns are null-filled at "
+    "scan, which is what makes additive evolution free on a 100 TB "
+    "corpus.",
+)
+def snk_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tmp = scratch_dir("snk_evolve")
+    reg = read_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    reg.withColumn("batch", F.lit(1)).write.mode("overwrite").parquet(
+        f"{tmp}/b1"
+    )
+    reg.withColumn(
+        "name_len", F.length("r_name").cast("bigint")
+    ).withColumn("batch", F.lit(2)).write.mode("overwrite").parquet(
+        f"{tmp}/b2"
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{tmp}/b1", f"{tmp}/b2"
+    )
+    return merged.select(
+        "r_regionkey", "r_name", "name_len", "batch"
+    ).localCheckpoint()
