@@ -163,3 +163,38 @@ def test_resize_media_clamps_and_preserves_aspect(spark, sf_dir):
     media = to_media_frame(read_table(spark, sf_dir, "documents").limit(50))
     for r in resize_media(media, 256, 256).collect():
         assert 0 <= r["out_w"] <= 256 and 0 <= r["out_h"] <= 256
+
+
+def test_image_codec_roundtrip_property():
+    """Property: decode(encode(w, h, pixels)) is lossless for BOTH
+    formats on arbitrary dimensions — including widths where BMP row
+    padding (3w % 4 != 0) and multi-digit PPM header fields apply."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from weather_etl_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 20),
+        data=st.data(),
+    )
+    def run(w, h, data):
+        pix = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255),
+                    min_size=w * h * 3,
+                    max_size=w * h * 3,
+                )
+            )
+        )
+        assert decode_image(encode_ppm(w, h, pix)) == ("ppm", w, h, pix)
+        assert decode_image(encode_bmp(w, h, pix)) == ("bmp", w, h, pix)
+
+    run()
