@@ -255,3 +255,26 @@ def q_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 2)
         .select("o_custkey", "o_orderkey", "o_totalprice")
     )
+
+
+@register(
+    "q_win_percent",
+    oracle="""
+SELECT o_orderkey, o_orderstatus,
+       ROUND(percent_rank() OVER w, 4) AS pr,
+       ROUND(cume_dist()    OVER w, 4) AS cd
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice)
+""",
+    doc="Distribution window functions: percent_rank (rank-1)/(n-1) and "
+    "cume_dist (rows <= current) per order within its status partition "
+    "— both tie-stable, so the oracle is exact even on equal keys.",
+)
+def q_win_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    return read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.percent_rank().over(w), 4).alias("pr"),
+        F.round(F.cume_dist().over(w), 4).alias("cd"),
+    )
