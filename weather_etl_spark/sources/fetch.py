@@ -31,6 +31,7 @@ from dataclasses import dataclass
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from weather_etl_spark.registry import register
@@ -167,3 +168,54 @@ def src_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
         sleep=lambda _s: None,  # don't actually sleep in tests
     )
     return df
+
+
+@register(
+    "src_fetch_profile",
+    oracle="""
+WITH meas(name, idx) AS (
+  VALUES ('temperature_2m', 0), ('relative_humidity_2m', 1),
+         ('apparent_temperature', 2), ('rain', 3),
+         ('sunshine_duration', 4), ('precipitation', 5),
+         ('dew_point_2m', 6), ('wind_speed_10m', 7)
+), r AS (SELECT unnest(range(0, 192)) AS row_i)
+SELECT meas.name AS measure,
+       CAST(192 AS BIGINT) AS n_rows,
+       CAST((SELECT COUNT(*) FROM r
+             WHERE (r.row_i + meas.idx) % 37 = 0) AS BIGINT) AS n_nan,
+       CAST(1704067200000000 AS BIGINT) AS min_ts_us,
+       CAST(1704067200000000 + CAST(900000000 AS BIGINT) * 191
+            AS BIGINT) AS max_ts_us
+FROM meas
+""",
+    doc="Fetched-frame profile with an EXACT oracle: the fetch's "
+    "deterministic contract — half-open [start,end) 15-min axis (192 "
+    "rows over 2 days), per-measure NaN placement ((row+idx) %% 37 == "
+    "0, A10 'NaN stays NaN until the sink'), axis bounds — recomputed "
+    "arithmetically in SQL. The payload VALUES are RNG noise (not "
+    "SQL-reproducible), so src_fetch itself stays rows-only; this row "
+    "pins everything about the source path that IS deterministic, "
+    "including the retry envelope it runs through.",
+    scale_notes="Same driver-side boundary as src_fetch; the profile "
+    "aggregate is a normal distributed plan over the landed frame.",
+)
+def src_fetch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = fetch_timeseries(
+        spark,
+        transport=fake_columnar_transport(fail_times=2),
+        sleep=lambda _s: None,
+    )
+    per_measure = [
+        df.agg(
+            F.lit(m).alias("measure"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.isnan(m).cast("bigint")).alias("n_nan"),
+            F.unix_micros(F.min("date")).alias("min_ts_us"),
+            F.unix_micros(F.max("date")).alias("max_ts_us"),
+        )
+        for m in MEASURES
+    ]
+    out = per_measure[0]
+    for frame in per_measure[1:]:
+        out = out.unionAll(frame)
+    return out
