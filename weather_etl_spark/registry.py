@@ -203,9 +203,9 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # llm / vector pending oracled
     "q_llm_centroid", "llm_knn_blocked", "llm_multimodal",
     "llm_mm_framesample", "llm_embed_dedup_blocked", "llm_mm_decode",
-    # rows-only picks for the remaining slots, plus the exact-oracled
-    # source-path profile
-    "llm_ann_lsh", "llm_ann_ivf", "src_fetch_profile",
+    # one rows-only ANN pick, plus the exact-oracled source-path
+    # profile and the end-to-end reference-pipeline row
+    "llm_ann_lsh", "src_fetch_profile", "pipe_reference_e2e",
 )
 
 
