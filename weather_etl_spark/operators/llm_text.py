@@ -385,3 +385,137 @@ def q_llm_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(fps).alias("min_fp"),
         F.array_max(fps).alias("max_fp"),
     )
+
+
+@register(
+    "q_llm_winnow_pairs",
+    oracle="""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, length(text) - 8 + 2),
+           i -> CAST('0x' || substr(md5(substr(text, i, 8)), 1, 15)
+                     AS BIGINT)) AS hs
+  FROM documents WHERE length(text) >= 11
+), w AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, len(hs) - 4 + 2),
+           j -> list_min(hs[j:j+3])))) AS fp
+  FROM h
+), rare AS (
+  SELECT fp FROM w GROUP BY fp HAVING COUNT(*) <= 10
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       COUNT(*) AS n_shared_fp
+FROM w a JOIN rare USING (fp) JOIN w b
+  ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= 3
+""",
+    doc="Winnowing fingerprints operationalized into the dedup join: "
+    "documents sharing >= 3 RARE fingerprints (document frequency <= "
+    "10) are exact-substring-overlap candidates (the winnowing "
+    "guarantee: any shared run >= 11 chars shares a fingerprint) — the "
+    "shared-substring dedup pipeline shape without suffix arrays. The "
+    "df cap drops boilerplate fingerprints the same way stopword "
+    "removal drops hot tokens; without it the shared-vocabulary corpus "
+    "degenerates toward all-pairs (measured: 98k of 125k possible "
+    "pairs at sf0.01).",
+    scale_notes="Inverted-index join on fingerprint values: cost is "
+    "sum(df(fp)^2) over RARE fps only — the df cap bounds each "
+    "fingerprint's contribution at cap^2, making the join cost linear "
+    "in corpus size for fixed cap. Winnowing emits ~len/w fingerprints "
+    "per doc vs ~len shingles, so the index is w times smaller for the "
+    "same guarantee.",
+)
+def q_llm_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 11
+    )
+    hs = F.expr(
+        "transform(sequence(1, length(text) - 7),"
+        " i -> cast(conv(substr(md5(substring(text, i, 8)), 1, 15), 16, 10)"
+        "      as bigint))"
+    )
+    fps = docs.select("doc_id", hs.alias("hs")).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(hs) - 3),"
+                    " j -> array_min(slice(hs, j, 4)))"
+                )
+            )
+        ).alias("fp"),
+    )
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= 10)
+        .select("fp")
+    )
+    fps = fps.join(rare, ["fp"])
+    a = fps.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, ["fp"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_fp"))
+        .filter(F.col("n_shared_fp") >= 3)
+    )
+
+
+@register(
+    "q_llm_repetition",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), big AS (
+  SELECT doc_id,
+         list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i+1]) AS bigrams
+  FROM tok
+), counts AS (
+  SELECT doc_id,
+         len(bigrams) AS n_bigrams,
+         len(list_distinct(bigrams)) AS n_uniq
+  FROM big
+)
+SELECT doc_id,
+       CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       ROUND(1.0 - CAST(n_uniq AS DOUBLE) / n_bigrams, 4) AS dup_bigram_frac
+FROM counts WHERE n_bigrams > 0
+""",
+    doc="Repetition quality signal: the duplicated-bigram fraction per "
+    "document (1 - distinct/total 2-grams) — the standard published "
+    "pretraining repetition filter (high values flag boilerplate and "
+    "degenerate repeated text).",
+    scale_notes="Pure per-row higher-order functions, zero shuffle, no "
+    "Python; the n-gram order and threshold are parameters in a real "
+    "deployment (published filters use 2- through 4-gram fractions).",
+)
+def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bigrams = F.expr(
+        "transform(sequence(1, size(toks) - 1),"
+        " i -> concat(toks[i-1], ' ', toks[i]))"
+    )
+    d = docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id", bigrams.alias("bigrams")
+    )
+    return (
+        d.filter(F.size("bigrams") > 0)
+        .select(
+            "doc_id",
+            F.size("bigrams").cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct("bigrams")).cast("double")
+                / F.size("bigrams"),
+                4,
+            ).alias("dup_bigram_frac"),
+        )
+    )
