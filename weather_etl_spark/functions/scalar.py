@@ -338,7 +338,8 @@ SELECT o_orderstatus,
        COUNT(*) AS n,
        CAST(SUM(CASE WHEN o_custkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_div_null,
-       ROUND(SUM(COALESCE(o_totalprice / NULLIF(o_custkey % 3, 0), 0)), 4)
+       CAST(ROUND(SUM(CAST(COALESCE(o_totalprice / NULLIF(o_custkey % 3, 0),
+                                    0) AS DECIMAL(18,6))), 4) AS DOUBLE)
          AS sum_safe_div,
        CAST(SUM(CASE WHEN TRY_CAST(o_orderpriority AS INTEGER) IS NULL
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_uncastable
@@ -362,9 +363,13 @@ def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
     return od.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum((denom == 0).cast("bigint")).alias("n_div_null"),
-        F.round(F.sum(F.coalesce(safe_div, F.lit(0.0))), 4).alias(
-            "sum_safe_div"
-        ),
+        # Sum in DECIMAL(18,6) so partial-aggregation order cannot move
+        # the last ulp (repo decimal-sum discipline, SURVEY §7.4 rule 1).
+        F.round(
+            F.sum(F.coalesce(safe_div, F.lit(0.0)).cast("decimal(18,6)")), 4
+        )
+        .cast("double")
+        .alias("sum_safe_div"),
         F.sum(
             F.try_to_number(F.col("o_orderpriority"), F.lit("999"))
             .isNull()

@@ -404,12 +404,15 @@ def _banded_candidate_pairs(
         radii[row["cell"]] = float(row["radius"])
 
     # Admissible ordered cell pairs (k x k driver-side — bounded).
+    # 1e-9 slack absorbs FP rounding drift between the Spark-side dist
+    # column and the numpy-side cd; widening is pruning-only, so it can
+    # never drop a qualifying pair.
     cd = np.linalg.norm(reps[:, None, :] - reps[None, :, :], axis=2)
     admissible = [
         (int(i), int(j))
         for i in range(k)
         for j in range(k)
-        if cd[i, j] <= r + radii[i] + radii[j]
+        if cd[i, j] <= r + radii[i] + radii[j] + 1e-9
     ]
     pairs_df = spark.createDataFrame(admissible, "ca int, cb int")
 
@@ -563,6 +566,14 @@ def q_llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # The round cap is a safety valve, not an output mode: returning
+        # non-converged labels would silently mislabel components.
+        raise RuntimeError(
+            "q_llm_dedup_components: min-label propagation did not "
+            f"converge within 20 rounds (last round changed {changed} "
+            "labels); raise the round cap or switch to star contraction"
+        )
     return labels.select("doc_id", F.col("lbl").cast("bigint").alias("component"))
 
 

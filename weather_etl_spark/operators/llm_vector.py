@@ -303,7 +303,8 @@ def lloyd_kmeans(
     emb: DataFrame, k: int, iters: int, vec_col: str = "embedding"
 ) -> list[list[float]]:
     """Deterministic DataFrame-native Lloyd k-means (no RNG: init =
-    vec_id 1..k, max-cosine assignment, per-(cell,pos) mean update).
+    the k lowest vec_ids, max-cosine assignment, per-(cell,pos) mean
+    update).
 
     Only k x dim floats ever reach the driver per iteration — the same
     bounded-collect contract as MLlib KMeans. Shared by llm_ann_ivf
@@ -312,11 +313,12 @@ def lloyd_kmeans(
     iteration.
     """
     init = (
-        emb.filter(F.col("vec_id") <= k)
-        .orderBy("vec_id")
-        .select(vec_col)
-        .collect()
+        emb.orderBy("vec_id").select(vec_col).limit(k).collect()
     )
+    if len(init) < k:
+        raise ValueError(
+            f"lloyd_kmeans: need at least k={k} vectors, got {len(init)}"
+        )
     centroids = [[float(x) for x in r[vec_col]] for r in init]
     for _ in range(iters):
         assigned = emb.withColumn(

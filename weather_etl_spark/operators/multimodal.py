@@ -268,7 +268,8 @@ def _doc_pixels(text_bytes: bytes, width: int, height: int) -> bytes:
     "llm_mm_decode",
     oracle="""
 WITH v AS (
-  SELECT doc_id, text,
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text))                AS nb,
          octet_length(encode(text)) % 31 + 1       AS width,
          (octet_length(encode(text)) * 7) % 17 + 1 AS height,
          CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS fmt
@@ -278,10 +279,12 @@ SELECT doc_id, fmt,
        CAST(width AS BIGINT)            AS width,
        CAST(height AS BIGINT)           AS height,
        CAST(width * height * 3 AS BIGINT) AS n_pix,
+       -- sum of the raw UTF-8 BYTES (via hex pairs), not code points:
+       -- matches the implementation for any corpus, not just ASCII
        CAST(COALESCE(list_aggregate(list_transform(
-              range(1, LEAST(octet_length(encode(text)),
-                             width * height * 3) + 1),
-              i -> unicode(substr(text, i, 1))), 'sum'), 0)
+              range(1, LEAST(nb, width * height * 3) + 1),
+              i -> CAST('0x' || substr(hx, 2*i - 1, 2) AS INTEGER)),
+              'sum'), 0)
             AS BIGINT) AS pixel_sum
 FROM v
 """,

@@ -169,43 +169,63 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
     "llm_near_dedup", "q_llm_embed_dedup", "q_llm_tokenstats",
     "q_llm_tfidf", "q_llm_docprofile", "q_llm_langid", "q_llm_quality",
     "q_llm_cosine_pairs", "q_llm_knn",
-})
-
-#: Explicit order for the round-2 driver window (50 slots): the 45
-#: pending oracled queries (flagship first), then the 5 most valuable
-#: rows-only ones.  Pending rows NOT listed here (the remaining st_*
-#: runtime rows, plus any query registered after this list was cut)
-#: queue directly behind and rotate into the round-3 window.
-DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # scans / filters (flagship first)
+    # round 2 green (49 hash-verified + llm_ann_lsh rows-only-accounted),
+    # per CORRECTNESS_r02.json
     "q_filter_ts_cursor", "q_scan_project", "q_scan_count",
     "q_filter_cmp", "q_filter_in_between", "q_null_norm",
     "q_seq_timeaxis",
-    # round-1 red rows, now fixed (oracle typing / array stringify)
     "q_fn_array", "q_fn_json", "q_fn_cast_decimal", "q_agg_collect",
     "q_llm_simhash", "q_llm_tokencount",
-    # windows
     "q_win_rownum", "q_win_rank", "q_win_lag", "q_win_runsum",
     "q_win_moving", "q_win_rangeframe", "q_win_ntile",
     "q_win_firstlast", "q_topk_group",
-    # sorts / sets
     "q_sort_multikey", "q_topk_global", "q_set_union_all",
     "q_set_union", "q_set_intersect", "q_set_except",
-    # UDF surface
     "q_udf_py", "q_udf_pandas", "q_udaf_pandas", "udtf_mapinpandas",
     "q_udtf_py",
-    # sinks
     "snk_append_idem", "snk_partitioned", "snk_csv_roundtrip",
     "snk_json_roundtrip",
-    # streaming batch-parity queries
     "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
     "q_stream_static_join",
-    # llm / vector pending oracled
     "q_llm_centroid", "llm_knn_blocked", "llm_multimodal",
     "llm_mm_framesample", "llm_embed_dedup_blocked", "llm_mm_decode",
-    # one rows-only ANN pick, plus the exact-oracled source-path
-    # profile and the end-to-end reference-pipeline row
     "llm_ann_lsh", "src_fetch_profile", "pipe_reference_e2e",
+})
+
+#: Explicit order for the round-3 driver window (50 slots): the 20
+#: never-checked oracled rows first, then the 10 never-checked
+#: rows-only rows, then regression re-checks (flagship + the six
+#: former round-1 reds + composites).  Queries registered after this
+#: list was cut (this round's additions) are not DRIVER_VERIFIED, so
+#: the rotation slots them right behind the priority list — they claim
+#: the re-check slots automatically; the explicit re-checks below fill
+#: whatever remains of the 50.
+DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
+    # -- 20 pending oracled rows (never in a driver window) --
+    "q_tpch_q3", "q_tpch_q5",
+    "q_join_lateral", "q_join_cbo",
+    "q_win_percent",
+    "q_udf_arrow", "q_udf_grouped_map",
+    "q_fn_variant", "q_fn_try",
+    "q_scan_filemeta", "q_set_union_byname",
+    "snk_schema_evolution", "q_time_rollup",
+    "q_llm_editdist", "q_llm_dedup_components",
+    "q_llm_split", "q_llm_winnow", "q_llm_winnow_pairs",
+    "q_llm_repetition", "llm_cosine_pairs_blocked",
+    # -- 10 pending rows-only rows --
+    "st_watermark", "st_dedup_wm", "st_foreachbatch",
+    "st_trigger_availnow", "st_stateful_sessionizer",
+    "st_stream_stream_join", "st_transform_with_state",
+    "src_fetch", "src_pyds", "llm_ann_ivf",
+    # -- regression re-checks (verified rows; fill remaining slots) --
+    "q_filter_ts_cursor",                      # flagship
+    "q_fn_array", "q_fn_json", "q_fn_cast_decimal", "q_agg_collect",
+    "q_llm_simhash", "q_llm_tokencount",       # six former r1 reds
+    "pipe_reference_e2e", "q_agg_q1", "q_join_star",
+    "q_join_bucketed", "q_join_dpp", "q_agg_skew_salted",
+    "llm_embed_dedup_blocked", "llm_knn_blocked", "llm_mm_decode",
+    "q_llm_exact_dedup", "q_llm_ngram_jaccard", "q_stream_tumbling",
+    "src_fetch_profile",
 )
 
 
@@ -217,11 +237,14 @@ def _rotation_order(reg: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
 
     def key(item: tuple[int, str]) -> tuple[int, int, int]:
         reg_pos, name = item
+        verified = name in DRIVER_VERIFIED
+        if name in prio and not verified:
+            return (0, prio[name], reg_pos)      # pending, explicit order
+        if not verified:
+            return (1, 0, reg_pos)               # new this round
         if name in prio:
-            return (0, prio[name], reg_pos)
-        if name not in DRIVER_VERIFIED:
-            return (1, 0, reg_pos)
-        return (2, 0, reg_pos)
+            return (2, prio[name], reg_pos)      # regression re-checks
+        return (3, 0, reg_pos)
 
     ordered = sorted(enumerate(reg), key=key)
     return {name: reg[name] for _, name in ordered}
