@@ -198,3 +198,95 @@ def test_image_codec_roundtrip_property():
         assert decode_image(encode_bmp(w, h, pix)) == ("bmp", w, h, pix)
 
     run()
+
+
+def test_banded_pruning_on_planted_clusters(spark, tmp_path):
+    """On a CLUSTERED corpus the triangle-inequality banding must
+    actually prune (the driver testdata is near-orthogonal noise where
+    every cell pair is admissible — SCALE.md appendix), while remaining
+    lossless: candidates must still cover every truly-qualifying pair."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weather_etl_spark.operators.llm_dedup import _banded_candidate_pairs
+
+    rng = np.random.default_rng(7)
+    k, n, dim = 8, 200, 16
+    # Orthonormal planted centers with tight (sigma=0.02) clusters:
+    # cross-cluster representative distance ~sqrt(2) ≈ 1.41 must exceed
+    # r + radius_i + radius_j ≈ 1.05 + 2*0.08 for the bound to prune.
+    # (Random centers in 16 dims can land at cosine ~0.5 — INSIDE r —
+    # and sigma=0.05 noise inflates radii to ~0.25, closing the gap:
+    # both are the unclusterable regime the driver corpus exercises.)
+    centers = np.eye(k, dim)
+    vecs = np.empty((n, dim), dtype=np.float64)
+    for i in range(n):
+        # vec_id % k spreads the k lowest vec_ids (the kmeans seeds)
+        # across all k planted clusters, so one Lloyd pass separates them
+        v = centers[i % k] + 0.02 * rng.normal(size=dim)
+        vecs[i] = v / np.linalg.norm(v)
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [[float(x) for x in v] for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([i % k for i in range(n)], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    t = 0.45
+    cand = _banded_candidate_pairs(spark, str(tmp_path), t)
+    pairs = {
+        (r["id_lo"], r["id_hi"])
+        for r in cand.select("id_lo", "id_hi").collect()
+    }
+    total = n * (n - 1) // 2
+    assert len(pairs) < 0.5 * total, (
+        f"banding admitted {len(pairs)}/{total} pairs on a corpus of "
+        f"{k} tight clusters — pruning is not happening"
+    )
+
+    v32 = vecs.astype(np.float32).astype(np.float64)
+    v32 /= np.linalg.norm(v32, axis=1, keepdims=True)
+    cos = v32 @ v32.T
+    qualifying = {
+        (i, j) for i in range(n) for j in range(i + 1, n) if cos[i, j] > t
+    }
+    assert qualifying, "fixture has no qualifying pairs — test is vacuous"
+    missed = qualifying - pairs
+    assert not missed, f"banding dropped {len(missed)} qualifying pairs"
+
+
+def test_dedup_components_long_chain(spark, tmp_path):
+    """A 10-doc sliding-window chain (adjacent docs Jaccard ~0.8, edges
+    reach at most 3 positions, endpoints share nothing) must collapse to
+    ONE component labeled by the smallest doc_id — exercising multi-round
+    label propagation well past a single hop, plus the convergence guard
+    (non-convergence now raises instead of returning partial labels)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    toks = [f"w{i}" for i in range(60)]
+    texts = [" ".join(toks[3 * d : 3 * d + 30]) for d in range(10)]
+    # two isolated docs with disjoint vocabulary: must not appear in the
+    # output at all (no edges -> no label row)
+    texts += ["only one doc has this exact phrasing x", "zz yy xx ww vv uu"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    out = {
+        r["doc_id"]: r["component"]
+        for r in SPECS["q_llm_dedup_components"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out == {d: 0 for d in range(10)}, out

@@ -168,3 +168,44 @@ def test_winnow_fingerprint_is_shuffle_free(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
         "winnowing must stay JVM-side (no Python in the row path)"
     )
+
+
+def test_dsv2_aggregate_pushdown_lands_in_scan(spark, sf_dir):
+    """SCALE.md §1 / session.py aggregatePushdown claim, verified: on
+    the DSv2 reader path an unfiltered MIN/MAX/COUNT over a numeric
+    parquet column is answered by the scan itself (footer statistics),
+    visible as PushedAggregation in the plan.  The conf is a no-op on
+    the default v1 path, which is why this test flips useV1SourceList.
+    """
+    from pyspark.sql import functions as F
+
+    from weather_etl_spark.io import table_path
+
+    old = spark.conf.get("spark.sql.sources.useV1SourceList", None)
+    try:
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        df = spark.read.parquet(table_path(sf_dir, "orders")).agg(
+            F.max("o_orderkey").alias("max_key"),
+            F.min("o_orderkey").alias("min_key"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        plan = _optimized_scan_info(df)
+        assert "PushedAggregation" in plan and "MAX(o_orderkey)" in plan, (
+            "aggregate did not land in the DSv2 scan:\n" + plan
+        )
+        row = df.collect()[0]
+        # cross-check the footer-stats answer against the v1 row scan
+        spark.conf.set(
+            "spark.sql.sources.useV1SourceList",
+            old if old is not None else "avro,csv,json,kafka,orc,parquet,text",
+        )
+        ref = spark.read.parquet(table_path(sf_dir, "orders")).agg(
+            F.max("o_orderkey"), F.min("o_orderkey"), F.count(F.lit(1))
+        ).collect()[0]
+        assert tuple(row) == tuple(ref)
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.sources.useV1SourceList")
+        else:
+            spark.conf.set("spark.sql.sources.useV1SourceList", old)

@@ -77,7 +77,7 @@ def _run_to_memory(stream_df: DataFrame, mode: str, tmp: str) -> DataFrame:
 @register(
     "st_trigger_availnow",
     oracle=None,  # runtime semantics; engine tests assert batch parity
-    doc="Catch-up scheduled ingestion: Trigger.AvailableNow drains all "
+    doc="[rows-only driver row; exact expected-output assertion: tests/test_streaming.py::test_availnow_parity_with_batch] Catch-up scheduled ingestion: Trigger.AvailableNow drains all "
     "pending files then stops — the reference's rate(5 minutes) cron "
     "re-expressed (A14, deploy.sh:36-37). Runs the tumbling aggregate "
     "as a real stream; parity with q_stream_tumbling asserted in tests.",
@@ -131,7 +131,7 @@ _MIN = 60_000_000
 @register(
     "st_watermark",
     oracle=None,  # watermark drops are runtime-only semantics
-    doc="Watermark + late-data drop (FIXTURES.md late-events fixture): "
+    doc="[rows-only driver row; exact expected-output assertion: tests/test_streaming.py::test_watermark_drops_late_rows] Watermark + late-data drop (FIXTURES.md late-events fixture): "
     "batch 2 contains a row older than watermark (dropped) and a fresh "
     "row (kept). Returns per-window final counts; the dropped row's "
     "window stays at its batch-1 count. Generalizes the reference's "
@@ -199,7 +199,7 @@ def st_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "st_dedup_wm",
     oracle=None,
-    doc="Streaming dedup by key within watermark "
+    doc="[rows-only driver row; exact expected-output assertion: tests/test_streaming.py::test_stream_dedup_within_watermark] Streaming dedup by key within watermark "
     "(dropDuplicatesWithinWatermark) — the reference's ON CONFLICT key "
     "dedup applied in-stream (A11). Duplicate event_ids across two "
     "micro-batches collapse to one row each.",
@@ -251,7 +251,7 @@ def st_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "st_foreachbatch",
     oracle=None,
-    doc="The whole reference pipeline as a foreachBatch body (A11/A13/"
+    doc="[rows-only driver row; exact expected-output assertion: tests/test_streaming.py::test_foreachbatch_incremental_idempotent] The whole reference pipeline as a foreachBatch body (A11/A13/"
     "A14): each micro-batch goes through cursor -> filter -> anti-join "
     "-> idempotent append. Two overlapping batches converge to the "
     "distinct key set; second-batch overlap inserts 0 extra copies.",
@@ -315,7 +315,7 @@ def st_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "st_stateful_sessionizer",
     oracle=None,  # custom stateful operator; engine tests assert semantics
-    doc="Custom stateful streaming operator (applyInPandasWithState): a "
+    doc="[rows-only driver row; exact expected-output assertion: tests/test_streaming.py::test_stateful_sessionizer_state_survives_batches] Custom stateful streaming operator (applyInPandasWithState): a "
     "per-user 30-minute-gap sessionizer whose open session survives "
     "micro-batch boundaries in the state store. Emits each session when "
     "a later event closes it (gap > 30min). The fixture splits one "
@@ -405,7 +405,7 @@ def st_stateful_sessionizer(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "st_stream_stream_join",
     oracle=None,  # runtime semantics (watermark-bounded state)
-    doc="Stream-stream interval join: a 'view' stream joined to a "
+    doc="[rows-only driver row; exact expected-output assertion: tests/test_streaming.py::test_stream_stream_join_interval_bounds] Stream-stream interval join: a 'view' stream joined to a "
     "'purchase' stream on user_id with purchase.ts in [view.ts, "
     "view.ts + 1h), both sides watermarked so join state is bounded "
     "and GC'd. The temporal-bound condition generalizes the "
@@ -467,7 +467,7 @@ def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "st_transform_with_state",
     oracle=None,  # runtime stateful semantics; batch parity in tests
-    doc="Arbitrary stateful processing on the transformWithState API "
+    doc="[rows-only driver row; exact expected-output assertion: tests/test_streaming.py::test_transform_with_state_running_totals] Arbitrary stateful processing on the transformWithState API "
     "(the successor to applyInPandasWithState): a StatefulProcessor "
     "keeps one (n, max_ts_us) value-state per user — the streaming "
     "form of the reference's cursor state (A6/A8): max ts seen so far, "
