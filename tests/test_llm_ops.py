@@ -285,8 +285,9 @@ def test_dedup_components_long_chain(spark, tmp_path):
     )
     pq.write_table(tbl, str(tmp_path / "documents.parquet"))
 
-    out = {
-        r["doc_id"]: r["component"]
-        for r in SPECS["q_llm_dedup_components"].fn(spark, str(tmp_path)).collect()
-    }
-    assert out == {d: 0 for d in range(10)}, out
+    for row in ("q_llm_dedup_components", "llm_components_starcontract"):
+        out = {
+            r["doc_id"]: r["component"]
+            for r in SPECS[row].fn(spark, str(tmp_path)).collect()
+        }
+        assert out == {d: 0 for d in range(10)}, (row, out)

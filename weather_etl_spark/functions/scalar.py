@@ -376,3 +376,36 @@ def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
         ).alias("n_uncastable"),
     )
+
+
+@register(
+    "q_fn_bitwise",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderkey & 255 AS BIGINT)        AS b_and,
+       CAST(o_orderkey | 4096 AS BIGINT)       AS b_or,
+       CAST(xor(o_orderkey, 1365) AS BIGINT)   AS b_xor,
+       CAST(bit_count(o_orderkey) AS BIGINT)   AS popcnt,
+       CAST(o_orderkey << 2 AS BIGINT)         AS shl,
+       CAST(o_orderkey >> 3 AS BIGINT)         AS shr
+FROM orders
+WHERE o_orderkey <= 2000
+""",
+    doc="Bitwise expression surface (AND/OR/XOR/popcount/shifts) — the "
+    "flag-mask and hash-mix primitives every fingerprint/bucketing "
+    "operator builds on (q_llm_simhash, llm_editdist_banded band "
+    "extraction). Spark ^ is XOR while DuckDB ^ is power — the oracle "
+    "uses DuckDB's xor() to pin identical semantics.",
+)
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    k = F.col("o_orderkey")
+    return od.select(
+        "o_orderkey",
+        k.bitwiseAND(255).cast("bigint").alias("b_and"),
+        k.bitwiseOR(4096).cast("bigint").alias("b_or"),
+        k.bitwiseXOR(1365).cast("bigint").alias("b_xor"),
+        F.bit_count(k).cast("bigint").alias("popcnt"),
+        F.shiftleft(k, 2).cast("bigint").alias("shl"),
+        F.shiftright(k, 3).cast("bigint").alias("shr"),
+    )

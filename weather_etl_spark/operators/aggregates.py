@@ -496,3 +496,120 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "q_agg_minmax_by",
+    oracle="""
+SELECT o_orderstatus,
+       arg_max(o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000000
+               + o_orderkey) AS top_order,
+       arg_min(o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000000
+               + o_orderkey) AS bottom_order,
+       ROUND(MAX(o_totalprice), 4) AS max_price,
+       COUNT(*) AS n
+FROM orders
+GROUP BY o_orderstatus
+""",
+    doc="max_by / min_by (argmax aggregation): which order carries the "
+    "extreme price per status. The ordering key is exact integer cents "
+    "* 1e7 + orderkey — a total order, so ties cannot make the argmax "
+    "engine-dependent (DuckDB arg_max cannot take a struct key; the "
+    "scalar encoding is the portable equivalent of Spark's "
+    "max_by(col, struct(price, key)) tie-break idiom).",
+    scale_notes="Single two-phase aggregate: partials carry one "
+    "(key, value) pair per group per mapper — same shuffle shape as "
+    "MAX, no window/sort. The exact-cents BIGINT encoding stays inside "
+    "codegen.",
+)
+def q_agg_minmax_by(spark, sf_dir):
+    od = read_table(spark, sf_dir, "orders")
+    by = (
+        F.round(F.col("o_totalprice") * 100).cast("bigint") * 10000000
+        + F.col("o_orderkey")
+    )
+    return od.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", by).alias("top_order"),
+        F.min_by("o_orderkey", by).alias("bottom_order"),
+        F.round(F.max("o_totalprice"), 4).alias("max_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q_time_gapfill",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, date_trunc('hour', ts) AS hr,
+         CASE WHEN isnan(value) THEN NULL ELSE value END AS v
+  FROM events WHERE user_id <= 20
+), agg AS (
+  SELECT user_id, hr, ROUND(AVG(v), 4) AS hv
+  FROM ev GROUP BY user_id, hr
+), bounds AS (
+  SELECT user_id, MIN(hr) AS lo, MAX(hr) AS hi FROM agg GROUP BY user_id
+), axis AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+  FROM bounds
+), j AS (
+  SELECT axis.user_id, axis.hr, agg.hv
+  FROM axis LEFT JOIN agg
+    ON agg.user_id = axis.user_id AND agg.hr = axis.hr
+)
+SELECT user_id, epoch_us(hr) AS hr_us,
+       ROUND(COALESCE(hv, last_value(hv IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY hr
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), 4) AS v_filled,
+       hv IS NULL AS was_gap
+FROM j
+""",
+    doc="Time-series gap fill: per-user hourly average, a dense hourly "
+    "axis spanning each user's [first, last] observed hour (A3's "
+    "time-axis generation per group), LEFT JOIN, and forward fill of "
+    "missing hours with the last observed value (last_value IGNORE "
+    "NULLS over the preceding frame) — the canonical sensor/weather "
+    "regularization the reference's hourly fetch assumes upstream.",
+    scale_notes="Axis explosion is per-group sequence() — no driver "
+    "loop; the join is co-partitioned on user_id by the same shuffle "
+    "the window needs, so gap fill costs ONE shuffle total. Frame is "
+    "running (bounded state); years-long gaps inflate the axis — cap "
+    "the span or bucket coarser when sensors go dark for months.",
+)
+def q_time_gapfill(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") <= 20)
+        .select(
+            "user_id",
+            F.date_trunc("hour", "ts").alias("hr"),
+            F.when(F.isnan("value"), None).otherwise(F.col("value")).alias("v"),
+        )
+    )
+    agg = ev.groupBy("user_id", "hr").agg(F.round(F.avg("v"), 4).alias("hv"))
+    axis = (
+        agg.groupBy("user_id")
+        .agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.expr("sequence(lo, hi, interval 1 hour)")
+            ).alias("hr"),
+        )
+    )
+    j = axis.join(agg, ["user_id", "hr"], "left")
+    fill = Window.partitionBy("user_id").orderBy("hr").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return j.select(
+        "user_id",
+        F.unix_micros("hr").alias("hr_us"),
+        F.round(
+            F.coalesce(F.col("hv"), F.last("hv", ignorenulls=True).over(fill)),
+            4,
+        ).alias("v_filled"),
+        F.col("hv").isNull().alias("was_gap"),
+    )

@@ -533,3 +533,37 @@ def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_acctbal")
     )
     return nat.lateralJoin(sub).select("n_name", "c_custkey", "c_acctbal")
+
+
+@register(
+    "q_join_null_safe",
+    oracle="""
+WITH a AS (SELECT NULLIF(o_orderkey % 5, 0) AS k FROM orders),
+     b AS (SELECT DISTINCT NULLIF(c_custkey % 5, 0) AS k FROM customer)
+SELECT a.k AS k, COUNT(*) AS n
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+GROUP BY a.k
+""",
+    doc="Null-safe equality join (<=> / IS NOT DISTINCT FROM): the NULL "
+    "bucket joins the NULL bucket instead of vanishing — the semantics "
+    "a sentinel-coded dimension key needs (reference A10 normalizes "
+    "NaN to NULL, so NULL keys are a first-class join case here).",
+    scale_notes="Plans exactly like an equi-join (<=> is a sortable/"
+    "hashable key expression, NULL one bucket) — broadcast or shuffle "
+    "hash as sizes dictate. A hot NULL bucket is a skew key like any "
+    "other: salt it or let AQE split it.",
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = read_table(spark, sf_dir, "orders").select(
+        F.nullif(F.col("o_orderkey") % 5, F.lit(0)).alias("k")
+    )
+    b = (
+        read_table(spark, sf_dir, "customer")
+        .select(F.nullif(F.col("c_custkey") % 5, F.lit(0)).alias("k"))
+        .distinct()
+    )
+    return (
+        a.join(b, a["k"].eqNullSafe(b["k"]))
+        .groupBy(a["k"].alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -348,3 +348,85 @@ def llm_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, fmt string, width long, height long, "
         "n_pix long, pixel_sum long",
     )
+
+
+@register(
+    "llm_mm_pixel_dedup",
+    oracle="""
+WITH v AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text))                AS nb,
+         octet_length(encode(text)) % 31 + 1       AS width,
+         (octet_length(encode(text)) * 7) % 17 + 1 AS height
+  FROM documents WHERE doc_id <= 200
+), px AS (
+  SELECT doc_id, width, height,
+         substr(hx, 1, 2 * LEAST(nb, width * height * 3))
+           || repeat('0', 2 * GREATEST(width * height * 3 - nb, 0))
+           AS pixhex
+  FROM v
+)
+SELECT CAST(width AS BIGINT)  AS width,
+       CAST(height AS BIGINT) AS height,
+       MIN(doc_id)            AS keep_id,
+       COUNT(*)               AS n_copies
+FROM px GROUP BY width, height, pixhex
+""",
+    doc="Content-level image dedup ACROSS container formats: docs are "
+    "encoded to PPM (even doc_id) or BMP (odd doc_id), decoded back "
+    "through the real codecs, and grouped by decoded pixel content "
+    "(width, height, raw RGB bytes) — so the same image stored as PPM "
+    "and as BMP dedupes together, which byte-level file hashing "
+    "(q_llm_fingerprint on payloads) can never do. Oracle reconstructs "
+    "the canonical pixel buffer arithmetically from the text bytes "
+    "(truncate/zero-pad to w*h*3) and groups identically.",
+    scale_notes="The dedup key is decoded-pixel identity; at 100 TB "
+    "group on md5(pixels) (16-byte shuffle keys, computed inside the "
+    "same Arrow batch as the decode) instead of shuffling raw pixel "
+    "buffers — identical equivalence classes, same two-phase "
+    "aggregate. Decode stays executor-side in mapInPandas; only "
+    "(w, h, hash) rows shuffle.",
+)
+def llm_mm_pixel_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") <= 200)
+        .select("doc_id", "text")
+    )
+
+    def encode_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                tb = text.encode("utf-8")
+                w = len(tb) % 31 + 1
+                h = (len(tb) * 7) % 17 + 1
+                pix = _doc_pixels(tb, w, h)
+                enc = encode_ppm if doc_id % 2 == 0 else encode_bmp
+                payloads.append(enc(w, h, pix))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(encode_stage, "doc_id long, payload binary")
+
+    def decode_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import binascii
+
+        for pdf in batches:
+            rows = {"doc_id": [], "width": [], "height": [], "pixhex": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _fmt, w, h, pixels = decode_image(bytes(payload))
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["pixhex"].append(
+                    binascii.hexlify(pixels).decode("ascii").upper()
+                )
+            yield pd.DataFrame(rows)
+
+    decoded = media.mapInPandas(
+        decode_stage, "doc_id long, width long, height long, pixhex string"
+    )
+    return decoded.groupBy("width", "height", "pixhex").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    ).select("width", "height", "keep_id", "n_copies")

@@ -136,3 +136,46 @@ def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment") == "BUILDING"
     ).select(F.col("c_custkey").alias("custkey"))
     return o.subtract(b)
+
+
+@register(
+    "q_set_except_all",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders
+EXCEPT ALL
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+""",
+    doc="EXCEPT ALL (multiset): per-occurrence subtraction — a customer "
+    "with n orders and one BUILDING row keeps n-1 occurrences (bag "
+    "semantics the distinct EXCEPT row cannot express).",
+)
+def q_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = (
+        read_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return o.exceptAll(b)
+
+
+@register(
+    "q_set_intersect_all",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders
+INTERSECT ALL
+SELECT c_custkey AS custkey FROM customer
+""",
+    doc="INTERSECT ALL (multiset): min-of-multiplicities per key — each "
+    "ordering customer appears min(n_orders, 1) times.",
+)
+def q_set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return o.intersectAll(c)

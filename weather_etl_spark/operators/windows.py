@@ -278,3 +278,26 @@ def q_win_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 4).alias("pr"),
         F.round(F.cume_dist().over(w), 4).alias("cd"),
     )
+
+
+@register(
+    "q_win_cume_nth",
+    oracle="""
+SELECT c_custkey,
+       ROUND(CUME_DIST() OVER w, 4)   AS cd,
+       NTH_VALUE(c_name, 3) OVER w    AS third_name
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+""",
+    doc="cume_dist + nth_value over the default running frame per "
+    "market segment: the distribution-rank surface (percent_rank's "
+    "sibling) and positional value access (null until the frame has "
+    "reached row 3 — identical default-frame semantics both engines).",
+)
+def q_win_cume_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return read_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.cume_dist().over(w), 4).alias("cd"),
+        F.nth_value("c_name", 3).over(w).alias("third_name"),
+    )
