@@ -409,3 +409,74 @@ def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftleft(k, 2).cast("bigint").alias("shl"),
         F.shiftright(k, 3).cast("bigint").alias("shr"),
     )
+
+
+@register(
+    "q_fn_string2",
+    oracle="""
+SELECT p_partkey,
+       translate(p_brand, '#', '-')         AS brand_tr,
+       lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+       rpad(p_brand, 12, '.')               AS brand_padded,
+       reverse(p_brand)                     AS brand_rev,
+       repeat('-', 3) || p_type             AS type_dashed,
+       CAST(strpos(p_name, 'a') AS BIGINT)  AS first_a,
+       left(p_name, 5)                      AS name_l5,
+       right(p_name, 5)                     AS name_r5
+FROM part
+""",
+    doc="Second string surface: translate/lpad/rpad/reverse/repeat/"
+    "instr/left/right (initcap excluded — absent in DuckDB, would be "
+    "an unverifiable oracle).",
+)
+def q_fn_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.translate("p_brand", "#", "-").alias("brand_tr"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key_padded"),
+        F.rpad("p_brand", 12, ".").alias("brand_padded"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.concat(F.repeat(F.lit("-"), 3), F.col("p_type")).alias(
+            "type_dashed"
+        ),
+        F.instr("p_name", "a").cast("bigint").alias("first_a"),
+        F.left(F.col("p_name"), F.lit(5)).alias("name_l5"),
+        F.right(F.col("p_name"), F.lit(5)).alias("name_r5"),
+    )
+
+
+@register(
+    "q_fn_hash_encode",
+    oracle="""
+SELECT doc_id,
+       md5(text)                                    AS h_md5,
+       sha256(text)                                 AS h_sha256,
+       to_base64(encode(substr(text, 1, 48)))       AS b64,
+       CAST(from_base64(to_base64(encode(substr(text, 1, 48))))
+            AS VARCHAR)                             AS b64_roundtrip,
+       hex(encode(substr(text, 1, 8)))              AS hx
+FROM documents WHERE doc_id <= 500
+""",
+    doc="Hash + encoding surface: md5 / sha2-256 hex digests, base64 "
+    "encode + lossless round-trip, hex — the content-addressing "
+    "primitives under fingerprint dedup and the multimodal payload "
+    "columns (both engines emit unchunked RFC-4648 base64 and "
+    "lowercase hex digests; Spark hex() is uppercased to match "
+    "DuckDB's).",
+)
+def q_fn_hash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") <= 500
+    )
+    head48 = F.encode(F.substring("text", 1, 48), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("h_md5"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("h_sha256"),
+        F.base64(head48).alias("b64"),
+        F.unbase64(F.base64(head48)).cast("string").alias("b64_roundtrip"),
+        F.upper(F.hex(F.encode(F.substring("text", 1, 8), "UTF-8"))).alias(
+            "hx"
+        ),
+    )

@@ -572,10 +572,12 @@ FROM j
     "NULLS over the preceding frame) — the canonical sensor/weather "
     "regularization the reference's hourly fetch assumes upstream.",
     scale_notes="Axis explosion is per-group sequence() — no driver "
-    "loop; the join is co-partitioned on user_id by the same shuffle "
-    "the window needs, so gap fill costs ONE shuffle total. Frame is "
-    "running (bounded state); years-long gaps inflate the axis — cap "
-    "the span or bucket coarser when sensors go dark for months.",
+    "loop. Executed plan (verified local): TWO hash exchanges total — "
+    "(user_id, hr) for the hourly aggregate and user_id for the "
+    "bounds+fill window (reused) — with the axis side broadcast into "
+    "the join. Frame is running (bounded state); years-long gaps "
+    "inflate the axis — cap the span or bucket coarser when sensors "
+    "go dark for months.",
 )
 def q_time_gapfill(spark, sf_dir):
     from pyspark.sql.window import Window
@@ -612,4 +614,65 @@ def q_time_gapfill(spark, sf_dir):
             4,
         ).alias("v_filled"),
         F.col("hv").isNull().alias("was_gap"),
+    )
+
+
+@register(
+    "q_agg_boolean",
+    oracle="""
+SELECT user_id,
+       CAST(count_if(event_type = 'click') AS BIGINT) AS n_clicks,
+       bool_and(value >= 0 OR isnan(value))           AS all_nonneg,
+       bool_or(event_type = 'purchase')               AS ever_bought,
+       COUNT(*) AS n
+FROM events
+WHERE user_id <= 200
+GROUP BY user_id
+""",
+    doc="Boolean aggregate surface: count_if / bool_and (EVERY) / "
+    "bool_or (ANY) per user — the predicate-summary shapes feature "
+    "pipelines emit (did-ever, always-holds, how-often).",
+    scale_notes="Each boolean aggregate partial-reduces to one "
+    "bit/long per group map-side — cheapest possible shuffle payload.",
+)
+def q_agg_boolean(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") <= 200)
+    return ev.groupBy("user_id").agg(
+        F.count_if(F.col("event_type") == "click").alias("n_clicks"),
+        F.bool_and(
+            (F.col("value") >= 0) | F.isnan("value")
+        ).alias("all_nonneg"),
+        F.bool_or(F.col("event_type") == "purchase").alias("ever_bought"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q_agg_median",
+    oracle="""
+SELECT event_type,
+       ROUND(median(CASE WHEN isnan(value) THEN NULL
+                         ELSE CAST(value AS DOUBLE) END), 4) AS med_value,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+""",
+    doc="Exact grouped median (even-count groups interpolate the two "
+    "middle values in both engines once the input is DOUBLE — DuckDB "
+    "returns the lower-middle for non-float types, so the cast is "
+    "part of the contract). NaN normalized to NULL first (A10); both "
+    "engines then ignore NULLs.",
+    scale_notes="Exact median requires a per-group sort (Spark: "
+    "percentile(0.5) sort-based aggregate). At 100 TB use "
+    "approx_percentile's fixed-size sketch; the exact row is the "
+    "verification baseline.",
+)
+def q_agg_median(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    v = F.when(F.isnan("value"), None).otherwise(
+        F.col("value").cast("double")
+    )
+    return ev.groupBy("event_type").agg(
+        F.round(F.median(v), 4).alias("med_value"),
+        F.count(F.lit(1)).alias("n"),
     )

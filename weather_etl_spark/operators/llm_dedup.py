@@ -264,6 +264,11 @@ def llm_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("shingle"),
     )
+    # The shingle table feeds three consumers (df aggregate, prefix rank,
+    # verification sets); Catalyst does not CSE across them, so cut the
+    # lineage once instead of re-running scan+explode three times.  At
+    # 100 TB this is a checkpoint to durable storage instead.
+    shingles = shingles.localCheckpoint()
     card = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     df_tbl = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     # Rarest-first canonical order; (df, shingle) is a total order so the

@@ -528,3 +528,61 @@ def llm_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= k)
         .select("probe_id", "vec_id", F.round("cos_raw", 4).alias("cos"))
     )
+
+
+@register(
+    "llm_doc_embed_cohesion",
+    oracle="""
+WITH de AS (
+  SELECT d.doc_id, d.lang, CAST(e.embedding AS DOUBLE[]) AS emb
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+), p AS (
+  SELECT lang, unnest(emb) AS val, generate_subscripts(emb, 1) AS pos
+  FROM de
+), c AS (
+  SELECT lang, pos, ROUND(AVG(val), 6) AS m FROM p GROUP BY lang, pos
+), cents AS (
+  SELECT lang, array_agg(m ORDER BY pos) AS centroid FROM c GROUP BY lang
+)
+SELECT de.doc_id, de.lang,
+       ROUND(CAST(list_cosine_similarity(de.emb, cents.centroid)
+                  AS DOUBLE), 4) AS cohesion
+FROM de JOIN cents USING (lang)
+""",
+    doc="Cross-table doc+vector quality signal: join documents to their "
+    "embeddings (vec_id = doc_id), build the per-LANGUAGE embedding "
+    "centroid, and score each document's cosine to its own language "
+    "centroid — the cluster-cohesion filter a curation pipeline uses "
+    "to flag mislabeled/outlier documents. Centroid components are "
+    "pre-rounded to 6 decimals in both engines so the downstream "
+    "cosine sees bit-identical inputs (repo centroid discipline, "
+    "q_llm_centroid).",
+    scale_notes="Two shuffles (doc-embedding equi-join; (lang, pos) "
+    "partial means) + a broadcast of langs x dim centroid floats; "
+    "cosine is a codegen'd JVM aggregate over the zipped arrays — no "
+    "Python in the loop.",
+)
+def llm_doc_embed_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    de = docs.join(emb, docs["doc_id"] == emb["vec_id"]).select(
+        "doc_id", "lang", "embedding"
+    )
+    per_pos = de.select(
+        "lang", F.posexplode("embedding").alias("pos", "val")
+    ).groupBy("lang", "pos").agg(
+        F.round(F.avg(F.col("val").cast("double")), 6).alias("m")
+    )
+    cents = per_pos.groupBy("lang").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s.getField("m"),
+        ).alias("centroid")
+    )
+    return de.join(F.broadcast(cents), "lang").select(
+        "doc_id",
+        "lang",
+        F.round(cosine(F.col("embedding"), F.col("centroid")), 4).alias(
+            "cohesion"
+        ),
+    )

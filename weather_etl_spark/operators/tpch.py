@@ -166,3 +166,56 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(revenue.alias("revenue"))
     )
+
+
+@register(
+    "q_sql_cte_window",
+    oracle="""
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
+  FROM orders
+)
+SELECT r.o_custkey AS custkey, c.c_name AS name,
+       r.o_orderkey AS top_orderkey,
+       ROUND(r.o_totalprice, 4) AS top_price,
+       r.n_orders AS n_orders
+FROM ranked r JOIN customer c ON c.c_custkey = r.o_custkey
+WHERE r.rn = 1 AND r.n_orders >= 8
+""",
+    doc="The SQL-API surface itself: the whole query (CTE + two window "
+    "functions + join + filter) is ONE spark.sql() statement over temp "
+    "views — proving a reference user can bring SQL text, not just the "
+    "DataFrame API, and get the same Catalyst plan and the same "
+    "hash-verified answer (the oracle is the same statement modulo "
+    "view names).",
+    scale_notes="Identical physical planning to the DataFrame rows — "
+    "SQL text and DataFrame calls meet in the same logical plan; "
+    "window + join shapes as in q_topk_group/q_join_bcast.",
+)
+def q_sql_cte_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "wes_sql_orders"
+    )
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "wes_sql_customer"
+    )
+    return spark.sql(
+        """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
+  FROM wes_sql_orders
+)
+SELECT r.o_custkey AS custkey, c.c_name AS name,
+       r.o_orderkey AS top_orderkey,
+       ROUND(r.o_totalprice, 4) AS top_price,
+       r.n_orders AS n_orders
+FROM ranked r JOIN wes_sql_customer c ON c.c_custkey = r.o_custkey
+WHERE r.rn = 1 AND r.n_orders >= 8
+"""
+    )
