@@ -291,3 +291,55 @@ def test_dedup_components_long_chain(spark, tmp_path):
             for r in SPECS[row].fn(spark, str(tmp_path)).collect()
         }
         assert out == {d: 0 for d in range(10)}, (row, out)
+
+
+def test_star_contract_random_graphs_vs_union_find(spark):
+    """The contraction core must agree with a union-find reference on
+    adversarial graph shapes: long paths (worst case for propagation,
+    the shape star contraction exists to halve), random sparse graphs,
+    stars, and disjoint cliques — all within the 15-round cap."""
+    import random
+
+    from weather_etl_spark.operators.llm_dedup import star_contract
+
+    def union_find_labels(n_nodes, edge_list):
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edge_list:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        # component id = min node id reachable; only nodes with edges
+        comp = {}
+        touched = {x for e in edge_list for x in e}
+        roots = {}
+        for x in sorted(touched):
+            r = find(x)
+            roots.setdefault(r, x)  # first (smallest) node seen per root
+            comp[x] = roots[r]
+        return comp
+
+    rng = random.Random(11)
+    cases = [
+        [(i, i + 1) for i in range(199)],                      # 200-path
+        [(0, i) for i in range(1, 60)],                        # star
+        [(a, b) for base in (0, 100, 200)                      # 3 cliques
+         for a in range(base, base + 8) for b in range(a + 1, base + 8)],
+        [tuple(sorted(rng.sample(range(300), 2))) for _ in range(250)],
+    ]
+    for edge_list in cases:
+        edge_list = sorted(set(edge_list))
+        df = spark.createDataFrame(edge_list, "u long, v long")
+        got = {
+            r["doc_id"]: r["component"]
+            for r in star_contract(df).collect()
+        }
+        assert got == union_find_labels(301, edge_list), (
+            f"mismatch on case with {len(edge_list)} edges"
+        )

@@ -1053,6 +1053,16 @@ def llm_components_starcontract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
 
+    return star_contract(edges)
+
+
+def star_contract(edges: DataFrame, max_rounds: int = 15) -> DataFrame:
+    """Large-star/small-star contraction over a canonical (u < v) edge
+    DataFrame -> (doc_id, component) labels, component = min node id.
+    Kept separate from the registered query so the algorithm itself can
+    be property-tested against a union-find reference on arbitrary
+    graphs (tests/test_llm_ops.py)."""
+
     def _sym(e: DataFrame) -> DataFrame:
         return e.union(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -1063,7 +1073,7 @@ def llm_components_starcontract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.min("v"), F.col("u")).alias("m")
         )
 
-    for _ in range(15):
+    for _ in range(max_rounds):
         sym = _sym(edges)
         m = _nbr_min(sym)
         # large-star: strictly-larger neighbors point at the minimum
@@ -1101,8 +1111,8 @@ def llm_components_starcontract(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges = new_edges
     else:
         raise RuntimeError(
-            "llm_components_starcontract: star contraction did not reach "
-            "a fixpoint within 15 rounds (expected O(log^2 n))"
+            "star_contract: no fixpoint within "
+            f"{max_rounds} rounds (expected O(log^2 n))"
         )
     # fixpoint is a star forest: every node's component is the min of
     # its closed neighborhood
