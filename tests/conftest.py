@@ -23,6 +23,18 @@ def spark():
     yield session
 
 
+@pytest.fixture(autouse=True)
+def _release_checkpoints(request):
+    """Query-boundary block-manager hygiene: drop localCheckpoint blocks
+    and caches after every test so the 142-query parity sweep's memory
+    footprint (and timing) is order-independent."""
+    yield
+    if "spark" in request.fixturenames:
+        from weather_etl_spark.checkpoints import release_session_checkpoints
+
+        release_session_checkpoints(request.getfixturevalue("spark"))
+
+
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR

@@ -9,6 +9,7 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+from weather_etl_spark.checkpoints import release_session_checkpoints
 from weather_etl_spark.registry import load_all
 from weather_etl_spark.session import get_spark
 
@@ -27,6 +28,9 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             times[name] = -1.0
             print(f"{name},ERROR,{type(e).__name__}: {e}", flush=True)
+        # query boundary: drop localCheckpoint blocks + caches so each
+        # row's timing is order-independent (SCALE.md appendix note)
+        release_session_checkpoints(spark)
     for name, sec in sorted(times.items(), key=lambda kv: -kv[1]):
         print(f"{name},{sec}", flush=True)
     spark.stop()

@@ -24,6 +24,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from weather_etl_spark.checkpoints import (
+    release_rdds,
+    tracked_local_checkpoint,
+)
 from weather_etl_spark.io import read_table
 from weather_etl_spark.registry import register
 
@@ -771,31 +775,36 @@ def q_llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = edges.union(
         edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    sym = sym.localCheckpoint()  # edge list reused every round
+    # edge list reused every round; tracked so its blocks are released
+    # once the final labels checkpoint (the only thing the returned
+    # plan references) is materialized
+    sym, sym_ids = tracked_local_checkpoint(sym)
 
-    labels = (
+    labels, labels_ids = tracked_local_checkpoint(
         sym.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("lbl", F.col("doc_id"))
-        .localCheckpoint()
     )
     for _ in range(20):  # >= diameter of any near-dup cluster
         msgs = sym.join(
             labels.select(F.col("doc_id").alias("src"), "lbl"), "src"
         ).select(F.col("dst").alias("doc_id"), "lbl")
-        new_labels = (
+        new_labels, new_ids = tracked_local_checkpoint(
             labels.select("doc_id", "lbl")
             .union(msgs)
             .groupBy("doc_id")
             .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint()  # truncate lineage per round
-        )
+        )  # truncate lineage per round
         changed = (
             labels.join(new_labels.withColumnRenamed("lbl", "new_lbl"), "doc_id")
             .filter(F.col("lbl") != F.col("new_lbl"))
             .count()
         )
-        labels = new_labels
+        # round N is materialized and the convergence check was the
+        # last consumer of round N-1 — free its blocks now, so the
+        # loop's checkpoint footprint is O(1) rounds, not O(rounds)
+        release_rdds(spark, labels_ids)
+        labels, labels_ids = new_labels, new_ids
         if changed == 0:
             break
     else:
@@ -806,6 +815,8 @@ def q_llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"converge within 20 rounds (last round changed {changed} "
             "labels); raise the round cap or switch to star contraction"
         )
+    # the returned plan reads only the final labels checkpoint
+    release_rdds(spark, sym_ids)
     return labels.select("doc_id", F.col("lbl").cast("bigint").alias("component"))
 
 
@@ -1045,15 +1056,17 @@ def llm_components_starcontract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_a").alias("u"), F.col("id_b").alias("v")
     )
     # canonical undirected edge set as (u < v) pairs
-    edges = (
+    edges, edge_ids = tracked_local_checkpoint(
         e0.select(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
-        )
-        .distinct()
-        .localCheckpoint()
+        ).distinct()
     )
 
-    return star_contract(edges)
+    out = star_contract(edges)
+    # star_contract's result reads only its own final-round checkpoint;
+    # the input edge list is dead weight once it returns
+    release_rdds(spark, edge_ids)
+    return out
 
 
 def star_contract(edges: DataFrame, max_rounds: int = 15) -> DataFrame:
@@ -1073,6 +1086,13 @@ def star_contract(edges: DataFrame, max_rounds: int = 15) -> DataFrame:
             F.least(F.min("v"), F.col("u")).alias("m")
         )
 
+    spark = edges.sparkSession
+    # checkpoint ids created by THIS loop (never the caller's input —
+    # callers own their own blocks); round N-1's blocks are released as
+    # soon as round N's fixpoint check has consumed them, keeping the
+    # loop's block-manager footprint at one round regardless of depth
+    edge_ids: set[int] = set()
+    prev_count: int | None = None
     for _ in range(max_rounds):
         sym = _sym(edges)
         m = _nbr_min(sym)
@@ -1082,8 +1102,8 @@ def star_contract(edges: DataFrame, max_rounds: int = 15) -> DataFrame:
             .filter(F.col("v") > F.col("u"))
             .select(F.col("m").alias("u"), F.col("v").alias("v"))
         )
-        edges_l = (
-            large.filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
+        edges_l, l_ids = tracked_local_checkpoint(
+            large.filter(F.col("u") != F.col("v")).distinct()
         )
         sym = _sym(edges_l)
         m = _nbr_min(sym)
@@ -1094,21 +1114,30 @@ def star_contract(edges: DataFrame, max_rounds: int = 15) -> DataFrame:
             .select(F.col("m").alias("a"), F.col("v").alias("b"))
             .union(m.select(F.col("m").alias("a"), F.col("u").alias("b")))
         )
-        new_edges = (
+        new_edges, n_ids = tracked_local_checkpoint(
             small.select(
                 F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
             )
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
         )
-        if (
-            new_edges.count() == edges.count()
+        # the half-round intermediate was fully consumed materializing
+        # new_edges (tracked_local_checkpoint is eager)
+        release_rdds(spark, l_ids)
+        # fixpoint test: one count per round (the previous round's count
+        # is carried over instead of recomputed); the exceptAll shuffle
+        # only runs in the rare round where the counts already agree
+        new_count = new_edges.count()
+        if prev_count is None:
+            prev_count = edges.count()
+        converged = (
+            new_count == prev_count
             and new_edges.exceptAll(edges).count() == 0
-        ):
-            edges = new_edges
+        )
+        release_rdds(spark, edge_ids)
+        edges, edge_ids, prev_count = new_edges, n_ids, new_count
+        if converged:
             break
-        edges = new_edges
     else:
         raise RuntimeError(
             "star_contract: no fixpoint within "

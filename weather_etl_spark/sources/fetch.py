@@ -16,9 +16,12 @@ columns, and ``spark.createDataFrame`` hands Catalyst a normal
 DataFrame with an explicit schema — no schema inference (A9).
 
 The container has no network: the default transport is a
-deterministic in-process fake producing the reference's wire shape
-(a dict of parallel float vectors + an epoch-second time axis).  A
-real HTTP transport would plug in via the same ``transport``
+deterministic in-process fake — but it speaks the reference's REAL
+wire format: every call encodes the payload as length-prefixed
+FlatBuffers frames and decodes them back through the sentinel-checked
+frame loop (see ``sources.flatbuf``, mirroring Client.py:26-43 and
+the float32 zero-copy vector decode of VariableWithValues.py:58-62).
+A real HTTP transport plugs in via the same byte-level ``transport``
 callable without touching the Spark side.
 """
 
@@ -75,30 +78,95 @@ class TransientSourceError(Exception):
         self.status = status
 
 
-def fake_columnar_transport(
+def generate_measure_vectors(n: int) -> dict[str, np.ndarray]:
+    """The deterministic synthetic payload: 8 float32 vectors with the
+    documented NaN placement ((row + measure_idx) % 37 == 0, A10)."""
+    rng = np.random.default_rng(42)
+    out = {}
+    for i, m in enumerate(MEASURES):
+        v = rng.normal(10.0 * (i + 1), 3.0, n).astype(np.float32)
+        v[(np.arange(n) + i) % 37 == 0] = np.nan  # missing = NaN (A10)
+        out[m] = v
+    return out
+
+
+def fake_wire_transport(
     start_s: int = 1704067200,  # 2024-01-01 00:00:00 UTC
     end_s: int = 1704240000,  # 2024-01-03 00:00:00 UTC (2 days)
     interval_s: int = 900,
     fail_times: int = 0,
     _state: dict | None = None,
-) -> Callable[[], dict]:
-    """Deterministic stand-in for the FlatBuffers wire decode: returns the
-    same columnar dict shape the reference builds at
-    lambda_function.py:105-121 (time axis + 8 float vectors, some NaN)."""
+) -> Callable[[], bytes]:
+    """Byte-level fake server: encodes the synthetic series as ONE
+    length-prefixed FlatBuffers TimeSeriesFrame per call — the same
+    stream shape ``_process_response`` consumes (Client.py:26-43).
+    The first ``fail_times`` calls raise HTTP-502 transient errors
+    (retry envelope A2)."""
+    from weather_etl_spark.sources.flatbuf import (
+        encode_timeseries,
+        frame_messages,
+    )
+
     state = _state if _state is not None else {"calls": 0}
 
-    def transport() -> dict:
+    def transport() -> bytes:
         state["calls"] += 1
         if state["calls"] <= fail_times:
             raise TransientSourceError(502)
         n = (end_s - start_s) // interval_s  # half-open [start, end)
-        rng = np.random.default_rng(42)
-        cols = {"time_s": start_s + interval_s * np.arange(n, dtype=np.int64)}
-        for i, m in enumerate(MEASURES):
-            v = rng.normal(10.0 * (i + 1), 3.0, n).astype(np.float32)
-            v[(np.arange(n) + i) % 37 == 0] = np.nan  # missing = NaN (A10)
-            cols[m] = v
-        return cols
+        return frame_messages(
+            [
+                encode_timeseries(
+                    start_s, end_s, interval_s, generate_measure_vectors(n)
+                )
+            ]
+        )
+
+    return transport
+
+
+def decode_timeseries_frames(data: bytes) -> dict:
+    """Client-side wire decode -> columnar dict (the reference's
+    post-decode shape, lambda_function.py:105-121): splits the frame
+    stream (sentinel-checked), reads each message's float32 vectors
+    zero-copy, regenerates the half-open [start, end) time axis from
+    the message's time box, and concatenates frames in stream order."""
+    from weather_etl_spark.sources.flatbuf import (
+        decode_timeseries,
+        split_frames,
+    )
+
+    times, vectors = [], {m: [] for m in MEASURES}
+    for message in split_frames(data):
+        frame = decode_timeseries(message)
+        n = (frame["end_s"] - frame["start_s"]) // frame["interval_s"]
+        times.append(
+            frame["start_s"]
+            + frame["interval_s"] * np.arange(n, dtype=np.int64)
+        )
+        for m in MEASURES:
+            vectors[m].append(frame["variables"][m])
+    cols = {"time_s": np.concatenate(times)}
+    for m in MEASURES:
+        cols[m] = np.concatenate(vectors[m])
+    return cols
+
+
+def fake_columnar_transport(
+    start_s: int = 1704067200,
+    end_s: int = 1704240000,
+    interval_s: int = 900,
+    fail_times: int = 0,
+    _state: dict | None = None,
+) -> Callable[[], dict]:
+    """Columnar transport = byte-level fake server + the real wire
+    decode. Every call round-trips through length-prefixed FlatBuffers
+    bytes, so the framing/vtable/float32-vector path is exercised by
+    every source query, not just dedicated codec tests."""
+    wire = fake_wire_transport(start_s, end_s, interval_s, fail_times, _state)
+
+    def transport() -> dict:
+        return decode_timeseries_frames(wire())
 
     return transport
 
@@ -155,7 +223,10 @@ def fetch_timeseries(
     oracle=None,  # engine API surface, not a testdata query (rows-only)
     doc="External fetch -> DataFrame with declared schema; retry/backoff "
     "per the reference envelope (A1/A2). Offline: deterministic fake "
-    "transport that fails twice with HTTP 502 before succeeding.",
+    "server that fails twice with HTTP 502 before succeeding, speaking "
+    "the reference's real wire format (length-prefixed FlatBuffers "
+    "frames, sentinel-checked, float32 vectors decoded zero-copy — "
+    "sources/flatbuf.py).",
     scale_notes="Fetch is a driver-side (or Python-DataSource) boundary; "
     "everything after createDataFrame is a normal distributed plan. For "
     "many locations/shards, fan the transport out with mapInPandas over a "
