@@ -190,42 +190,57 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
     "q_llm_centroid", "llm_knn_blocked", "llm_multimodal",
     "llm_mm_framesample", "llm_embed_dedup_blocked", "llm_mm_decode",
     "llm_ann_lsh", "src_fetch_profile", "pipe_reference_e2e",
-})
-
-#: Explicit order for the round-3 driver window (50 slots): the 20
-#: never-checked oracled rows first, then the 10 never-checked
-#: rows-only rows, then regression re-checks (flagship + the six
-#: former round-1 reds + composites).  Queries registered after this
-#: list was cut (this round's additions) are not DRIVER_VERIFIED, so
-#: the rotation slots them right behind the priority list — they claim
-#: the re-check slots automatically; the explicit re-checks below fill
-#: whatever remains of the 50.
-DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- 20 pending oracled rows (never in a driver window) --
-    "q_tpch_q3", "q_tpch_q5",
-    "q_join_lateral", "q_join_cbo",
-    "q_win_percent",
-    "q_udf_arrow", "q_udf_grouped_map",
-    "q_fn_variant", "q_fn_try",
-    "q_scan_filemeta", "q_set_union_byname",
-    "snk_schema_evolution", "q_time_rollup",
-    "q_llm_editdist", "q_llm_dedup_components",
-    "q_llm_split", "q_llm_winnow", "q_llm_winnow_pairs",
-    "q_llm_repetition", "llm_cosine_pairs_blocked",
-    # -- 10 pending rows-only rows --
+    # round 3 green (40 hash-verified + 10 rows-only-accounted), per
+    # CORRECTNESS_r03.json
+    "q_tpch_q3", "q_tpch_q5", "q_join_lateral", "q_join_cbo",
+    "q_win_percent", "q_udf_arrow", "q_udf_grouped_map",
+    "q_fn_variant", "q_fn_try", "q_scan_filemeta", "q_set_union_byname",
+    "snk_schema_evolution", "q_time_rollup", "q_llm_editdist",
+    "q_llm_dedup_components", "q_llm_split", "q_llm_winnow",
+    "q_llm_winnow_pairs", "q_llm_repetition", "llm_cosine_pairs_blocked",
     "st_watermark", "st_dedup_wm", "st_foreachbatch",
     "st_trigger_availnow", "st_stateful_sessionizer",
     "st_stream_stream_join", "st_transform_with_state",
     "src_fetch", "src_pyds", "llm_ann_ivf",
-    # -- regression re-checks (verified rows; fill remaining slots) --
-    "q_filter_ts_cursor",                      # flagship
-    "q_fn_array", "q_fn_json", "q_fn_cast_decimal", "q_agg_collect",
-    "q_llm_simhash", "q_llm_tokencount",       # six former r1 reds
-    "pipe_reference_e2e", "q_agg_q1", "q_join_star",
-    "q_join_bucketed", "q_join_dpp", "q_agg_skew_salted",
-    "llm_embed_dedup_blocked", "llm_knn_blocked", "llm_mm_decode",
-    "q_llm_exact_dedup", "q_llm_ngram_jaccard", "q_stream_tumbling",
-    "src_fetch_profile",
+    "q_fn_bitwise", "q_fn_string2", "q_fn_hash_encode",
+    "q_agg_minmax_by", "q_time_gapfill", "q_agg_boolean", "q_agg_median",
+    "q_join_null_safe", "llm_jaccard_prefix", "llm_editdist_banded",
+    "llm_minhash_banded", "llm_components_starcontract",
+    "llm_doc_embed_cohesion", "llm_mm_pixel_dedup", "q_set_except_all",
+    "q_set_intersect_all", "q_sql_cte_window", "q_win_cume_nth",
+})
+
+#: Explicit order for the round-4 driver window (50 slots). Every
+#: declared row is now green on its latest driver check, so this
+#: round's window is freshness rotation per the r3 verdict: the 44
+#: rows whose latest check is still ROUND 1 (their modules changed in
+#: r2-r4), led by the two fetch-path rows whose transport was rewired
+#: to byte-level FlatBuffers THIS round, then r2-stale rows as buffer.
+#: Queries registered in r4 are not DRIVER_VERIFIED, so the rotation
+#: slots them right behind the pending list automatically; each one
+#: displaces the tail re-check.
+DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
+    # -- fetch-path rows: code changed this round (FlatBuffers wire) --
+    "src_fetch_profile", "pipe_reference_e2e",
+    # -- 44 rows last driver-checked in round 1 --
+    "q_agg_q1", "q_join_star", "q_join_smj", "q_llm_exact_dedup",
+    "q_fn_string", "q_fn_regexp", "q_fn_split", "q_fn_date", "q_fn_ts",
+    "q_fn_math", "q_fn_cond",
+    "q_agg_global_max", "q_agg_count_distinct", "q_agg_approx_cd",
+    "q_agg_rollup", "q_agg_cube", "q_agg_gsets", "q_agg_having",
+    "q_agg_percentile", "q_agg_skew_salted", "q_agg_pivot",
+    "q_agg_unpivot", "q_agg_stats",
+    "q_join_bcast", "q_join_left", "q_join_full", "q_join_semi",
+    "q_join_anti", "q_join_cross", "q_join_range", "q_join_asof",
+    "q_join_bucketed", "q_join_dpp",
+    "q_llm_fingerprint", "q_llm_ngram_jaccard", "llm_near_dedup",
+    "q_llm_embed_dedup", "q_llm_tokenstats", "q_llm_tfidf",
+    "q_llm_docprofile", "q_llm_langid", "q_llm_quality",
+    "q_llm_cosine_pairs", "q_llm_knn",
+    # -- r2-stale buffer (fill whatever the 50 has left) --
+    "snk_append_idem", "q_stream_tumbling", "q_scan_project",
+    "q_udf_py", "q_udf_pandas", "q_udaf_pandas", "udtf_mapinpandas",
+    "q_win_rownum", "q_topk_group", "q_sort_multikey",
 )
 
 
