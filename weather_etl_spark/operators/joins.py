@@ -91,24 +91,33 @@ FROM customer c LEFT JOIN events e ON c.c_custkey = e.user_id
 GROUP BY c_custkey
 """,
     doc="Left outer join with null-side aggregation (customers with zero "
-    "events keep a row with n_events = 0).",
-    scale_notes="Aggregate-after-join; Catalyst pushes the count into a "
-    "partial agg. At scale, pre-aggregate events per user before the join "
-    "to shrink the shuffle (same result, fewer rows moved).",
+    "events keep a row with n_events = 0). Shipped as the scale shape: "
+    "events pre-aggregate per user BEFORE the join, so the join (and "
+    "its shuffle) moves one row per user instead of one per event — "
+    "identical result to join-then-aggregate because every c_custkey "
+    "matches exactly one user_id group and the per-user decimal sums "
+    "are exact.",
+    scale_notes="Pre-aggregate-then-join: the events shuffle carries "
+    "(user_id, count, decimal-sum) partials — at 100 TB that is |users| "
+    "rows instead of |events|. The customer side joins the shrunken "
+    "per-user frame; zero-event customers surface via COALESCE after "
+    "the left join rather than null-group aggregation.",
 )
 def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = read_table(spark, sf_dir, "customer")
     ev = read_table(spark, sf_dir, "events")
-    return (
-        cust.join(ev, cust.c_custkey == ev.user_id, "left")
-        .groupBy("c_custkey")
-        .agg(
-            F.count("event_id").alias("n_events"),
-            F.coalesce(
-                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"),
-                F.lit(0.0),
-            ).alias("total_value"),
-        )
+    per_user = ev.groupBy("user_id").agg(
+        F.count("event_id").alias("n_ev"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+    )
+    return cust.join(
+        per_user, cust.c_custkey == per_user.user_id, "left"
+    ).select(
+        "c_custkey",
+        F.coalesce(F.col("n_ev"), F.lit(0)).alias("n_events"),
+        F.coalesce(
+            F.col("sum_value").cast("double"), F.lit(0.0)
+        ).alias("total_value"),
     )
 
 

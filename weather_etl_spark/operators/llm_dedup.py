@@ -32,6 +32,37 @@ from weather_etl_spark.io import read_table
 from weather_etl_spark.registry import register
 
 
+def shingles3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) table of distinct 3-token shingles — shared by
+    the exact-oracled shingle family (ngram_jaccard, jaccard_prefix,
+    minhash_banded).
+
+    Docs with fewer than 3 tokens emit NO shingles: the filter runs
+    BEFORE the transform because Spark's ``sequence(1, size-2)``
+    descends to ``[1, 0]`` for 2-token docs (``slice(toks, 0, 3)``
+    then throws at runtime) and emits a spurious short shingle for
+    1-token docs via a negative start, while the DuckDB oracles'
+    ``generate_series`` returns empty — the guard pins both engines to
+    the oracle's empty-set semantics regardless of corpus.
+    """
+    return (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, size(toks) - 2),"
+                        " i -> concat_ws(' ', slice(toks, i, 3)))"
+                    )
+                )
+            ).alias("shingle"),
+        )
+    )
+
+
 @register(
     "q_llm_exact_dedup",
     oracle="""
@@ -168,20 +199,7 @@ WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.5
     "MinHash banding (llm_near_dedup) bounds it further.",
 )
 def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("toks")
-    )
-    shingles = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(1, size(toks) - 2),"
-                    " i -> concat_ws(' ', slice(toks, i, 3)))"
-                )
-            )
-        ).alias("shingle"),
-    )
+    shingles = shingles3(spark, sf_dir)
     card = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = shingles.alias("a")
     b = shingles.alias("b")
@@ -254,20 +272,7 @@ def llm_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     t = 0.5
-    docs = read_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("toks")
-    )
-    shingles = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(1, size(toks) - 2),"
-                    " i -> concat_ws(' ', slice(toks, i, 3)))"
-                )
-            )
-        ).alias("shingle"),
-    )
+    shingles = shingles3(spark, sf_dir)
     # The shingle table feeds three consumers (df aggregate, prefix rank,
     # verification sets); Catalyst does not CSE across them, so cut the
     # lineage once instead of re-running scan+explode three times.  At
@@ -916,20 +921,7 @@ WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5
 )
 def llm_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_perm, band_rows = 12, 3
-    docs = read_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("toks")
-    )
-    shingles = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(1, size(toks) - 2),"
-                    " i -> concat_ws(' ', slice(toks, i, 3)))"
-                )
-            )
-        ).alias("shingle"),
-    )
+    shingles = shingles3(spark, sf_dir)
     perms = spark.range(n_perm).select(F.col("id").cast("int").alias("i"))
     mh = (
         shingles.crossJoin(F.broadcast(perms))
