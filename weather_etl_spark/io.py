@@ -78,12 +78,25 @@ def table_exists(spark: SparkSession, sf_dir: str, name: str) -> bool:
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table with the engine's session contract.
 
-    events.ts is Parquet TIMESTAMP(NANOS): with
-    ``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives as LongType
-    nanoseconds; we convert via integer division (``ts div 1000`` stays
-    in exact int64 — a double division would lose precision above 2^53)
-    to match DuckDB's read of the same column as microsecond TIMESTAMP
-    (truncation verified identical, FIXTURES.md).
+    events.ts is Parquet TIMESTAMP(NANOS).  Depending on the PySpark
+    build it surfaces in one of three shapes, and the engine normalizes
+    all of them to tz-aware ``timestamp`` (µs, session tz UTC — the
+    reference's invariant A7: all times tz-aware UTC,
+    lambda_function.py:107-108):
+
+    - ``bigint`` nanoseconds (``spark.sql.legacy.parquet.nanosAsLong``
+      honored): convert via integer division (``ts div 1000`` stays in
+      exact int64 — a double division would lose precision above 2^53).
+    - ``timestamp_ntz`` (builds where that conf is a no-op and NANOS
+      maps to TIMESTAMP_NTZ): cast to ``timestamp`` — with the session
+      tz pinned to UTC the wall-clock reinterpretation preserves the
+      instant exactly.
+    - ``timestamp`` already: nothing to do.
+
+    All three agree with DuckDB's read of the same column as microsecond
+    TIMESTAMP (truncation verified identical, FIXTURES.md).
+    tests/test_env_probe.py pins the post-read dtype so the next runtime
+    swap fails one loud test instead of ten driver rows.
     """
     ensure_engine_confs(spark)
     path = table_path(sf_dir, name)
@@ -93,6 +106,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             "reference invariant A9)"
         )
     df = spark.read.parquet(path)
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_dtype = dict(df.dtypes).get("ts")
+        if ts_dtype == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_dtype == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

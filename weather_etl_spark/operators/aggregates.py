@@ -503,32 +503,34 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderstatus,
        arg_max(o_orderkey,
-               CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000000
-               + o_orderkey) AS top_order,
+               CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS HUGEINT)
+               * 18446744073709551616 + o_orderkey) AS top_order,
        arg_min(o_orderkey,
-               CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000000
-               + o_orderkey) AS bottom_order,
+               CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS HUGEINT)
+               * 18446744073709551616 + o_orderkey) AS bottom_order,
        ROUND(MAX(o_totalprice), 4) AS max_price,
        COUNT(*) AS n
 FROM orders
 GROUP BY o_orderstatus
 """,
     doc="max_by / min_by (argmax aggregation): which order carries the "
-    "extreme price per status. The ordering key is exact integer cents "
-    "* 1e7 + orderkey — a total order, so ties cannot make the argmax "
-    "engine-dependent (DuckDB arg_max cannot take a struct key; the "
-    "scalar encoding is the portable equivalent of Spark's "
-    "max_by(col, struct(price, key)) tie-break idiom).",
+    "extreme price per status, tie-broken by orderkey so the argmax is "
+    "never engine-dependent. Spark orders by struct(cents, orderkey) "
+    "(structs are natively orderable, no collision at ANY scale); "
+    "DuckDB arg_max cannot take a struct key, so the oracle encodes the "
+    "same total order as an int128 HUGEINT cents*2**64 + orderkey — "
+    "identical ordering for any 0 <= orderkey < 2**64, i.e. unbounded "
+    "in SF (the previous bigint cents*1e7+key encoding collided once "
+    "orderkey reached 10M, ~SF1.6).",
     scale_notes="Single two-phase aggregate: partials carry one "
     "(key, value) pair per group per mapper — same shuffle shape as "
-    "MAX, no window/sort. The exact-cents BIGINT encoding stays inside "
-    "codegen.",
+    "MAX, no window/sort. The struct comparison stays inside codegen.",
 )
 def q_agg_minmax_by(spark, sf_dir):
     od = read_table(spark, sf_dir, "orders")
-    by = (
-        F.round(F.col("o_totalprice") * 100).cast("bigint") * 10000000
-        + F.col("o_orderkey")
+    by = F.struct(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.col("o_orderkey").alias("key"),
     )
     return od.groupBy("o_orderstatus").agg(
         F.max_by("o_orderkey", by).alias("top_order"),

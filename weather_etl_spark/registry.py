@@ -210,37 +210,38 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
     "q_set_intersect_all", "q_sql_cte_window", "q_win_cume_nth",
 })
 
-#: Explicit order for the round-4 driver window (50 slots). Every
-#: declared row is now green on its latest driver check, so this
-#: round's window is freshness rotation per the r3 verdict: the 44
-#: rows whose latest check is still ROUND 1 (their modules changed in
-#: r2-r4), led by the two fetch-path rows whose transport was rewired
-#: to byte-level FlatBuffers THIS round, then r2-stale rows as buffer.
-#: Queries registered in r4 are not DRIVER_VERIFIED, so the rotation
-#: slots them right behind the pending list automatically; each one
-#: displaces the tail re-check.
+#: Explicit order for the round-5 driver window (50 slots), per the r4
+#: verdict's rotation order: (1) the 10 queries the TIMESTAMP_NTZ
+#: runtime flip broke (4 driver-FAIL r4 + 6 stale-greens my local sweep
+#: found broken) — io.read_table now normalizes ntz->timestamp and the
+#: driver must re-green them; (2) q_agg_minmax_by, whose tie-break
+#: encoding was widened to HUGEINT/struct this round (oracle text
+#: changed); (3) the r2-stale block — every remaining row whose latest
+#: driver check is round 2; (4) one r3-stale buffer row.  Already-fresh
+#: rows stay regression-guarded by tests/test_oracle_parity.py.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- fetch-path rows: code changed this round (FlatBuffers wire) --
-    "src_fetch_profile", "pipe_reference_e2e",
-    # -- 44 rows last driver-checked in round 1 --
-    "q_agg_q1", "q_join_star", "q_join_smj", "q_llm_exact_dedup",
-    "q_fn_string", "q_fn_regexp", "q_fn_split", "q_fn_date", "q_fn_ts",
-    "q_fn_math", "q_fn_cond",
-    "q_agg_global_max", "q_agg_count_distinct", "q_agg_approx_cd",
-    "q_agg_rollup", "q_agg_cube", "q_agg_gsets", "q_agg_having",
-    "q_agg_percentile", "q_agg_skew_salted", "q_agg_pivot",
-    "q_agg_unpivot", "q_agg_stats",
-    "q_join_bcast", "q_join_left", "q_join_full", "q_join_semi",
-    "q_join_anti", "q_join_cross", "q_join_range", "q_join_asof",
-    "q_join_bucketed", "q_join_dpp",
-    "q_llm_fingerprint", "q_llm_ngram_jaccard", "llm_near_dedup",
-    "q_llm_embed_dedup", "q_llm_tokenstats", "q_llm_tfidf",
-    "q_llm_docprofile", "q_llm_langid", "q_llm_quality",
-    "q_llm_cosine_pairs", "q_llm_knn",
-    # -- r2-stale buffer (fill whatever the 50 has left) --
-    "snk_append_idem", "q_stream_tumbling", "q_scan_project",
-    "q_udf_py", "q_udf_pandas", "q_udaf_pandas", "udtf_mapinpandas",
-    "q_win_rownum", "q_topk_group", "q_sort_multikey",
+    # -- 10 NTZ-broken rows: re-green the fix --
+    "q_fn_ts", "q_agg_global_max", "q_join_asof", "q_stream_tumbling",
+    "q_filter_ts_cursor", "q_seq_timeaxis", "q_win_lag",
+    "q_win_rangeframe", "q_stream_sliding", "q_stream_session",
+    # -- changed this round (widened argmax tie-break encoding) --
+    "q_agg_minmax_by",
+    # -- r2-stale block (latest driver check = round 2) --
+    "q_filter_cmp", "q_filter_in_between", "q_null_norm", "q_scan_count",
+    "q_fn_array", "q_fn_json", "q_fn_cast_decimal", "q_agg_collect",
+    "q_llm_simhash", "q_llm_tokencount",
+    "q_win_rownum", "q_win_rank", "q_win_runsum", "q_win_moving",
+    "q_win_ntile", "q_win_firstlast", "q_topk_group", "q_sort_multikey",
+    "q_topk_global",
+    "q_set_union_all", "q_set_union", "q_set_intersect", "q_set_except",
+    "q_udf_pandas", "q_udaf_pandas", "udtf_mapinpandas", "q_udtf_py",
+    "snk_partitioned", "snk_csv_roundtrip", "snk_json_roundtrip",
+    "q_stream_static_join",
+    "q_llm_centroid", "llm_knn_blocked", "llm_multimodal",
+    "llm_mm_framesample", "llm_embed_dedup_blocked", "llm_mm_decode",
+    "llm_ann_lsh",
+    # -- r3-stale buffer --
+    "q_tpch_q3",
 )
 
 

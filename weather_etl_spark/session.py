@@ -10,7 +10,11 @@ columnar zero-copy decode — /root/reference/lambda_function.py:107-108,
 - AQE on (runtime join-strategy switch, skew-join splitting, partition
   coalescing) — our substitute for the reference's hand-ordered plan,
 - ``spark.sql.legacy.parquet.nanosAsLong=true`` so the driver testdata's
-  TIMESTAMP(NANOS) events table is readable (see FIXTURES.md ns trap).
+  TIMESTAMP(NANOS) events table is readable on builds that honor it
+  (see FIXTURES.md ns trap).  On the current PySpark 4.1.2 install the
+  conf is a NO-OP and NANOS arrives as TIMESTAMP_NTZ instead —
+  ``io.read_table`` normalizes both shapes to tz-aware ``timestamp``
+  and tests/test_env_probe.py pins the behavior (ENVIRONMENT.md).
 
 Scale note (100 TB): every conf here is cluster-safe. Shuffle
 partitions default to 2x local cores for the test harness; on a real

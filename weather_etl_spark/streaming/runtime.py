@@ -46,17 +46,29 @@ def _small_state(spark: SparkSession, n: int = 4):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
-#: Raw parquet schema of the events table (ts = TIMESTAMP(NANOS) read as
-#: long under nanosAsLong — see io.read_table).
+#: Raw parquet schema of the events table, ts dtype filled in per
+#: runtime: the file stores TIMESTAMP(NANOS), which different PySpark
+#: builds surface as bigint nanos (nanosAsLong honored), TIMESTAMP_NTZ,
+#: or TIMESTAMP (see io.read_table / ENVIRONMENT.md).
 EVENTS_RAW_DDL = (
-    "event_id long, ts long, user_id long, event_type string, value double, "
-    "props string"
+    "event_id long, ts {ts_dtype}, user_id long, event_type string, "
+    "value double, props string"
 )
 
 
 def _stream_events(spark: SparkSession, in_dir: str) -> DataFrame:
-    raw = spark.readStream.schema(EVENTS_RAW_DDL).parquet(in_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # readStream needs an explicit schema; probe how THIS runtime maps
+    # the file's TIMESTAMP(NANOS) with a batch read of the same files so
+    # the declared dtype matches (a hardcoded `ts long` silently reads
+    # micros on builds where nanosAsLong is a no-op), then normalize to
+    # tz-aware timestamp exactly like io.read_table.
+    ts_dtype = dict(spark.read.parquet(in_dir).dtypes)["ts"]
+    raw = spark.readStream.schema(
+        EVENTS_RAW_DDL.format(ts_dtype=ts_dtype)
+    ).parquet(in_dir)
+    if ts_dtype == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _run_to_memory(stream_df: DataFrame, mode: str, tmp: str) -> DataFrame:
