@@ -294,3 +294,47 @@ def test_aqe_splits_skewed_join_partition(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_sample_hash_is_shuffle_free_and_prunes(spark, sf_dir):
+    df = SPECS["q_sample_hash"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "Exchange" not in plan, (
+        "hash sampling must be a map-side narrow filter"
+    )
+    scan = _optimized_scan_info(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", scan)
+    assert m and "props" not in m.group(1), (
+        "sampler scan reads columns the projection dropped"
+    )
+
+
+def test_sessionize_reuses_one_user_shuffle(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_win_sessionize"].fn(spark, sf_dir))
+    # lag window, running-sum window, and the session aggregate all key
+    # on user_id: one hashpartitioning exchange must serve all three
+    # (AQE may append a coalesce-read, not a second shuffle)
+    assert plan.count("Exchange hashpartitioning") == 1, (
+        "sessionize should shuffle once on user_id, plan:\n" + plan[:1500]
+    )
+
+
+def test_islands_two_shuffles_with_partial_dedup(spark, sf_dir):
+    # Two exchanges is the RIGHT plan here: the distinct shuffles
+    # map-side partially-deduped (user_id, hr) pairs (tiny at scale),
+    # then the window re-keys on user_id. Forcing one shuffle (explicit
+    # repartition before distinct) would ship raw un-deduped events.
+    plan = _executed_plan(SPECS["q_win_islands"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 2, (
+        "islands grew a third shuffle, plan:\n" + plan[:1500]
+    )
+    assert "partial" in plan.lower(), (
+        "distinct must partial-aggregate map-side before its shuffle"
+    )
+
+
+def test_c4_filter_is_shuffle_free(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_llm_c4_filter"].fn(spark, sf_dir))
+    assert "Exchange" not in plan, (
+        "the corpus gate is a per-doc projection; no shuffle allowed"
+    )

@@ -480,3 +480,48 @@ def q_fn_hash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hx"
         ),
     )
+
+
+@register(
+    "q_fn_sql_udf",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       ROUND(l_extendedprice * (1 - l_discount), 4) AS net_price,
+       CASE WHEN l_discount >= 0.05 THEN 'deep' ELSE 'light' END AS disc_band
+FROM lineitem
+WHERE l_linenumber = 1
+""",
+    doc="SQL-defined scalar UDFs (Spark 4 CREATE FUNCTION ... RETURN "
+    "expr): net_price and disc_band are declared as catalog-level SQL "
+    "functions and invoked from a query — the user-extensibility "
+    "surface that needs NO Python and therefore no serialization "
+    "boundary. The oracle inlines the same expressions.",
+    scale_notes="SQL UDFs are macro-expanded into the plan at analysis "
+    "time: the executed plan is identical to writing the expression "
+    "inline — full codegen, pushdown, and pruning apply. The zero-cost "
+    "alternative to q_udf_py's interpreter round-trip (declared there "
+    "as the slow path).",
+)
+def q_fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION wes_net_price("
+        "price DOUBLE, disc DOUBLE) RETURNS DOUBLE "
+        "RETURN ROUND(price * (1 - disc), 4)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION wes_disc_band(disc DOUBLE) "
+        "RETURNS STRING "
+        "RETURN CASE WHEN disc >= 0.05 THEN 'deep' ELSE 'light' END"
+    )
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "wes_sqludf_lineitem"
+    )
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber,
+               wes_net_price(l_extendedprice, l_discount) AS net_price,
+               wes_disc_band(l_discount) AS disc_band
+        FROM wes_sqludf_lineitem
+        WHERE l_linenumber = 1
+        """
+    )

@@ -519,3 +519,140 @@ def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_bigram_frac"),
         )
     )
+
+
+@register(
+    "q_llm_c4_filter",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id, lang, n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_intersect(string_split(text, ' '),
+                            {list(_STOPWORDS)})) AS n_stop_kinds
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN n_tokens < 15 THEN 'too_short'
+            WHEN n_tokens > 5000 THEN 'too_long'
+            WHEN n_stop_kinds = 0 THEN 'no_stopwords'
+            WHEN CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens
+                 NOT BETWEEN 2.0 AND 12.0 THEN 'token_len'
+            ELSE 'keep' END AS verdict,
+       CAST(n_tokens AS BIGINT) AS n_tokens
+FROM m
+""",
+    doc="C4-style corpus gate (the published C4 / Gopher-rules shape): "
+    "every document is assigned keep or its FIRST failing rule — "
+    "token-count bounds, stopword presence, mean-token-length band — "
+    "so the output is both the filtered corpus (verdict = 'keep') and "
+    "the rejection audit (why each dropped doc dropped), which "
+    "training pipelines log for corpus iteration.",
+    scale_notes="Narrow per-doc projection: no shuffle, no join, all "
+    "rule arithmetic on already-materialized columns inside one "
+    "codegen stage. Rules short-circuit in a single CASE; adding rules "
+    "extends the projection, not the plan depth.",
+)
+def q_llm_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_stop_kinds = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(s) for s in _STOPWORDS]))
+    )
+    m = docs.select(
+        "doc_id",
+        "n_chars",
+        n_tokens.alias("n_tokens"),
+        n_stop_kinds.alias("n_stop_kinds"),
+    )
+    mean_tok_len = (
+        (F.col("n_chars") - (F.col("n_tokens") - 1)).cast("double")
+        / F.col("n_tokens")
+    )
+    verdict = (
+        F.when(F.col("n_tokens") < 15, "too_short")
+        .when(F.col("n_tokens") > 5000, "too_long")
+        .when(F.col("n_stop_kinds") == 0, "no_stopwords")
+        .when(~mean_tok_len.between(2.0, 12.0), "token_len")
+        .otherwise("keep")
+    )
+    return m.select(
+        "doc_id",
+        verdict.alias("verdict"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+
+
+@register(
+    "q_llm_corpus_stats",
+    oracle="""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       COUNT(DISTINCT lang) AS n_langs,
+       COUNT(*) - COUNT(DISTINCT text) AS n_exact_dups,
+       ROUND(CAST(COUNT(*) - COUNT(DISTINCT text) AS DOUBLE)
+             / COUNT(*), 4) AS dup_rate
+FROM documents
+GROUP BY source
+""",
+    doc="Per-source corpus health report: volume (docs, chars), "
+    "language spread, and the within-source exact-duplicate rate — "
+    "the first dashboard a data-curation team builds over a crawl, "
+    "and the signal that decides which sources get heavier dedup.",
+    scale_notes="One aggregate keyed by low-cardinality source; the "
+    "two COUNT(DISTINCT)s expand to the standard expand-partial-merge "
+    "plan. At 100 TB swap COUNT(DISTINCT text) for "
+    "approx_count_distinct over a text hash (the q_agg_approx_cd "
+    "pattern) — the exact form here is what the oracle can verify.",
+)
+def q_llm_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    n = F.count(F.lit(1))
+    return docs.groupBy("source").agg(
+        n.alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        (n - F.countDistinct("text")).alias("n_exact_dups"),
+        F.round((n - F.countDistinct("text")).cast("double") / n, 4).alias(
+            "dup_rate"
+        ),
+    )
+
+
+@register(
+    "q_llm_length_hist",
+    oracle="""
+WITH t AS (
+  SELECT (len(string_split(text, ' ')) // 10) * 10 AS bucket_lo
+  FROM documents
+)
+SELECT CAST(bucket_lo AS BIGINT) AS bucket_lo,
+       COUNT(*) AS n_docs,
+       ROUND(CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (), 4) AS share
+FROM t GROUP BY bucket_lo
+""",
+    doc="Token-length histogram (width-10 buckets) with each bucket's "
+    "corpus share: the length distribution every pretraining pipeline "
+    "inspects before choosing sequence length / packing strategy.",
+    scale_notes="Per-doc narrow projection then an aggregate on ~a few "
+    "hundred bucket keys; the share normalization is a window over the "
+    "already-tiny aggregate output, not over the corpus.",
+)
+def q_llm_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = ((F.size(F.split("text", " ")) / 10).cast("bigint") * 10).alias(
+        "bucket_lo"
+    )
+    agg = docs.select(bucket).groupBy("bucket_lo").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        F.col("bucket_lo").cast("bigint").alias("bucket_lo"),
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 4
+        ).alias("share"),
+    )

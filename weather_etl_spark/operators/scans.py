@@ -283,3 +283,30 @@ def q_scan_filemeta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("file_name")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "q_sample_hash",
+    oracle="""
+SELECT event_id, event_type, value
+FROM events
+WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) IN ('0', '1')
+""",
+    doc="Deterministic hash sampling: an md5-prefix predicate keeps a "
+    "reproducible ~1/8 of rows, independent of partitioning, row "
+    "order, or engine (md5 of the decimal key string is identical "
+    "everywhere — unlike TABLESAMPLE / rand(seed), which are "
+    "engine-specific). The standard way to carve stable train / "
+    "validation / test splits from a corpus: disjoint samples come "
+    "from disjoint prefix sets, and re-runs select the same rows.",
+    scale_notes="Pure map-side narrow filter: no shuffle, no state, "
+    "embarrassingly parallel, and composes with column pruning (the "
+    "scan reads only the 3 output columns + key). md5 costs ~100ns/row "
+    "JVM-side inside whole-stage codegen; at 100 TB the sample is the "
+    "only data that leaves the scan stage.",
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return ev.filter(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 1).isin("0", "1")
+    ).select("event_id", "event_type", "value")

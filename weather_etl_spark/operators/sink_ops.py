@@ -193,3 +193,30 @@ def snk_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "r_regionkey", "r_name", "name_len", "batch"
     ).localCheckpoint()
+
+
+@register(
+    "snk_orc_roundtrip",
+    oracle="""
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+""",
+    doc="ORC sink + source round-trip: supplier written as ORC (the "
+    "second columnar format Spark ships natively), read back with the "
+    "explicit schema (A9: no inference in production paths), returned "
+    "losslessly — doubles survive bit-exactly through ORC's binary "
+    "encoding, unlike text formats.",
+    scale_notes="ORC keeps the columnar contract Parquet gives us: "
+    "column pruning, predicate pushdown, stripe-level stats. Included "
+    "so a reference user with ORC lakes can land data without a "
+    "format migration; the engine's default remains Parquet.",
+)
+def snk_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tmp = scratch_dir("snk_orc")
+    sup = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    sup.write.mode("overwrite").orc(tmp)
+    back = spark.read.schema(
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
+    ).orc(tmp)
+    return back.localCheckpoint()

@@ -219,3 +219,87 @@ FROM ranked r JOIN wes_sql_customer c ON c.c_custkey = r.o_custkey
 WHERE r.rn = 1 AND r.n_orders >= 8
 """
     )
+
+
+@register(
+    "q_sql_pipe",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n, MIN(o_orderkey) AS min_key,
+       ROUND(MAX(o_totalprice), 4) AS max_price
+FROM orders
+WHERE o_orderstatus <> 'F'
+GROUP BY o_orderpriority
+""",
+    doc="SQL pipe syntax (Spark 4 `|>` operators): the same "
+    "filter-aggregate query expressed as a linear pipeline — FROM "
+    "|> WHERE |> AGGREGATE ... GROUP BY — proving the engine carries "
+    "the full Spark 4 SQL dialect surface, not just classic SELECT. "
+    "The oracle is the equivalent classic-form statement.",
+    scale_notes="Pure syntax: pipe stages lower to the identical "
+    "logical plan as the classic form (one pushed filter, one partial "
+    "agg + shuffle), so every Catalyst/AQE optimization applies "
+    "unchanged.",
+)
+def q_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "wes_pipe_orders"
+    )
+    return spark.sql(
+        """
+        FROM wes_pipe_orders
+        |> WHERE o_orderstatus <> 'F'
+        |> AGGREGATE COUNT(*) AS n, MIN(o_orderkey) AS min_key,
+                     ROUND(MAX(o_totalprice), 4) AS max_price
+           GROUP BY o_orderpriority
+        |> SELECT o_orderpriority, n, min_key, max_price
+        """
+    )
+
+
+@register(
+    "q_sql_recursive_cte",
+    oracle="""
+WITH RECURSIVE months(mon) AS (
+  SELECT CAST((SELECT MIN(date_trunc('month', o_orderdate)) FROM orders)
+              AS DATE)
+  UNION ALL
+  SELECT CAST(mon + INTERVAL '1' MONTH AS DATE) FROM months
+  WHERE mon < CAST((SELECT MAX(date_trunc('month', o_orderdate)) FROM orders)
+                   AS DATE)
+)
+SELECT mon, COUNT(o_orderkey) AS n_orders
+FROM months LEFT JOIN orders
+  ON CAST(date_trunc('month', o_orderdate) AS DATE) = mon
+GROUP BY mon
+""",
+    doc="Recursive CTE (Spark 4.x WITH RECURSIVE): generate the "
+    "contiguous month axis spanning the order history by recursion "
+    "anchored and bounded by scalar subqueries, then left-join order "
+    "counts onto it — months with zero orders still appear. The "
+    "recursive sibling of q_seq_timeaxis's sequence() axis; the oracle "
+    "is the SAME statement (DuckDB shares the syntax).",
+    scale_notes="The recursion materializes one row per month — "
+    "driver-scale metadata, not data — then one broadcast-able join "
+    "against the fact aggregate. Recursion depth = months spanned, "
+    "bounded and tiny; never data-proportional.",
+)
+def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "wes_rcte_orders"
+    )
+    return spark.sql(
+        """
+WITH RECURSIVE months(mon) AS (
+  SELECT CAST((SELECT MIN(date_trunc('month', o_orderdate))
+               FROM wes_rcte_orders) AS DATE)
+  UNION ALL
+  SELECT CAST(mon + INTERVAL '1' MONTH AS DATE) FROM months
+  WHERE mon < CAST((SELECT MAX(date_trunc('month', o_orderdate))
+                    FROM wes_rcte_orders) AS DATE)
+)
+SELECT mon, COUNT(o_orderkey) AS n_orders
+FROM months LEFT JOIN wes_rcte_orders
+  ON CAST(date_trunc('month', o_orderdate) AS DATE) = mon
+GROUP BY mon
+        """
+    )

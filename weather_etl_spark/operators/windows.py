@@ -301,3 +301,116 @@ def q_win_cume_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 4).alias("cd"),
         F.nth_value("c_name", 3).over(w).alias("third_name"),
     )
+
+
+@register(
+    "q_win_sessionize",
+    oracle="""
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_us
+  FROM events
+), f AS (
+  SELECT user_id, ts_us,
+         CASE WHEN prev_us IS NULL
+                   OR ts_us - prev_us > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM o
+), s AS (
+  SELECT user_id, ts_us,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us) AS sess_no
+  FROM f
+)
+SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no,
+       MIN(ts_us) AS sess_start_us,
+       MAX(ts_us) - MIN(ts_us) AS duration_us,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sess_no
+""",
+    doc="Batch sessionization (gaps > 30 min start a new session): the "
+    "lag-flag-cumsum idiom — per user, flag rows whose gap to the "
+    "previous event exceeds the timeout, running-sum the flags into a "
+    "session number, then aggregate per session. The batch twin of "
+    "st_stateful_sessionizer's streaming state machine, and the "
+    "canonical pre-processing step for behavioral training data.",
+    scale_notes="Two windows + one aggregate, all partitioned by "
+    "user_id: a single shuffle on the user key serves the lag, the "
+    "running sum, and the session aggregate (same partitioning reused "
+    "across stages). High-cardinality key, no driver-side state; a "
+    "pathologically hot user would be split by salting on date first.",
+)
+def q_win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    w_lag = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.col("ts_us") - F.lag("ts_us").over(w_lag) > 30 * 60 * 1_000_000,
+            1,
+        )
+        .when(F.lag("ts_us").over(w_lag).isNull(), 1)
+        .otherwise(0),
+    )
+    sess = flagged.withColumn("sess_no", F.sum("new_sess").over(w_run))
+    return sess.groupBy("user_id", "sess_no").agg(
+        F.min("ts_us").alias("sess_start_us"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "q_win_islands",
+    oracle="""
+WITH h AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS hr
+  FROM events
+), g AS (
+  SELECT user_id, hr,
+         hr - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY hr) AS grp
+  FROM h
+)
+SELECT user_id,
+       MIN(hr) * 3600000000 AS island_start_us,
+       CAST(COUNT(*) AS BIGINT) AS n_hours
+FROM g GROUP BY user_id, grp
+""",
+    doc="Gaps-and-islands: maximal runs of consecutive active hours per "
+    "user, via the classic hour_index - row_number() constant-per-run "
+    "trick — consecutive hours share the difference, so grouping by it "
+    "yields one row per island. Coverage/continuity profiling for "
+    "time-series training data.",
+    scale_notes="Two shuffles by design: the distinct partial-aggregates "
+    "map-side so its exchange carries at most (users x hours) deduped "
+    "pairs — tiny at any scale — then the window re-keys on user_id "
+    "and the final aggregate reuses that partitioning. Collapsing to "
+    "one shuffle (repartition before distinct) would ship raw "
+    "un-deduped events; worse at 100 TB.",
+)
+def q_win_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hours = (
+        read_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            (F.unix_micros("ts") / F.lit(3_600_000_000))
+            .cast("bigint")
+            .alias("hr"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("hr")
+    grp = hours.withColumn("grp", F.col("hr") - F.row_number().over(w))
+    return grp.groupBy("user_id", "grp").agg(
+        (F.min("hr") * F.lit(3_600_000_000)).alias("island_start_us"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+    ).drop("grp")
