@@ -338,3 +338,25 @@ def test_c4_filter_is_shuffle_free(spark, sf_dir):
     assert "Exchange" not in plan, (
         "the corpus gate is a per-doc projection; no shuffle allowed"
     )
+
+
+def test_time_interp_single_event_shuffle_no_join_on_facts(spark, sf_dir):
+    # the as-of pairing must be window frames over one user_id sort, not
+    # a range/cross join of events against the grid
+    plan = _executed_plan(SPECS["q_time_interp"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan.replace(
+        "BroadcastNestedLoopJoin", ""
+    ), "grid pairing fell back to a cartesian join against events"
+    assert plan.count("Window") >= 1
+    # events shuffle once on user_id for the windows; the grid build may
+    # add tiny exchanges (bounds agg + distinct users), never a second
+    # events-sized one
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2
+
+
+def test_agg_mode_ranks_over_counts_not_rows(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_agg_mode"].fn(spark, sf_dir))
+    assert "partial_count" in plan, (
+        "mode must partial-aggregate the (status, priority) counts "
+        "map-side before any window"
+    )

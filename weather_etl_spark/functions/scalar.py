@@ -525,3 +525,35 @@ def q_fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE l_linenumber = 1
         """
     )
+
+
+@register(
+    "q_fn_map",
+    oracle="""
+SELECT event_id,
+       len(json_keys(props)) AS n_keys,
+       CAST(json_extract(props, '$.k') AS INT) AS v_k,
+       json_extract(props, '$.k') IS NOT NULL AS has_k
+FROM events
+WHERE event_id < 2000
+""",
+    doc="MapType surface: the events props JSON parsed into a real "
+    "map<string,int> column, then interrogated with the map-function "
+    "family — size (key count), element_at lookup, map_contains_key. "
+    "Complements q_fn_json (string-path extraction) with the typed "
+    "collection API; the oracle reads the same facts through DuckDB's "
+    "JSON functions.",
+    scale_notes="from_json + map ops are JVM expressions inside "
+    "codegen: per-row, zero shuffle, and the event_id predicate is "
+    "pushed to the parquet scan. MapType columns carry no global "
+    "dictionary — safe at any cardinality.",
+)
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    m = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.element_at(m, "k").alias("v_k"),
+        F.map_contains_key(m, "k").alias("has_k"),
+    )

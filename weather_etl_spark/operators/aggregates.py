@@ -678,3 +678,200 @@ def q_agg_median(spark, sf_dir):
         F.round(F.median(v), 4).alias("med_value"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "q_agg_mode",
+    oracle="""
+WITH c AS (
+  SELECT o_orderstatus AS st, o_orderpriority AS pri, COUNT(*) AS n
+  FROM orders GROUP BY st, pri
+), r AS (
+  SELECT st, pri, n,
+         ROW_NUMBER() OVER (PARTITION BY st ORDER BY n DESC, pri) AS rn
+  FROM c
+)
+SELECT st AS o_orderstatus, pri AS mode_priority, n AS n_occurrences
+FROM r WHERE rn = 1
+""",
+    doc="Deterministic MODE aggregate: the most frequent order priority "
+    "per status, tie-broken lexicographically — built as count-then-"
+    "rank rather than the engines' native mode() (whose tie choice is "
+    "engine-dependent and would never hash-match across engines).",
+    scale_notes="Two-level aggregate: the (status, priority) count "
+    "partial-aggregates map-side and shuffles only distinct pairs; the "
+    "rank window then runs over a group-count-sized frame (tiny), not "
+    "the fact table.",
+)
+def q_agg_mode(spark, sf_dir):
+    from pyspark.sql import Window
+
+    od = read_table(spark, sf_dir, "orders")
+    c = od.groupBy(
+        F.col("o_orderstatus").alias("st"), F.col("o_orderpriority").alias("pri")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("st").orderBy(F.col("n").desc(), F.col("pri"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("st").alias("o_orderstatus"),
+            F.col("pri").alias("mode_priority"),
+            F.col("n").alias("n_occurrences"),
+        )
+    )
+
+
+@register(
+    "q_time_interp",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value, event_id FROM events
+), b AS (
+  SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi FROM events
+), days AS (
+  SELECT epoch_us(CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+                       AS TIMESTAMP)) AS g_us
+  FROM b
+), grid AS (
+  SELECT u.user_id, d.g_us AS ts_us
+  FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN days d
+), un AS (
+  SELECT user_id, ts_us, 0 AS is_grid, value, event_id FROM ev
+  UNION ALL
+  SELECT user_id, ts_us, 1, NULL, -1 FROM grid
+), f AS (
+  SELECT user_id, ts_us, is_grid,
+    last_value(value IGNORE NULLS) OVER w_back AS prev_v,
+    last_value(CASE WHEN is_grid = 0 THEN ts_us END IGNORE NULLS)
+      OVER w_back AS prev_t,
+    first_value(value IGNORE NULLS) OVER w_fwd AS next_v,
+    first_value(CASE WHEN is_grid = 0 THEN ts_us END IGNORE NULLS)
+      OVER w_fwd AS next_t
+  FROM un
+  WINDOW
+   w_back AS (PARTITION BY user_id ORDER BY ts_us, is_grid, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+   w_fwd AS (PARTITION BY user_id ORDER BY ts_us, is_grid, event_id
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, ts_us AS grid_us,
+       ROUND(prev_v + (next_v - prev_v)
+             * (CAST(ts_us - prev_t AS DOUBLE) / (next_t - prev_t)),
+             4) AS v_interp
+FROM f
+WHERE is_grid = 1 AND prev_v IS NOT NULL AND next_v IS NOT NULL
+""",
+    doc="Linear-interpolation resample (the hypertable "
+    "time_bucket_gapfill/interpolate shape): each user's value series "
+    "is sampled at daily-midnight grid points, linearly interpolated "
+    "between the nearest surrounding events via the union-and-two-"
+    "window as-of technique (events and grid points merged into one "
+    "ordered stream; backward last-ignore-nulls carries the previous "
+    "event, forward first-ignore-nulls the next). Grid points outside "
+    "a user's event span are dropped (no extrapolation). A grid point "
+    "coinciding with an event returns exactly that event's value.",
+    scale_notes="No join: the as-of pairing is two frames over ONE "
+    "user_id-partitioned sort, so the whole operator costs a single "
+    "shuffle of events + a metadata-sized grid (users x days, "
+    "broadcast-built from a 1-row bounds aggregate). The standard "
+    "scalable alternative to a range join against the grid.",
+)
+def q_time_interp(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "value", "event_id"
+    )
+    bounds = ev.agg(F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi"))
+    days = bounds.select(
+        F.explode(
+            F.sequence(
+                F.to_date(F.timestamp_micros("lo")),
+                F.to_date(F.timestamp_micros("hi")),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day")
+    ).select(F.unix_micros(F.col("day").cast("timestamp")).alias("g_us"))
+    users = ev.select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(days)).select(
+        "user_id",
+        F.col("g_us").alias("ts_us"),
+        F.lit(1).alias("is_grid"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(-1).cast("bigint").alias("event_id"),
+    )
+    un = ev.select(
+        "user_id", "ts_us", F.lit(0).alias("is_grid"), "value", "event_id"
+    ).unionByName(grid)
+    order = [F.col("ts_us"), F.col("is_grid"), F.col("event_id")]
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ev_ts = F.when(F.col("is_grid") == 0, F.col("ts_us"))
+    f = un.select(
+        "user_id",
+        "ts_us",
+        "is_grid",
+        F.last("value", ignorenulls=True).over(w_back).alias("prev_v"),
+        F.last(ev_ts, ignorenulls=True).over(w_back).alias("prev_t"),
+        F.first("value", ignorenulls=True).over(w_fwd).alias("next_v"),
+        F.first(ev_ts, ignorenulls=True).over(w_fwd).alias("next_t"),
+    )
+    frac = (F.col("ts_us") - F.col("prev_t")).cast("double") / (
+        F.col("next_t") - F.col("prev_t")
+    )
+    return (
+        f.filter(
+            (F.col("is_grid") == 1)
+            & F.col("prev_v").isNotNull()
+            & F.col("next_v").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.col("ts_us").alias("grid_us"),
+            F.round(
+                F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac, 4
+            ).alias("v_interp"),
+        )
+    )
+
+
+@register(
+    "q_agg_regr",
+    oracle="""
+SELECT event_type,
+       ROUND(regr_slope(value, epoch_us(ts) / 86400e6), 6) AS slope_per_day,
+       ROUND(regr_intercept(value, epoch_us(ts) / 86400e6), 4) AS intercept,
+       ROUND(regr_r2(value, epoch_us(ts) / 86400e6), 6) AS r2,
+       regr_count(value, value) AS n
+FROM events
+GROUP BY event_type
+""",
+    doc="Linear-regression aggregates per group: slope / intercept / "
+    "R-squared of value against time (in days) for each event type — "
+    "the one-pass trend detector (is this metric drifting?) that "
+    "replaces a window + fit loop. Both engines implement the same "
+    "closed-form co-moment formulas, so the rounded outputs hash-match "
+    "exactly.",
+    scale_notes="regr_* are single-pass mergeable moment sketches "
+    "(n, Σx, Σy, Σxx, Σxy) — partial+final aggregation, shuffle of "
+    "O(groups) like any SUM. The time axis is rescaled to days BEFORE "
+    "aggregation so Σxx stays far from double overflow at any SF.",
+)
+def q_agg_regr(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    x = F.unix_micros("ts") / F.lit(86400e6)
+    return ev.groupBy("event_type").agg(
+        F.round(F.regr_slope(F.col("value"), x), 6).alias("slope_per_day"),
+        F.round(F.regr_intercept(F.col("value"), x), 4).alias("intercept"),
+        F.round(F.regr_r2(F.col("value"), x), 6).alias("r2"),
+        F.regr_count(F.col("value"), F.col("value")).alias("n"),
+    )

@@ -259,13 +259,15 @@ def q_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_sql_recursive_cte",
     oracle="""
-WITH RECURSIVE months(mon) AS (
-  SELECT CAST((SELECT MIN(date_trunc('month', o_orderdate)) FROM orders)
-              AS DATE)
+WITH RECURSIVE b AS (
+  SELECT CAST(MIN(date_trunc('month', o_orderdate)) AS DATE) AS lo,
+         CAST(MAX(date_trunc('month', o_orderdate)) AS DATE) AS hi
+  FROM orders
+), months(mon, hi) AS (
+  SELECT lo, hi FROM b
   UNION ALL
-  SELECT CAST(mon + INTERVAL '1' MONTH AS DATE) FROM months
-  WHERE mon < CAST((SELECT MAX(date_trunc('month', o_orderdate)) FROM orders)
-                   AS DATE)
+  SELECT CAST(mon + INTERVAL '1' MONTH AS DATE), hi FROM months
+  WHERE mon < hi
 )
 SELECT mon, COUNT(o_orderkey) AS n_orders
 FROM months LEFT JOIN orders
@@ -273,15 +275,19 @@ FROM months LEFT JOIN orders
 GROUP BY mon
 """,
     doc="Recursive CTE (Spark 4.x WITH RECURSIVE): generate the "
-    "contiguous month axis spanning the order history by recursion "
-    "anchored and bounded by scalar subqueries, then left-join order "
-    "counts onto it — months with zero orders still appear. The "
-    "recursive sibling of q_seq_timeaxis's sequence() axis; the oracle "
-    "is the SAME statement (DuckDB shares the syntax).",
+    "contiguous month axis spanning the order history, the hi bound "
+    "pre-aggregated once and CARRIED THROUGH the recursion as a "
+    "column (a scalar subquery in the recursive WHERE re-scans the "
+    "fact table every iteration — measured 19 s vs ~2 s at sf0.1), "
+    "then left-join order counts onto it — months with zero orders "
+    "still appear. The recursive sibling of q_seq_timeaxis's "
+    "sequence() axis; the oracle is the SAME statement (DuckDB shares "
+    "the syntax).",
     scale_notes="The recursion materializes one row per month — "
-    "driver-scale metadata, not data — then one broadcast-able join "
-    "against the fact aggregate. Recursion depth = months spanned, "
-    "bounded and tiny; never data-proportional.",
+    "driver-scale metadata, not data — and each recursive step "
+    "references ONLY the previous iteration, so the fact table is "
+    "scanned exactly twice (bounds + join) regardless of month count. "
+    "Recursion depth = months spanned; never data-proportional.",
 )
 def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     read_table(spark, sf_dir, "orders").createOrReplaceTempView(
@@ -289,13 +295,15 @@ def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return spark.sql(
         """
-WITH RECURSIVE months(mon) AS (
-  SELECT CAST((SELECT MIN(date_trunc('month', o_orderdate))
-               FROM wes_rcte_orders) AS DATE)
+WITH RECURSIVE b AS (
+  SELECT CAST(MIN(date_trunc('month', o_orderdate)) AS DATE) AS lo,
+         CAST(MAX(date_trunc('month', o_orderdate)) AS DATE) AS hi
+  FROM wes_rcte_orders
+), months(mon, hi) AS (
+  SELECT lo, hi FROM b
   UNION ALL
-  SELECT CAST(mon + INTERVAL '1' MONTH AS DATE) FROM months
-  WHERE mon < CAST((SELECT MAX(date_trunc('month', o_orderdate))
-                    FROM wes_rcte_orders) AS DATE)
+  SELECT CAST(mon + INTERVAL '1' MONTH AS DATE), hi FROM months
+  WHERE mon < hi
 )
 SELECT mon, COUNT(o_orderkey) AS n_orders
 FROM months LEFT JOIN wes_rcte_orders

@@ -217,8 +217,13 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 #: driver must re-green them; (2) q_agg_minmax_by, whose tie-break
 #: encoding was widened to HUGEINT/struct this round (oracle text
 #: changed); (3) the r2-stale block — every remaining row whose latest
-#: driver check is round 2; (4) one r3-stale buffer row.  Already-fresh
-#: rows stay regression-guarded by tests/test_oracle_parity.py.
+#: driver check is round 2; (4) one r3-stale buffer row.  NOTE: the 14
+#: queries ADDED in round 5 rank ahead of this whole list by the
+#: never-verified rule below (a first verdict beats a re-check), so
+#: the actual r5 window is 14 new + 11 changed + the first 25 of the
+#: r2-stale block; this list's tail (snk_*/stream_static/multimodal/
+#: ann_lsh/q_tpch_q3) queues for round 6.  Already-fresh rows stay
+#: regression-guarded by tests/test_oracle_parity.py.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- 10 NTZ-broken rows: re-green the fix --
     "q_fn_ts", "q_agg_global_max", "q_join_asof", "q_stream_tumbling",
