@@ -656,3 +656,57 @@ def q_llm_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 4
         ).alias("share"),
     )
+
+
+@register(
+    "q_llm_pack",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT source, CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       MIN(doc_id) AS first_doc
+FROM c GROUP BY source, pack_id
+""",
+    doc="Sequence packing (the GPT-style concat-then-chunk pretraining "
+    "step): docs stream in deterministic order (doc_id) within each "
+    "source, the running token count assigns each doc to the 512-token "
+    "pack its first token falls in, and the output is one row per pack "
+    "with its doc count / token sum / first doc. Deterministic and "
+    "engine-independent, unlike greedy best-fit bin packing (whose "
+    "result depends on iteration order).",
+    scale_notes="One running-sum window + one aggregate, both keyed on "
+    "source — a single shuffle. Pack assignment is a pure projection "
+    "of the cumsum; no sequential driver loop, no state. With skewed "
+    "sources, sub-partition by (source, doc_id range) first — the "
+    "cumsum offset per range is a tiny broadcast join.",
+)
+def q_llm_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = docs.withColumn("cum", F.sum("n_tokens").over(w))
+    pack_id = F.floor((F.col("cum") - F.col("n_tokens")) / 512).cast("bigint")
+    return (
+        c.select("source", pack_id.alias("pack_id"), "n_tokens", "doc_id")
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
