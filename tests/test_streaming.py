@@ -94,3 +94,84 @@ def test_transform_with_state_running_totals(spark, sf_dir):
         (1, 3, t0 + 20 * m),  # batch 2: state carried, max advanced
         (2, 1, t0 + 5 * m),   # batch 1 only
     ]
+
+
+def test_streaming_sessionizer_agrees_with_batch_sessionize(spark):
+    """Cross-paradigm coherence: the applyInPandasWithState 30-min-gap
+    sessionizer, run as a real stream over the actual events table,
+    must emit exactly the batch q_win_sessionize sessions MINUS each
+    user's final (still-open, deliberately unemitted) session."""
+    import shutil
+    import tempfile
+    import uuid
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from weather_etl_spark.streaming.runtime import (
+        _run_to_memory,
+        _small_state,
+        _stream_events,
+    )
+    from tests.conftest import SMOKE_SF_DIR
+
+    gap_us = 30 * 60 * 1_000_000
+
+    def sessionize(key, pdf_iter, state: GroupState):
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us, last_us, n = None, None, 0
+        closed = []
+        for pdf in pdf_iter:
+            for ts_us in sorted(int(v) for v in pdf["ts_us"]):
+                if start_us is None:
+                    start_us, last_us, n = ts_us, ts_us, 1
+                elif ts_us - last_us > gap_us:
+                    closed.append((key[0], start_us, n))
+                    start_us, last_us, n = ts_us, ts_us, 1
+                else:
+                    last_us, n = ts_us, n + 1
+        state.update((start_us, last_us, n))
+        yield pd.DataFrame(
+            closed, columns=["user_id", "sess_start_us", "n_events"]
+        )
+
+    tmp = tempfile.mkdtemp(prefix="st_sess_parity_")
+    try:
+        import os
+
+        in_dir = f"{tmp}/in"
+        os.makedirs(in_dir)
+        shutil.copy(
+            f"{SMOKE_SF_DIR}/events.parquet", f"{in_dir}/events.parquet"
+        )
+        stream = _stream_events(spark, in_dir).select(
+            "user_id", F.unix_micros("ts").alias("ts_us")
+        )
+        sessions = stream.groupBy("user_id").applyInPandasWithState(
+            sessionize,
+            outputStructType="user_id long, sess_start_us long, n_events long",
+            stateStructType="start_us long, last_us long, n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        with _small_state(spark):
+            streamed = _run_to_memory(sessions, "append", tmp)
+        got = _rows(streamed)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    batch = SPECS["q_win_sessionize"].fn(spark, SMOKE_SF_DIR).select(
+        "user_id", "sess_start_us", "n_events"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("sess_start_us").desc())
+    want = _rows(
+        batch.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)  # drop each user's open tail session
+        .drop("rn")
+    )
+    assert got == want
