@@ -576,3 +576,51 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(a["k"].alias("k"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "q_join_asof_fwd",
+    oracle="""
+SELECT v.event_id AS view_id, v.user_id,
+       epoch_us(v.ts) AS ts_us, epoch_us(p.ts) AS next_purchase_us
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id AND v.ts < p.ts
+""",
+    doc="FORWARD as-of join (the time-to-conversion query): each view "
+    "matched to the user's NEXT purchase strictly after it. Mirror of "
+    "q_join_asof — first(ignorenulls) over the forward window frame, "
+    "with purchases at the identical timestamp sorted BEFORE the view "
+    "so the strict < semantics hold (the forward frame starts at the "
+    "view row and therefore excludes them). Oracled by DuckDB's ASOF "
+    "with the < comparator.",
+    scale_notes="Identical cost to the backward as-of: one shuffle of "
+    "the unioned stream on user_id, one window pass — direction only "
+    "flips the frame, not the plan shape.",
+)
+def q_join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    # purchase (build side) sorts before view (probe side) at equal ts
+    is_probe = (F.col("event_type") == "view").cast("int")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), is_probe, F.col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    purchase_ts = F.when(
+        F.col("event_type") == "purchase", F.unix_micros("ts")
+    )
+    return (
+        ev.withColumn(
+            "next_purchase_us", F.first(purchase_ts, ignorenulls=True).over(w)
+        )
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "next_purchase_us",
+        )
+    )
