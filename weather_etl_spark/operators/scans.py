@@ -310,3 +310,51 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.filter(
         F.substring(F.md5(F.col("event_id").cast("string")), 1, 1).isin("0", "1")
     ).select("event_id", "event_type", "value")
+
+
+@register(
+    "q_sample_stratified",
+    oracle="""
+SELECT event_type, COUNT(*) AS n_sampled,
+       MIN(event_id) AS first_id,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum
+FROM events
+WHERE (CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4)) AS INT)
+       % 100)
+      < CASE event_type WHEN 'purchase' THEN 100
+                        WHEN 'signup'   THEN 50
+                        ELSE 10 END
+GROUP BY event_type
+""",
+    doc="Deterministic STRATIFIED sampling (sampleBy without the "
+    "engine-specific RNG): each stratum keeps a different fraction — "
+    "100% of rare purchases, 50% of signups, 10% of everything else — "
+    "selected by the md5-bucket of the row key against a per-stratum "
+    "threshold, so the sample is reproducible across engines, runs, "
+    "and partitionings. The class-rebalancing step of training-data "
+    "curation; summarized per stratum (count / first id / id checksum) "
+    "so the oracle verifies the exact row selection.",
+    scale_notes="Map-side narrow filter like q_sample_hash: no "
+    "shuffle for the selection, one tiny aggregate for the summary. "
+    "Changing rates touches only the CASE thresholds — the md5 bucket "
+    "is computed once however many strata exist.",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10
+    ).cast("int") % 100
+    rate = (
+        F.when(F.col("event_type") == "purchase", 100)
+        .when(F.col("event_type") == "signup", 50)
+        .otherwise(10)
+    )
+    return (
+        ev.filter(bucket < rate)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("event_id").alias("first_id"),
+            F.sum("event_id").cast("bigint").alias("id_sum"),
+        )
+    )

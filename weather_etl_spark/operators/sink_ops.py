@@ -220,3 +220,35 @@ def snk_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
     ).orc(tmp)
     return back.localCheckpoint()
+
+
+@register(
+    "snk_xml_roundtrip",
+    oracle="""
+SELECT r_regionkey, r_name FROM region
+""",
+    doc="XML sink + source round-trip (Spark 4 ships the XML source "
+    "built-in): region written with rowTag/rootTag, read back with the "
+    "explicit schema (A9: no inference in production paths) — the "
+    "enterprise-interchange edge format alongside CSV/JSONL/ORC.",
+    scale_notes="Same edge-format caveats as CSV/JSONL (row-oriented "
+    "text, no pruning or pushdown) plus per-row tag parsing; the "
+    "engine reads XML at the boundary and lands Parquet immediately.",
+)
+def snk_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tmp = scratch_dir("snk_xml")
+    reg = read_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    (
+        reg.write.format("xml")
+        .option("rootTag", "regions")
+        .option("rowTag", "region")
+        .mode("overwrite")
+        .save(tmp)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "region")
+        .schema("r_regionkey long, r_name string")
+        .load(tmp)
+    )
+    return back.localCheckpoint()
