@@ -430,3 +430,69 @@ def llm_mm_pixel_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("keep_id"),
         F.count(F.lit(1)).alias("n_copies"),
     ).select("width", "height", "keep_id", "n_copies")
+
+
+@register(
+    "llm_mm_audio_window",
+    oracle="""
+WITH v AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS len
+  FROM documents WHERE doc_id <= 40
+), w AS (
+  SELECT doc_id, text, len, unnest(range(0, len, 32)) AS byte_off
+  FROM v
+)
+SELECT doc_id,
+       CAST(byte_off // 32 AS BIGINT) AS win_idx,
+       CAST(byte_off AS BIGINT) AS byte_off,
+       CAST(LEAST(64, len - byte_off) AS BIGINT) AS win_len,
+       CAST(length(substr(text, byte_off + 1, 64))
+            - length(replace(substr(text, byte_off + 1, 64), ' ', ''))
+            AS BIGINT) AS n_spaces
+FROM w
+""",
+    doc="Audio-style OVERLAPPED windowing over binary payloads "
+    "(win=64 bytes, hop=32 — the STFT frame layout): mapInPandas "
+    "expands each payload into its window rows and computes a real "
+    "content-derived feature per window (space-byte count, the "
+    "deterministic stand-in for RMS energy — audio codecs aren't in "
+    "this container, so the decode is the documented stub while the "
+    "batching, expansion, and per-window byte arithmetic are the "
+    "tested contract). The oracle recomputes every window's bytes "
+    "via substring arithmetic on the same payload.",
+    scale_notes="Same executor-side expansion contract as "
+    "llm_mm_framesample: payload bytes are read once per Arrow batch "
+    "and never shuffled; only (doc, window, feature) rows move. "
+    "Overlap factor (win/hop = 2x) multiplies output rows, not "
+    "payload reads.",
+)
+def llm_mm_audio_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    win, hop = 64, 32
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 40)
+    media = to_media_frame(docs)
+
+    def windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [],
+                "win_idx": [],
+                "byte_off": [],
+                "win_len": [],
+                "n_spaces": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                for off in range(0, len(buf), hop):
+                    seg = buf[off : off + win]
+                    rows["doc_id"].append(doc_id)
+                    rows["win_idx"].append(off // hop)
+                    rows["byte_off"].append(off)
+                    rows["win_len"].append(len(seg))
+                    rows["n_spaces"].append(seg.count(b" "))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        windows,
+        "doc_id long, win_idx long, byte_off long, win_len long, "
+        "n_spaces long",
+    )
