@@ -710,3 +710,85 @@ def q_llm_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
         )
     )
+
+
+@register(
+    "q_llm_perplexity",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t
+  FROM documents WHERE len(string_split(text, ' ')) >= 2
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i + 1])) AS bigram
+  FROM toks
+), c2 AS (
+  SELECT bigram, COUNT(*) AS n2 FROM bg GROUP BY bigram
+), c1 AS (
+  SELECT split_part(bigram, ' ', 1) AS w1, COUNT(*) AS n1
+  FROM bg GROUP BY w1
+), nll AS (
+  SELECT bg.doc_id,
+         CAST(ROUND(-ln(CAST(n2 AS DOUBLE) / n1), 6) AS DECIMAL(18,6))
+           AS nll
+  FROM bg
+  JOIN c2 USING (bigram)
+  JOIN c1 ON split_part(bg.bigram, ' ', 1) = c1.w1
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 4) AS avg_nll
+FROM nll GROUP BY doc_id
+""",
+    doc="Perplexity-proxy quality scoring (the published LM-based "
+    "pretraining filter, here with the corpus as its own bigram LM): "
+    "P(w2|w1) = c(w1 w2) / c(w1 ·) over all corpus bigrams, each "
+    "document scored by the mean negative log-likelihood of its "
+    "bigrams — high avg_nll = surprising/low-quality text, the "
+    "ranking a perplexity filter thresholds on. Per-bigram NLL is "
+    "rounded to 6 decimals and summed as DECIMAL so the per-doc mean "
+    "is independent of partition/accumulation order (§7.4 exact-avg "
+    "discipline applied to a transcendental).",
+    scale_notes="Two vocabulary-sized counts (bigram, prefix) joined "
+    "back to the corpus bigram stream — the stream shuffles once on "
+    "the bigram key; count sides broadcast while vocab² fits and "
+    "degrade to shuffle joins beyond. No driver state; the LM 'model' "
+    "IS the count table.",
+)
+def q_llm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1)))"
+            )
+        ).alias("bigram"),
+    )
+    c2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = (
+        bg.select(F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("n1"))
+    )
+    nll = (
+        bg.join(F.broadcast(c2), "bigram")
+        .withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .join(F.broadcast(c1), "w1")
+        .select(
+            "doc_id",
+            F.round(-F.log(F.col("n2").cast("double") / F.col("n1")), 6)
+            .cast("decimal(18,6)")
+            .alias("nll"),
+        )
+    )
+    return nll.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum("nll").cast("double") / F.count(F.lit(1)), 4).alias(
+            "avg_nll"
+        ),
+    )
