@@ -875,3 +875,63 @@ def q_agg_regr(spark, sf_dir):
         F.round(F.regr_r2(F.col("value"), x), 6).alias("r2"),
         F.regr_count(F.col("value"), F.col("value")).alias("n"),
     )
+
+
+@register(
+    "q_agg_hll_portable",
+    oracle="""
+WITH h AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) AS INT)
+           AS bucket,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 2, 12)) AS BIGINT)
+           AS w
+  FROM events
+), r AS (
+  SELECT event_type, bucket,
+         MAX(CASE WHEN w = 0 THEN 49 ELSE 49 - length(bin(w)) END) AS m_j
+  FROM h GROUP BY event_type, bucket
+)
+SELECT event_type,
+       COUNT(*) AS n_regs,
+       CAST(SUM(bucket * 64 + m_j) AS BIGINT) AS reg_checksum,
+       ROUND(0.673 * 256 / SUM(POWER(2.0, -m_j)), 4) AS hll_est
+FROM r GROUP BY event_type
+""",
+    doc="PORTABLE HyperLogLog, exact-oracled end-to-end (the sketch "
+    "itself is hash-verified, like llm_minhash_banded did for LSH): "
+    "md5-derived 52-bit hashes split into 16 buckets x 48-bit tails, "
+    "register = max leading-zero rank per bucket (computed EXACTLY via "
+    "length(bin(w)) — integer ops, no float log), estimate = biased "
+    "HLL harmonic mean alpha16*m^2/sum(2^-M). Every intermediate is "
+    "engine-identical: md5 is md5, bin() lengths are integers, and "
+    "the harmonic sum adds <= 16 exact dyadic rationals, which is "
+    "order-independent in IEEE double. Complements q_agg_approx_cd "
+    "(Spark's native HLL++, rows-only) with a fully verifiable "
+    "estimator.",
+    scale_notes="Identical shuffle shape to any grouped agg: the "
+    "register table is (groups x 16) rows after map-side partial MAX "
+    "— mergeable sketches, one shuffle, fixed size regardless of "
+    "cardinality. m=16 keeps the oracle compact; production m=2^12 "
+    "changes constants, not structure.",
+)
+def q_agg_hll_portable(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    h = F.md5(F.col("user_id").cast("string"))
+    bucket = F.conv(F.substring(h, 1, 1), 16, 10).cast("int")
+    w = F.conv(F.substring(h, 2, 12), 16, 10).cast("bigint")
+    rho = F.when(w == 0, 49).otherwise(49 - F.length(F.bin(w)))
+    regs = (
+        ev.select("event_type", bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    return regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_regs"),
+        F.sum(F.col("bucket") * 64 + F.col("m_j"))
+        .cast("bigint")
+        .alias("reg_checksum"),
+        F.round(
+            F.lit(0.673 * 256) / F.sum(F.pow(F.lit(2.0), -F.col("m_j"))), 4
+        ).alias("hll_est"),
+    )
