@@ -935,3 +935,57 @@ def q_agg_hll_portable(spark, sf_dir):
             F.lit(0.673 * 256) / F.sum(F.pow(F.lit(2.0), -F.col("m_j"))), 4
         ).alias("hll_est"),
     )
+
+
+@register(
+    "q_agg_kmv_portable",
+    oracle="""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT)
+           AS hv
+  FROM events
+), r AS (
+  SELECT event_type, hv,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+  FROM h
+)
+SELECT event_type,
+       MAX(hv) AS kth_min,
+       ROUND(7 * 4503599627370496.0 / MAX(hv), 4) AS kmv_est
+FROM r WHERE rn <= 8
+GROUP BY event_type
+""",
+    doc="PORTABLE K-minimum-values distinct sketch (k=8), exact-oracled "
+    "like q_agg_hll_portable but from the order-statistics family: the "
+    "k smallest 52-bit md5 hash values per group estimate cardinality "
+    "as (k-1)/F(k-th min) with F the hash normalized into [0,1] (the "
+    "published KMV/bottom-k estimator). Everything up to the final "
+    "division is integer-exact, so the sketch state (the k-th minimum "
+    "itself) hash-verifies across engines.",
+    scale_notes="Bottom-k is mergeable: partial per-partition bottom-8 "
+    "(WindowGroupLimit rank pushdown prunes below rank 8 before the "
+    "shuffle), merge = bottom-8 of the union. Sketch size is k hashes "
+    "per group at any cardinality; unlike HLL it also supports set "
+    "intersection estimates by hash-set overlap.",
+)
+def q_agg_kmv_portable(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10
+    ).cast("bigint")
+    h = ev.select("event_type", hv.alias("hv")).distinct()
+    w = Window.partitionBy("event_type").orderBy("hv")
+    return (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 8)
+        .groupBy("event_type")
+        .agg(
+            F.max("hv").alias("kth_min"),
+            F.round(F.lit(7 * 4503599627370496.0) / F.max("hv"), 4).alias(
+                "kmv_est"
+            ),
+        )
+    )
