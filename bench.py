@@ -50,6 +50,19 @@ HEADLINE = [
     "q_stream_tumbling",
 ]
 
+#: Second section (r5 verdict #5): the LLM-pipeline surface the fixed
+#: r1 lineage set never covered — banded/blocked dedup, clustering,
+#: LM scoring, and a portable sketch.  Kept OUT of the lineage total
+#: ("value") so r1..r5 comparisons stay apples-to-apples; round 6 is
+#: the baseline round for `llm_total`.
+LLM_SECTION = [
+    "llm_jaccard_prefix",
+    "llm_components_starcontract",
+    "llm_embed_dedup_blocked",
+    "q_llm_perplexity",
+    "q_agg_kmv_portable",
+]
+
 
 def _bench_n() -> int:
     return max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "5")))
@@ -88,9 +101,10 @@ def main() -> None:
 
     specs = load_all()
     names = [n for n in HEADLINE if n in specs] or sorted(specs)[:5]
+    llm_names = [n for n in LLM_SECTION if n in specs]
 
     timings: dict[str, float] = {}
-    for name in names:
+    for name in names + llm_names:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--single", name],
             capture_output=True, text=True, timeout=900,
@@ -109,7 +123,9 @@ def main() -> None:
         print(f"[bench] {name}: median={result['median']} "
               f"runs={result['runs']}", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
+    head = {n: timings[n] for n in names}
+    llm = {n: timings[n] for n in llm_names}
+    total = round(sum(head.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -117,7 +133,9 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": head,
+                "llm_queries": llm,
+                "llm_total": round(sum(llm.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "method": "isolated-session-per-query",
                 "runs_per_query": _bench_n(),

@@ -86,3 +86,40 @@ def test_versions_pinned():
         "re-run tests/test_oracle_parity.py and update this pin"
     )
     assert duckdb.__version__ is not None
+
+
+def test_freshly_written_nanos_parquet_normalizes_identically(spark, tmp_path):
+    """Write-side probe (r5 verdict #6): the read-path pins above test
+    the driver-generated fixtures, which could in principle be
+    regenerated with a different physical type.  Write a brand-new
+    TIMESTAMP(NANOS) parquet via DuckDB in-test and assert read_table
+    normalizes the fresh file exactly like the fixtures — tz-aware
+    `timestamp`, instant preserved — so the next runtime flip is caught
+    even against regenerated testdata."""
+    import os
+
+    d = tmp_path / "nanos_probe"
+    os.makedirs(d / "events.parquet", exist_ok=True)
+    path = str(d / "events.parquet" / "part-0.parquet")
+    duckdb.sql(
+        "COPY (SELECT CAST(range AS BIGINT) AS event_id, "
+        "CAST('2026-01-02 03:04:05.123456' AS TIMESTAMP_NS) "
+        "  + INTERVAL (range) SECOND AS ts "
+        "FROM range(5)) TO '" + path + "' (FORMAT PARQUET)"
+    )
+    # confirm the file really carries nanosecond TIMESTAMP physical type
+    (logical,) = duckdb.sql(
+        f"SELECT logical_type FROM parquet_schema('{path}') "
+        "WHERE name = 'ts'"
+    ).fetchone()
+    assert "NANOS" in str(logical).upper(), (
+        f"probe file wrote {logical!r}, not TIMESTAMP(NANOS) — "
+        "DuckDB changed its TIMESTAMP_NS parquet mapping; fix the probe"
+    )
+    ev = read_table(spark, str(d), "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    got = ev.select(F.unix_micros(F.min("ts")).alias("lo")).first()["lo"]
+    (want,) = duckdb.sql(
+        f"SELECT epoch_us(min(ts)) FROM read_parquet('{path}')"
+    ).fetchone()
+    assert got == want, "normalization shifted the instant on a fresh file"

@@ -360,3 +360,49 @@ def test_agg_mode_ranks_over_counts_not_rows(spark, sf_dir):
         "mode must partial-aggregate the (status, priority) counts "
         "map-side before any window"
     )
+
+
+def _analyzed_plan(df) -> str:
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+def test_perplexity_has_no_unconditional_broadcast_hint(spark, sf_dir):
+    """r5 verdict fix: the bigram/prefix count tables are
+    vocabulary-sized (grow with the corpus), so the joins must carry NO
+    broadcast hint — a hint never degrades, it OOMs at 100 TB.  AQE may
+    still *choose* broadcast at test SF; what we pin is hint absence."""
+    df = SPECS["q_llm_perplexity"].fn(spark, sf_dir)
+    assert "ResolvedHint" not in _analyzed_plan(df), (
+        "q_llm_perplexity re-grew a broadcast hint on a "
+        "vocabulary-sized relation"
+    )
+
+
+def test_tfidf_hints_only_the_one_row_corpus_count(spark, sf_dir):
+    """Same fix for tf-idf: the document-frequency table is
+    vocabulary-sized and must not be hint-broadcast.  The single
+    allowed hint is the 1-row corpus-count crossJoin side."""
+    plan = _analyzed_plan(SPECS["q_llm_tfidf"].fn(spark, sf_dir))
+    assert plan.count("ResolvedHint") <= 1, (
+        "q_llm_tfidf hints more than the constant 1-row count:\n" + plan
+    )
+
+
+def test_tpch_composites_hint_only_constant_size_dims(spark, sf_dir):
+    """Customer/supplier grow with SF, so q_tpch_q3/q5 and q_join_star
+    leave their join strategy to CBO/AQE.  Only the constant-size
+    region(5)/nation(25) dims in q5 may keep explicit hints."""
+    for name, max_hints in (("q_tpch_q3", 0), ("q_join_star", 0),
+                            ("q_tpch_q5", 2)):
+        plan = _analyzed_plan(SPECS[name].fn(spark, sf_dir))
+        assert plan.count("ResolvedHint") <= max_hints, (
+            f"{name} hints a growing dim (allowed {max_hints}):\n"
+            + plan[:2000]
+        )
+    # and at bench SF the filtered customer dim must still broadcast
+    # by size estimation (the fast plan is unchanged where it matters)
+    for name in ("q_tpch_q3", "q_join_star"):
+        phys = _executed_plan(SPECS[name].fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in phys, (
+            f"{name}: size estimator stopped broadcasting customer"
+        )

@@ -542,7 +542,11 @@ WHERE event_id < 2000
     "family — size (key count), element_at lookup, map_contains_key. "
     "Complements q_fn_json (string-path extraction) with the typed "
     "collection API; the oracle reads the same facts through DuckDB's "
-    "JSON functions.",
+    "JSON functions. has_k is coalesced to false on the Spark side "
+    "because map_contains_key over a null from_json result yields "
+    "NULL while the oracle's IS NOT NULL yields false; assumes "
+    "fixture props carry no duplicate JSON keys (from_json dedups, "
+    "json_keys does not).",
     scale_notes="from_json + map ops are JVM expressions inside "
     "codegen: per-row, zero shuffle, and the event_id predicate is "
     "pushed to the parquet scan. MapType columns carry no global "
@@ -555,5 +559,5 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.size(F.map_keys(m)).alias("n_keys"),
         F.element_at(m, "k").alias("v_k"),
-        F.map_contains_key(m, "k").alias("has_k"),
+        F.coalesce(F.map_contains_key(m, "k"), F.lit(False)).alias("has_k"),
     )

@@ -293,9 +293,10 @@ LIMIT 10
 """,
     doc="Multi-way star join (TPC-H Q3 shape): filtered dim -> fact -> "
     "fact chain with top-k on aggregated revenue.",
-    scale_notes="customer(BUILDING) broadcasts; lineitem<->orders is the "
-    "one big shuffle; TakeOrderedAndProject handles the top-10 without a "
-    "global sort.",
+    scale_notes="customer(BUILDING) broadcasts by size estimation (no "
+    "hint — customer grows with SF, so AQE may flip it to shuffle at "
+    "100x); lineitem<->orders is the one big shuffle; "
+    "TakeOrderedAndProject handles the top-10 without a global sort.",
 )
 def q_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = read_table(spark, sf_dir, "customer").filter(
@@ -310,9 +311,11 @@ def q_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue_row = dec2("l_extendedprice") * dec6(
         F.lit(1.0) - F.col("l_discount")
     )
+    # customer grows with SF — hint dropped; size-estimation/AQE still
+    # broadcasts the filtered dim at bench SF (plan-asserted) and
+    # degrades gracefully to a shuffle join at 100x.
     return (
-        F.broadcast(cust)
-        .join(orders, cust.c_custkey == orders.o_custkey)
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy("l_orderkey")
         .agg(

@@ -79,8 +79,10 @@ WHERE rn <= 5
 """,
     doc="TF-IDF: tf x ln(N/df), top-5 terms per language (tie-break "
     "token).",
-    scale_notes="df and N are vocabulary/corpus scalars — broadcast "
-    "joins; the only big shuffle is the (lang, token) partial count.",
+    scale_notes="df is vocabulary-sized (grows with the corpus), so its "
+    "join carries NO broadcast hint — AQE/CBO broadcast it while small "
+    "and fall back to a shuffle join at scale; only the 1-row N count "
+    "is hint-broadcast. Big shuffle is the (lang, token) partial count.",
 )
 def q_llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
@@ -90,8 +92,12 @@ def q_llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    # No broadcast hint on `df`: it is vocabulary-sized (grows with the
+    # corpus), so the join strategy is left to CBO/AQE — broadcast at
+    # test SF, shuffle join once the vocab outgrows the threshold.  The
+    # 1-row n_docs crossJoin is constant-size and safe to hint.
     scored = (
-        tf.join(F.broadcast(df), "token")
+        tf.join(df, "token")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "lang",
@@ -751,9 +757,10 @@ FROM nll GROUP BY doc_id
     "discipline applied to a transcendental).",
     scale_notes="Two vocabulary-sized counts (bigram, prefix) joined "
     "back to the corpus bigram stream — the stream shuffles once on "
-    "the bigram key; count sides broadcast while vocab² fits and "
-    "degrade to shuffle joins beyond. No driver state; the LM 'model' "
-    "IS the count table.",
+    "the bigram key; the count sides carry NO broadcast hints, so "
+    "AQE broadcasts them while they fit under the threshold and "
+    "falls back to shuffle joins at corpus scale. No driver state; "
+    "the LM 'model' IS the count table.",
 )
 def q_llm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
@@ -775,10 +782,14 @@ def q_llm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w1")
         .agg(F.count(F.lit(1)).alias("n1"))
     )
+    # c2/c1 are bigram-/unigram-vocabulary-sized and grow with the
+    # corpus: NO broadcast hints (a hint never degrades — at 100 TB it
+    # would OOM the driver).  AQE broadcasts them while they fit under
+    # autoBroadcastJoinThreshold and shuffle-joins beyond.
     nll = (
-        bg.join(F.broadcast(c2), "bigram")
+        bg.join(c2, "bigram")
         .withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
-        .join(F.broadcast(c1), "w1")
+        .join(c1, "w1")
         .select(
             "doc_id",
             F.round(-F.log(F.col("n2").cast("double") / F.col("n1")), 6)

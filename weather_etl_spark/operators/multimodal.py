@@ -436,19 +436,21 @@ def llm_mm_pixel_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_mm_audio_window",
     oracle="""
 WITH v AS (
-  SELECT doc_id, text, octet_length(encode(text)) AS len
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS len
   FROM documents WHERE doc_id <= 40
 ), w AS (
-  SELECT doc_id, text, len, unnest(range(0, len, 32)) AS byte_off
+  SELECT doc_id, hx, len, unnest(range(0, len, 32)) AS byte_off
   FROM v
 )
 SELECT doc_id,
        CAST(byte_off // 32 AS BIGINT) AS win_idx,
        CAST(byte_off AS BIGINT) AS byte_off,
        CAST(LEAST(64, len - byte_off) AS BIGINT) AS win_len,
-       CAST(length(substr(text, byte_off + 1, 64))
-            - length(replace(substr(text, byte_off + 1, 64), ' ', ''))
-            AS BIGINT) AS n_spaces
+       CAST(len(list_filter(
+              range(0, CAST(LEAST(64, len - byte_off) AS INT)),
+              i -> substr(hx, CAST(2 * (byte_off + i) + 1 AS BIGINT), 2)
+                   = '20')) AS BIGINT) AS n_spaces
 FROM w
 """,
     doc="Audio-style OVERLAPPED windowing over binary payloads "
@@ -458,8 +460,10 @@ FROM w
     "deterministic stand-in for RMS energy — audio codecs aren't in "
     "this container, so the decode is the documented stub while the "
     "batching, expansion, and per-window byte arithmetic are the "
-    "tested contract). The oracle recomputes every window's bytes "
-    "via substring arithmetic on the same payload.",
+    "tested contract). The oracle recomputes every window over the "
+    "hex encoding of the SAME UTF-8 bytes (2 hex chars per byte, "
+    "space = '20'), so both sides index bytes — parity holds for "
+    "non-ASCII text, not just the current ASCII fixture.",
     scale_notes="Same executor-side expansion contract as "
     "llm_mm_framesample: payload bytes are read once per Arrow batch "
     "and never shuffled; only (doc, window, feature) rows move. "

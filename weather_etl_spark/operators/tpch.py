@@ -73,11 +73,12 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.sum(
         dec2("l_extendedprice") * dec6(F.lit(1) - F.col("l_discount"))
     ).cast("double")
+    # customer GROWS with SF (~100 MB at sf10) — no broadcast hint; the
+    # size-based estimator / AQE broadcasts the filtered dim while it
+    # fits and falls back to a shuffle join at 100x scale.
     return (
         li.join(
-            orders.join(
-                F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
-            ),
+            orders.join(cust, F.col("o_custkey") == F.col("c_custkey")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy(
@@ -153,13 +154,14 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.sum(
         dec2("l_extendedprice") * dec6(F.lit(1) - F.col("l_discount"))
     ).cast("double")
+    # customer and supplier GROW with SF — no broadcast hints (the
+    # constant-size region/nation dims above keep theirs); CBO/AQE
+    # broadcast them while small and shuffle-join at scale.
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
-        )
-        .join(
-            F.broadcast(sup),
+            sup,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )

@@ -208,36 +208,35 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
     "llm_minhash_banded", "llm_components_starcontract",
     "llm_doc_embed_cohesion", "llm_mm_pixel_dedup", "q_set_except_all",
     "q_set_intersect_all", "q_sql_cte_window", "q_win_cume_nth",
+    # round 5 green (50/50, zero err) per CORRECTNESS_r05.json — the 22
+    # queries added in r5 plus the NTZ re-greens / r2-stale rotations
+    "q_fn_sql_udf", "q_fn_map", "q_agg_mode", "q_time_interp",
+    "q_agg_regr", "q_agg_hll_portable", "q_agg_kmv_portable",
+    "q_join_asof_fwd", "q_llm_c4_filter", "q_llm_corpus_stats",
+    "q_llm_length_hist", "q_llm_pack", "q_llm_perplexity",
+    "llm_mm_audio_window", "q_sample_hash", "q_sample_stratified",
+    "snk_orc_roundtrip", "snk_xml_roundtrip", "q_sql_pipe",
+    "q_sql_recursive_cte", "q_win_sessionize", "q_win_islands",
 })
 
-#: Explicit order for the round-5 driver window (50 slots), per the r4
-#: verdict's rotation order: (1) the 10 queries the TIMESTAMP_NTZ
-#: runtime flip broke (4 driver-FAIL r4 + 6 stale-greens my local sweep
-#: found broken) — io.read_table now normalizes ntz->timestamp and the
-#: driver must re-green them; (2) q_agg_minmax_by, whose tie-break
-#: encoding was widened to HUGEINT/struct this round (oracle text
-#: changed); (3) the r2-stale block — every remaining row whose latest
-#: driver check is round 2; (4) one r3-stale buffer row.  NOTE: the 14
-#: queries ADDED in round 5 rank ahead of this whole list by the
-#: never-verified rule below (a first verdict beats a re-check), so
-#: the actual r5 window is 14 new + 11 changed + the first 25 of the
-#: r2-stale block; this list's tail (snk_*/stream_static/multimodal/
-#: ann_lsh/q_tpch_q3) queues for round 6.  Already-fresh rows stay
-#: regression-guarded by tests/test_oracle_parity.py.
+#: Explicit order for the round-6 driver window (50 slots), per the r5
+#: verdict's order #1: (1) the 21 rows whose latest driver check is
+#: still ROUND 2 (the r5 window consumed the first 17 of the old
+#: r2-stale block; these are the survivors — 19 oracled + the 2
+#: rows-only llm_ann_lsh/udtf_mapinpandas); (2) the rows CHANGED in
+#: round 6 and needing a re-verdict: llm_mm_audio_window + q_fn_map
+#: (oracle text changed — byte-accurate n_spaces / has_k coalesce),
+#: q_llm_perplexity + q_llm_tfidf (vocabulary broadcast hints dropped),
+#: q_tpch_q3/q_tpch_q5/q_join_star (customer/supplier hints dropped);
+#: (3) an r3-stale buffer that fills whatever slots the round's NEW
+#: queries (which rank ahead of this whole list by the never-verified
+#: rule below) leave free.  With 22 new rows in r6 the window is
+#: exactly 22 new + the 21 r2-stale + the first 7 changed rows;
+#: already-fresh rows stay regression-guarded by
+#: tests/test_oracle_parity.py.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- 10 NTZ-broken rows: re-green the fix --
-    "q_fn_ts", "q_agg_global_max", "q_join_asof", "q_stream_tumbling",
-    "q_filter_ts_cursor", "q_seq_timeaxis", "q_win_lag",
-    "q_win_rangeframe", "q_stream_sliding", "q_stream_session",
-    # -- changed this round (widened argmax tie-break encoding) --
-    "q_agg_minmax_by",
-    # -- r2-stale block (latest driver check = round 2) --
-    "q_filter_cmp", "q_filter_in_between", "q_null_norm", "q_scan_count",
-    "q_fn_array", "q_fn_json", "q_fn_cast_decimal", "q_agg_collect",
-    "q_llm_simhash", "q_llm_tokencount",
-    "q_win_rownum", "q_win_rank", "q_win_runsum", "q_win_moving",
-    "q_win_ntile", "q_win_firstlast", "q_topk_group", "q_sort_multikey",
-    "q_topk_global",
+    # -- 21 r2-stale rows (latest driver check = round 2) --
+    "q_sort_multikey", "q_topk_global",
     "q_set_union_all", "q_set_union", "q_set_intersect", "q_set_except",
     "q_udf_pandas", "q_udaf_pandas", "udtf_mapinpandas", "q_udtf_py",
     "snk_partitioned", "snk_csv_roundtrip", "snk_json_roundtrip",
@@ -245,8 +244,23 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_llm_centroid", "llm_knn_blocked", "llm_multimodal",
     "llm_mm_framesample", "llm_embed_dedup_blocked", "llm_mm_decode",
     "llm_ann_lsh",
-    # -- r3-stale buffer --
-    "q_tpch_q3",
+    # -- changed in round 6: oracle/plan edits need a fresh verdict --
+    "llm_mm_audio_window", "q_fn_map",
+    "q_llm_perplexity", "q_llm_tfidf",
+    "q_tpch_q3", "q_tpch_q5", "q_join_star",
+    # -- r3-stale buffer (oldest remaining lineage, oracled first) --
+    "q_join_lateral", "q_join_cbo", "q_win_percent", "q_udf_arrow",
+    "q_udf_grouped_map", "q_fn_variant", "q_fn_try", "q_scan_filemeta",
+    "q_set_union_byname", "snk_schema_evolution", "q_time_rollup",
+    "q_llm_editdist", "q_llm_dedup_components", "q_llm_split",
+    "q_llm_winnow", "q_llm_winnow_pairs", "q_llm_repetition",
+    "llm_cosine_pairs_blocked", "q_fn_bitwise", "q_fn_string2",
+    "q_fn_hash_encode", "q_time_gapfill", "q_agg_boolean",
+    "q_agg_median", "q_join_null_safe", "llm_jaccard_prefix",
+    "llm_editdist_banded", "llm_minhash_banded",
+    "llm_components_starcontract", "llm_doc_embed_cohesion",
+    "llm_mm_pixel_dedup", "q_set_except_all", "q_set_intersect_all",
+    "q_sql_cte_window", "q_win_cume_nth",
 )
 
 

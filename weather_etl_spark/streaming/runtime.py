@@ -62,7 +62,15 @@ def _stream_events(spark: SparkSession, in_dir: str) -> DataFrame:
     # the declared dtype matches (a hardcoded `ts long` silently reads
     # micros on builds where nanosAsLong is a no-op), then normalize to
     # tz-aware timestamp exactly like io.read_table.
-    ts_dtype = dict(spark.read.parquet(in_dir).dtypes)["ts"]
+    # An empty input directory is a legitimate state for a stream
+    # awaiting its first files: fall back to the runtime's documented
+    # batch-read dtype for TIMESTAMP(NANOS) instead of raising at
+    # stream-definition time (the probe re-runs on the next define once
+    # files exist, so a mid-stream runtime flip is still caught).
+    try:
+        ts_dtype = dict(spark.read.parquet(in_dir).dtypes)["ts"]
+    except Exception:
+        ts_dtype = "timestamp_ntz"
     raw = spark.readStream.schema(
         EVENTS_RAW_DDL.format(ts_dtype=ts_dtype)
     ).parquet(in_dir)
