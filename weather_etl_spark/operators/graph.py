@@ -1,0 +1,195 @@
+"""Graph operators over the customer–supplier interaction graph
+(SURVEY.md §2 B extension, round 6): degree distribution and an
+iterative PageRank — the representative "iterative algorithm as
+repeated join+aggregate" pattern (the same DataFrame-native shape
+GraphX/GraphFrames lower to, without the library dependency).
+
+The graph: an undirected bipartite edge (customer, supplier) for every
+distinct pair that transacted (orders ⋈ lineitem). Node ids are packed
+into one keyspace: customer c -> 2c, supplier s -> 2s + 1.
+
+Determinism discipline: PageRank contributions are rounded to 6
+decimals and summed as DECIMAL(18,6) (exact, order-independent), so
+three iterations produce bit-identical doubles in Spark and DuckDB —
+the §7.4 exact-avg pattern applied to an iterative fixpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from weather_etl_spark.io import read_table
+from weather_etl_spark.registry import register
+
+#: PageRank damping and unrolled iteration count (fixed so the oracle
+#: can mirror the exact arithmetic).
+_DAMP = 0.85
+_ITERS = 3
+
+_EDGE_SQL = """
+  SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected edge list (both directions) of the packed graph."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    return pairs.union(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+
+
+@register(
+    "q_graph_degree",
+    oracle=f"""
+WITH e AS ({_EDGE_SQL}),
+deg AS (
+  SELECT u AS c, COUNT(*) AS degree
+  FROM e GROUP BY u
+)
+SELECT CAST(degree AS BIGINT) AS degree,
+       COUNT(*) AS n_customers
+FROM deg WHERE c % 2 = 0
+GROUP BY degree
+""",
+    doc="Degree distribution of the customer side of the transaction "
+    "graph: how many distinct suppliers each customer transacted "
+    "with, histogrammed — the first profiling query of any graph "
+    "workload (skew detector for the iterative ops that follow).",
+    scale_notes="One shuffle to DISTINCT the edge list (pairs, never "
+    "fact rows), one tiny count-of-counts. Degree skew surfaced here "
+    "decides whether PageRank needs salted aggregation downstream.",
+)
+def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _edges(spark, sf_dir).filter(F.col("u") % 2 == 0)
+    deg = pairs.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy(F.col("degree").cast("bigint").alias("degree")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled 3-iteration PageRank SQL, mirroring the Spark
+    arithmetic step for step (same roundings, same DECIMAL sums)."""
+    sql = f"""
+WITH e AS ({_EDGE_SQL}),
+edges AS (
+  SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+),
+outdeg AS (
+  SELECT u, COUNT(*) AS outdeg FROM edges GROUP BY u
+),
+n AS (SELECT COUNT(*) AS n FROM outdeg),
+pr0 AS (
+  SELECT u, outdeg, ROUND(1.0 / n.n, 6) AS pr
+  FROM outdeg CROSS JOIN n
+)
+"""
+    prev = "pr0"
+    for k in range(1, _ITERS + 1):
+        sql += f""",
+c{k} AS (
+  SELECT edges.v AS u,
+         CAST(ROUND({prev}.pr / {prev}.outdeg, 6) AS DECIMAL(18,6)) AS w
+  FROM edges JOIN {prev} ON edges.u = {prev}.u
+),
+pr{k} AS (
+  SELECT c{k}.u, outdeg.outdeg,
+         ROUND((1 - {_DAMP}) / n.n
+               + {_DAMP} * CAST(SUM(w) AS DOUBLE), 6) AS pr
+  FROM c{k}
+  JOIN outdeg ON c{k}.u = outdeg.u
+  CROSS JOIN n
+  GROUP BY c{k}.u, outdeg.outdeg, n.n
+)
+"""
+        prev = f"pr{k}"
+    sql += f"""
+SELECT u AS node_id,
+       CASE WHEN u % 2 = 0 THEN 'cust' ELSE 'supp' END AS kind,
+       pr
+FROM {prev}
+ORDER BY pr DESC, node_id ASC
+LIMIT 20
+"""
+    return sql
+
+
+@register(
+    "q_graph_pagerank",
+    oracle=_pagerank_oracle(),
+    doc=f"PageRank ({_ITERS} iterations, d={_DAMP}) over the "
+    "customer-supplier transaction graph, as pure DataFrame "
+    "join+aggregate rounds — the canonical iterative-algorithm shape "
+    "on Spark (what Pregel/GraphX lowers to). Top-20 nodes by rank "
+    "with full (pr, node_id) tie-break; per-edge contributions are "
+    "rounded and DECIMAL-summed so both engines produce bit-identical "
+    "ranks.",
+    scale_notes="Per iteration: one shuffle of (dst, contribution) "
+    "pairs — edge-count-sized, never node-state x degree. The rank "
+    "frame re-partitions on node id once and reuses that partitioning "
+    "across iterations; at 100 TB each iteration localCheckpoints "
+    "like llm_components_starcontract to cut the lineage (3 fixed "
+    "iterations here, so lineage stays shallow by construction). The "
+    "1-row node-count crossJoin broadcasts.",
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _edges(spark, sf_dir)
+    outdeg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
+    n = outdeg.agg(F.count(F.lit(1)).alias("n"))
+    pr = outdeg.crossJoin(F.broadcast(n)).select(
+        "u",
+        "outdeg",
+        F.round(F.lit(1.0) / F.col("n"), 6).alias("pr"),
+    )
+    for _ in range(_ITERS):
+        contrib = edges.join(
+            pr.select(F.col("u").alias("src"), "outdeg", "pr"),
+            edges.u == F.col("src"),
+        ).select(
+            F.col("v").alias("u"),
+            F.round(F.col("pr") / F.col("outdeg"), 6)
+            .cast("decimal(18,6)")
+            .alias("w"),
+        )
+        pr = (
+            contrib.groupBy("u")
+            .agg(F.sum("w").alias("s"))
+            .join(outdeg, "u")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "u",
+                "outdeg",
+                F.round(
+                    F.lit(1 - _DAMP) / F.col("n")
+                    + F.lit(_DAMP) * F.col("s").cast("double"),
+                    6,
+                ).alias("pr"),
+            )
+        )
+    return (
+        pr.select(
+            F.col("u").alias("node_id"),
+            F.when(F.col("u") % 2 == 0, "cust").otherwise("supp").alias(
+                "kind"
+            ),
+            "pr",
+        )
+        .orderBy(F.col("pr").desc(), F.col("node_id").asc())
+        .limit(20)
+    )

@@ -627,3 +627,167 @@ def q_join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
             "next_purchase_us",
         )
     )
+
+
+#: Interval-overlap join geometry (epoch-µs): event interval length,
+#: maintenance-window stride/length, bucket = window length.
+_IV_EV_LEN = 300_000_000          # 5 min
+_IV_W_STRIDE = 21_600_000_000     # 6 h
+_IV_W_LEN = 1_800_000_000         # 30 min
+_IV_N_WIN = 28
+_IV_BUCKET = _IV_W_LEN
+
+
+@register(
+    "q_join_interval_overlap",
+    oracle=f"""
+WITH b AS (
+  SELECT epoch_us(MIN(ts)) AS t0 FROM events WHERE event_id < 5000
+), ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + {_IV_EV_LEN} AS e
+  FROM events WHERE event_id < 5000
+), w AS (
+  SELECT unnest(range(0, {_IV_N_WIN})) AS win_idx, t0 FROM b
+), wb AS (
+  SELECT win_idx, t0 + win_idx * {_IV_W_STRIDE} AS ws,
+         t0 + win_idx * {_IV_W_STRIDE} + {_IV_W_LEN} AS we
+  FROM w
+)
+SELECT CAST(win_idx AS BIGINT) AS win_idx,
+       CAST(ws AS BIGINT) AS win_start_us,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM ev JOIN wb ON ev.s < wb.we AND wb.ws < ev.e
+GROUP BY win_idx, ws
+""",
+    doc="Interval-overlap join (sessions x maintenance windows): "
+    "5-minute event intervals joined to 30-minute windows every 6 h "
+    "on the overlap predicate [s,e) ∩ [ws,we) ≠ ∅, counting "
+    "events/users per window. The Spark side uses the BUCKETED "
+    "overlap algorithm — both interval sets explode into "
+    "window-length time buckets, equi-join on bucket, then exact "
+    "predicate + distinct — while the oracle states the naive "
+    "theta join; identical output proves the optimization.",
+    scale_notes="The theta join a naive plan turns into an O(n·m) "
+    "BroadcastNestedLoop becomes an EQUI join on the time bucket: "
+    "shuffle-partitionable, AQE-skew-splittable, with each interval "
+    "expanding into <= 2 buckets (bucket = max interval length). "
+    "This is the standard scalable range-join shape; no broadcast "
+    "hints, so giant window tables shuffle like any fact.",
+)
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 5000)
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("s"),
+            (F.unix_micros("ts") + F.lit(_IV_EV_LEN)).alias("e"),
+        )
+    )
+    t0 = ev.agg(F.min("s").alias("t0"))
+    w = (
+        t0.select(
+            F.explode(F.sequence(F.lit(0), F.lit(_IV_N_WIN - 1))).alias(
+                "win_idx"
+            ),
+            "t0",
+        )
+        .select(
+            "win_idx",
+            (F.col("t0") + F.col("win_idx") * _IV_W_STRIDE).alias("ws"),
+            (
+                F.col("t0") + F.col("win_idx") * _IV_W_STRIDE + _IV_W_LEN
+            ).alias("we"),
+        )
+    )
+    evb = ev.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s") / _IV_BUCKET),
+                F.floor((F.col("e") - 1) / _IV_BUCKET),
+            )
+        ),
+    )
+    wb = w.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("ws") / _IV_BUCKET),
+                F.floor((F.col("we") - 1) / _IV_BUCKET),
+            )
+        ),
+    )
+    pairs = (
+        evb.join(wb, "bucket")
+        .filter((F.col("s") < F.col("we")) & (F.col("ws") < F.col("e")))
+        .select("win_idx", "ws", "event_id", "user_id")
+        .distinct()
+    )
+    return pairs.groupBy(
+        F.col("win_idx").cast("bigint").alias("win_idx"),
+        F.col("ws").cast("bigint").alias("win_start_us"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+#: Salt fan-out for the skew-safe large-large join demo.
+_SALT = 8
+
+
+@register(
+    "q_join_salted",
+    oracle="""
+SELECT s_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,6))) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+""",
+    doc="Salted shuffle JOIN (the skew-mitigation twin of "
+    "q_agg_skew_salted, applied to the join itself): the fact side "
+    f"salts its supplier key with l_orderkey % {_SALT}, the supplier "
+    f"side replicates each row across all {_SALT} salts, and the join "
+    "runs on (suppkey, salt) so one hot supplier spreads over "
+    f"{_SALT} reducers. The oracle states the plain unsalted join — "
+    "identical revenue per supplier proves the rewrite is "
+    "semantics-preserving.",
+    scale_notes="Manual salting for when AQE's runtime skew split "
+    "isn't available (e.g. the join feeds a co-partitioned consumer "
+    "that pins the partitioning). Cost: small side replicated "
+    f"x{_SALT} (bounded — it's the dimension side); benefit: hot-key "
+    "reducer spread. partial aggregation still applies above the "
+    "join.",
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_extendedprice",
+        "l_discount",
+        (F.col("l_orderkey") % _SALT).alias("salt"),
+    )
+    sup = (
+        read_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_name")
+        .withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(_SALT - 1)))
+        )
+    )
+    rev = F.sum(
+        dec2("l_extendedprice") * dec6(F.lit(1) - F.col("l_discount"))
+    ).cast("double")
+    return (
+        li.join(
+            sup,
+            (li.l_suppkey == sup.s_suppkey) & (li.salt == sup.salt),
+        )
+        .groupBy("s_name")
+        .agg(rev.alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )

@@ -1,0 +1,445 @@
+"""Training-data preparation operators for LLM pipelines
+(SURVEY.md §2 B.9 extension, round 6): benchmark decontamination,
+PII scrubbing, Zipf profiling, lexical diversity, Gopher-rule quality
+gating, RAG chunking, domain-mixture reweighting, language entropy.
+
+These are the corpus-curation steps a 100 TB pretraining pipeline runs
+between raw crawl and tokenizer: every one is built-in-function
+DataFrame code (JVM codegen, no Python in the row path), and every one
+carries an exact DuckDB oracle.
+
+Scale shapes (per-operator notes on each spec):
+- decontamination shuffles DISTINCT (doc, shingle) pairs, never text;
+- scrubbing / chunking / Gopher gates are zero-shuffle projections;
+- Zipf / entropy / mixture are two-phase aggregates over
+  vocabulary- or partition-count-sized intermediates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from weather_etl_spark.io import read_table
+from weather_etl_spark.registry import register
+
+#: Deterministic benchmark membership: ~1/23 of documents stand in for
+#: the held-out eval set that training data must not contain.
+_BENCH_MOD = 23
+#: Shingle width for contamination checks (the published 8-13-gram
+#: practice scaled to the fixture's short documents).
+_GRAM = 4
+
+
+@register(
+    "q_llm_decontaminate",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) - {_GRAM - 2}),
+                               i -> array_to_string(t[i:i + {_GRAM - 1}],
+                                                    ' '))) AS g
+  FROM toks WHERE len(t) >= {_GRAM}
+), bench AS (
+  SELECT DISTINCT g FROM sh WHERE doc_id % {_BENCH_MOD} = 0
+), train AS (
+  SELECT DISTINCT doc_id, g FROM sh WHERE doc_id % {_BENCH_MOD} <> 0
+)
+SELECT train.doc_id AS doc_id, COUNT(*) AS n_shared
+FROM train JOIN bench USING (g)
+GROUP BY train.doc_id
+""",
+    doc="Benchmark decontamination (the published n-gram-overlap "
+    "filter every pretraining corpus runs): documents whose id is "
+    f"0 mod {_BENCH_MOD} play the held-out benchmark; every other "
+    f"document is flagged with the count of distinct {_GRAM}-gram "
+    "shingles it shares with any benchmark document. Downstream, "
+    "n_shared >= 1 means drop-or-audit.",
+    scale_notes="Shuffles carry DISTINCT (doc_id, shingle) pairs, "
+    "never document text. The benchmark shingle set is bounded by the "
+    "eval suite (thousands of docs, not the corpus), so AQE "
+    "broadcasts it; no hint — the same plan degrades to a shuffle "
+    "join if a giant benchmark is ever supplied.",
+)
+def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= _GRAM
+    )
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {_GRAM - 1}),"
+                f" i -> concat_ws(' ', slice(t, i, {_GRAM})))"
+            )
+        ).alias("g"),
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % _BENCH_MOD == 0).select("g").distinct()
+    )
+    train = sh.filter(F.col("doc_id") % _BENCH_MOD != 0).distinct()
+    return (
+        train.join(bench, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+#: Redaction patterns — identical RE2/Java-regex-compatible syntax
+#: (character classes + bounded repetition only, no lookaround).
+_PII_EMAIL = "[a-z0-9]+@[a-z0-9.]+[a-z]"
+_PII_PHONE = "[+]1-555-[0-9]{4}"
+_PII_IP = "10[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+
+@register(
+    "q_llm_pii_scrub",
+    oracle=f"""
+WITH salted AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id ||
+         '@mail.example.com or +1-555-' ||
+         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+         ' from 10.' || doc_id % 256 || '.0.1' AS txt
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(txt, '{_PII_EMAIL}'))  AS n_email,
+       len(regexp_extract_all(txt, '{_PII_PHONE}'))  AS n_phone,
+       len(regexp_extract_all(txt, '{_PII_IP}'))     AS n_ip,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(txt, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+             '{_PII_IP}', '<IP>', 'g')) AS scrub_hash
+FROM salted
+""",
+    doc="PII scrubbing: emails, phone numbers, and IPs redacted with "
+    "typed placeholder tokens, per-document redaction counts plus an "
+    "md5 of the scrubbed text as the value-level contract. The "
+    "fixture text carries no PII, so each document is deterministically "
+    "salted with synthetic contact strings derived from its id — the "
+    "regex machinery (patterns shared verbatim with the oracle) is "
+    "what's under test.",
+    scale_notes="Zero-shuffle projection: regexp_replace/extract_all "
+    "are codegen'd JVM expressions, embarrassingly parallel over the "
+    "corpus. At 100 TB this runs at scan speed; no state, no skew.",
+)
+def q_llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    txt = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.1"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(txt, _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    def n_hits(pat: str) -> F.Column:
+        return F.size(
+            F.regexp_extract_all(txt, F.lit(pat), F.lit(0))
+        ).cast("long")
+
+    return docs.select(
+        "doc_id",
+        n_hits(_PII_EMAIL).alias("n_email"),
+        n_hits(_PII_PHONE).alias("n_phone"),
+        n_hits(_PII_IP).alias("n_ip"),
+        F.md5(scrubbed).alias("scrub_hash"),
+    )
+
+
+@register(
+    "q_llm_zipf",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), freq AS (
+  SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS total FROM freq
+), ranked AS (
+  SELECT token, n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS rank
+  FROM freq
+)
+SELECT token, CAST(n AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank,
+       CAST(n * rank AS BIGINT) AS zipf_product,
+       ROUND(CAST(n AS DOUBLE) / total, 6) AS share
+FROM ranked CROSS JOIN tot
+WHERE rank <= 20
+ORDER BY rank
+""",
+    doc="Zipf profile of the corpus vocabulary: top-20 tokens with "
+    "frequency, rank (ties broken by token), the rank x freq product "
+    "(≈ constant under Zipf's law — the sanity check corpus reports "
+    "publish), and corpus share.",
+    scale_notes="One vocabulary-sized shuffle for the token counts, "
+    "then a top-20 TakeOrderedAndProject and a 1-row total broadcast "
+    "— the corpus text itself never re-shuffles.",
+)
+def q_llm_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = freq.agg(F.sum("n").cast("bigint").alias("total"))
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    ranked = (
+        freq.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .crossJoin(F.broadcast(tot))
+    )
+    return ranked.select(
+        "token",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("rank").cast("bigint").alias("rank"),
+        (F.col("n") * F.col("rank")).cast("bigint").alias("zipf_product"),
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+    ).orderBy("rank")
+
+
+@register(
+    "q_llm_ttr",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+         AS n_types,
+       ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')), 4) AS ttr
+FROM documents
+WHERE len(string_split(text, ' ')) > 0
+""",
+    doc="Type-token ratio (lexical diversity): per document, token "
+    "count, distinct-token count, and their ratio — the classic "
+    "repetitive-boilerplate signal quality pipelines threshold on "
+    "(low TTR = template/spam text).",
+)
+def q_llm_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    return (
+        docs.select(
+            "doc_id",
+            F.size(t).cast("bigint").alias("n_tokens"),
+            F.size(F.array_distinct(t)).cast("bigint").alias("n_types"),
+            F.round(
+                F.size(F.array_distinct(t)).cast("double") / F.size(t), 4
+            ).alias("ttr"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+
+
+@register(
+    "q_llm_gopher_filter",
+    oracle="""
+WITH m AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / len(string_split(text, ' ')), 4) AS mean_wlen,
+         ROUND(CAST(len(list_filter(string_split(text, ' '),
+                                    x -> regexp_matches(x, '[a-zA-Z]')))
+                    AS DOUBLE)
+               / len(string_split(text, ' ')), 4) AS alpha_frac
+  FROM documents WHERE len(string_split(text, ' ')) > 0
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_wlen, alpha_frac,
+       (n_words BETWEEN 10 AND 100000)
+         AND (mean_wlen BETWEEN 2 AND 10)
+         AND (alpha_frac >= 0.8) AS pass_gopher
+FROM m
+""",
+    doc="Gopher quality rules (the published rule-based pretraining "
+    "gate): word count in [10, 1e5], mean word length in [2, 10], and "
+    ">= 80% of words containing an alphabetic character; emits the "
+    "per-document metrics plus the combined pass flag so thresholds "
+    "stay auditable.",
+)
+def q_llm_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    n_words = F.size(t)
+    mean_wlen = F.round(
+        F.length(F.regexp_replace("text", " ", "")).cast("double") / n_words,
+        4,
+    )
+    alpha_frac = F.round(
+        F.size(F.expr("filter(split(text, ' '), x -> x rlike '[a-zA-Z]')"))
+        .cast("double")
+        / n_words,
+        4,
+    )
+    out = docs.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        mean_wlen.alias("mean_wlen"),
+        alpha_frac.alias("alpha_frac"),
+    ).filter(F.col("n_words") > 0)
+    return out.withColumn(
+        "pass_gopher",
+        F.col("n_words").between(10, 100000)
+        & F.col("mean_wlen").between(2, 10)
+        & (F.col("alpha_frac") >= 0.8),
+    )
+
+
+#: RAG chunking geometry: windows of `_CHUNK` tokens every `_STRIDE`
+#: (overlap = _CHUNK - _STRIDE).
+_CHUNK, _STRIDE = 32, 24
+
+
+@register(
+    "q_llm_chunk",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), starts AS (
+  SELECT doc_id, t, len(t) AS n,
+         unnest(range(1, len(t) + 1, {_STRIDE})) AS s
+  FROM toks WHERE len(t) > 0
+)
+SELECT doc_id,
+       CAST((s - 1) // {_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(s AS BIGINT) AS start_tok,
+       CAST(LEAST({_CHUNK}, n - s + 1) AS BIGINT) AS n_tok,
+       md5(array_to_string(t[s:LEAST(s + {_CHUNK - 1}, n)], ' '))
+         AS chunk_hash
+FROM starts
+""",
+    doc="RAG-style chunking: each document split into overlapping "
+    f"{_CHUNK}-token windows every {_STRIDE} tokens (8-token overlap "
+    "so retrieval never loses a boundary sentence); emits chunk "
+    "geometry plus an md5 of each chunk's text as the value contract.",
+    scale_notes="Pure per-row expansion (sequence + slice + explode "
+    "inside codegen) — no shuffle, no Python; output rows scale by "
+    "x(1 + 1/3) of input tokens, the overlap factor.",
+)
+def q_llm_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") > 0
+    )
+    st = toks.select(
+        "doc_id",
+        F.col("t"),
+        F.size("t").alias("n"),
+        F.explode(
+            F.sequence(F.lit(1), F.size("t"), F.lit(_STRIDE))
+        ).alias("s"),
+    )
+    return st.select(
+        "doc_id",
+        ((F.col("s") - 1) / _STRIDE).cast("bigint").alias("chunk_idx"),
+        F.col("s").cast("bigint").alias("start_tok"),
+        F.least(F.lit(_CHUNK), F.col("n") - F.col("s") + 1)
+        .cast("bigint")
+        .alias("n_tok"),
+        F.md5(F.concat_ws(" ", F.slice(F.col("t"), F.col("s"), F.lit(_CHUNK))))
+        .alias("chunk_hash"),
+    )
+
+
+@register(
+    "q_llm_domain_mix",
+    oracle="""
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+         COUNT(*) AS n_sources
+  FROM per_src
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       ROUND(CAST(n_docs AS DOUBLE) / total, 6) AS actual_share,
+       ROUND(1.0 / n_sources, 6) AS target_share,
+       ROUND((1.0 / n_sources) / (CAST(n_docs AS DOUBLE) / total), 4)
+         AS weight
+FROM per_src CROSS JOIN tot
+""",
+    doc="Domain-mixture reweighting (the data-mixing step of corpus "
+    "assembly): per-source document share vs a uniform target mix, "
+    "emitting the sampling weight (target/actual) each source needs "
+    "for the next epoch. Swap the uniform target for a learned one "
+    "(DoReMi-style) without changing the plan shape.",
+    scale_notes="Two-phase count per source (partial map-side, tiny "
+    "shuffle of one row per source), then a 1-row total broadcast — "
+    "cost is one corpus scan regardless of SF.",
+)
+def q_llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per_src.agg(
+        F.sum("n_docs").cast("bigint").alias("total"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    actual = F.col("n_docs").cast("double") / F.col("total")
+    target = F.lit(1.0) / F.col("n_sources")
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.round(actual, 6).alias("actual_share"),
+        F.round(target, 6).alias("target_share"),
+        F.round(target / actual, 4).alias("weight"),
+    )
+
+
+@register(
+    "q_llm_lang_entropy",
+    oracle="""
+WITH c AS (
+  SELECT source, lang, COUNT(*) AS n
+  FROM documents GROUP BY source, lang
+), s AS (
+  SELECT source, CAST(SUM(n) AS BIGINT) AS n_src FROM c GROUP BY source
+), terms AS (
+  SELECT c.source, c.n, s.n_src,
+         CAST(ROUND(-(CAST(c.n AS DOUBLE) / s.n_src)
+                    * ln(CAST(c.n AS DOUBLE) / s.n_src), 6)
+              AS DECIMAL(18,6)) AS term
+  FROM c JOIN s ON c.source = s.source
+)
+SELECT source, CAST(MAX(n_src) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_langs,
+       ROUND(CAST(SUM(term) AS DOUBLE), 4) AS lang_entropy
+FROM terms GROUP BY source
+""",
+    doc="Per-source language-distribution entropy (corpus diversity "
+    "dashboard metric): H = -sum p ln p over the source's language "
+    "shares. Per-language terms are rounded to 6 decimals and summed "
+    "as DECIMAL so the entropy is independent of accumulation order "
+    "(§7.4 exact-avg discipline).",
+)
+def q_llm_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    s = c.groupBy("source").agg(F.sum("n").cast("bigint").alias("n_src"))
+    p = F.col("n").cast("double") / F.col("n_src")
+    terms = c.join(s, "source").select(
+        "source",
+        "n_src",
+        F.round(-p * F.log(p), 6).cast("decimal(18,6)").alias("term"),
+    )
+    return terms.groupBy("source").agg(
+        F.max("n_src").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+        F.round(F.sum("term").cast("double"), 4).alias("lang_entropy"),
+    )

@@ -414,3 +414,90 @@ def q_win_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.min("hr") * F.lit(3_600_000_000)).alias("island_start_us"),
         F.count(F.lit(1)).cast("bigint").alias("n_hours"),
     ).drop("grp")
+
+
+@register(
+    "q_win_ignore_nulls",
+    oracle="""
+WITH v AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN value < 5 THEN NULL ELSE value END AS masked
+  FROM events
+)
+SELECT event_id, masked,
+       last_value(masked IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill,
+       lead(masked IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id) AS next_val
+FROM v
+""",
+    doc="IGNORE NULLS window family — the gap-bridging primitive "
+    "sensor/telemetry pipelines use: low readings (value < 5) are "
+    "masked to NULL, then forward-filled with the last non-null "
+    "(last_value IGNORE NULLS) and paired with the next non-null "
+    "(lead IGNORE NULLS) per user timeline. Values pass through "
+    "unchanged (no float arithmetic), so parity is exact.",
+    scale_notes="Same single-shuffle window shape as q_win_lag; "
+    "IGNORE NULLS only changes the frame evaluator, not the "
+    "partitioning. Unbounded-preceding last_value runs as a "
+    "running accumulator, not a frame re-scan.",
+)
+def q_win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("value") < 5, None)
+        .otherwise(F.col("value"))
+        .alias("masked"),
+    )
+    return ev.select(
+        "event_id",
+        "masked",
+        F.expr(
+            "last_value(masked) IGNORE NULLS OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ).alias("ffill"),
+        F.expr(
+            "lead(masked) IGNORE NULLS OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id)"
+        ).alias("next_val"),
+    )
+
+
+@register(
+    "q_win_range_interval",
+    oracle="""
+SELECT event_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""",
+    doc="Time-interval RANGE frame (the numeric-offset q_win_rangeframe "
+    "completed with calendar semantics): per user, the trailing-1-hour "
+    "event count and value sum at every event. The sum runs over "
+    "DECIMAL so sliding-frame accumulation order (segment tree in "
+    "DuckDB, running accumulator in Spark) cannot produce float "
+    "drift.",
+    scale_notes="One shuffle on user_id + per-partition time sort; the "
+    "interval frame is a two-pointer pass over each sorted partition, "
+    "O(rows) state. Time-skewed users pre-split by day before the "
+    "window at 100 TB (same mitigation as q_win_moving).",
+)
+def q_win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    frame = (
+        "OVER (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+    )
+    return ev.select(
+        "event_id",
+        F.expr(f"CAST(count(*) {frame} AS BIGINT)").alias("n_1h"),
+        F.expr(
+            f"CAST(sum(CAST(value AS DECIMAL(18,6))) {frame} AS DOUBLE)"
+        ).alias("sum_1h"),
+    )
