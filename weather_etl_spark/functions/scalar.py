@@ -561,3 +561,94 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "k").alias("v_k"),
         F.coalesce(F.map_contains_key(m, "k"), F.lit(False)).alias("has_k"),
     )
+
+
+@register(
+    "q_fn_url",
+    oracle="""
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/' || lang || '/doc/' ||
+         doc_id || '?ref=r' || doc_id % 7 || '&p=' || doc_id % 3 ||
+         '#sec' || doc_id % 5 AS url
+  FROM documents
+)
+SELECT doc_id,
+       regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+       regexp_extract(url, '://([^/]+)/', 1) AS host,
+       regexp_extract(url, '://[^/]+(/[^?#]*)', 1) AS path,
+       regexp_extract(url, 'ref=([a-z0-9]+)', 1) AS ref,
+       regexp_extract(url, '#(.*)$', 1) AS frag
+FROM u
+""",
+    doc="URL parsing surface: synthetic per-document URLs decomposed "
+    "into protocol/host/path/query-param/fragment. The Spark side "
+    "uses the dedicated parse_url function (PROTOCOL/HOST/PATH/"
+    "QUERY:key/REF); the oracle re-derives every component with "
+    "plain regexes, so a parse_url quirk (e.g. including the '?' or "
+    "'#') would hash-mismatch.",
+)
+def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref=r"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("&p="),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("#sec"),
+        (F.col("doc_id") % 5).cast("string"),
+    )
+    return docs.select(
+        "doc_id",
+        F.parse_url(url, F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("ref")).alias("ref"),
+        F.parse_url(url, F.lit("REF")).alias("frag"),
+    )
+
+
+@register(
+    "q_fn_format",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       printf('%s#%04d @ %10.2f', l_returnflag, l_linenumber,
+              l_extendedprice) AS line_fmt,
+       printf('%08x', l_orderkey) AS key_hex,
+       printf('%+d|%5.1f%%', CAST(l_quantity AS INTEGER),
+              l_discount * 100) AS qty_disc
+FROM lineitem WHERE l_orderkey < 2000
+""",
+    doc="C-style formatting parity: format_string (Spark) vs printf "
+    "(DuckDB) over width/zero-pad/precision/hex/sign specifiers. "
+    "Both implementations round %f by the exact binary value of the "
+    "double, so the formatted strings hash-match; ties-at-.005 are "
+    "not representable in binary doubles, which is why no rounding-"
+    "mode divergence can occur.",
+)
+def q_fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") < 2000
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.format_string(
+            "%s#%04d @ %10.2f",
+            F.col("l_returnflag"),
+            F.col("l_linenumber"),
+            F.col("l_extendedprice"),
+        ).alias("line_fmt"),
+        F.format_string("%08x", F.col("l_orderkey")).alias("key_hex"),
+        F.format_string(
+            "%+d|%5.1f%%",
+            F.col("l_quantity").cast("int"),
+            F.col("l_discount") * 100,
+        ).alias("qty_disc"),
+    )

@@ -989,3 +989,119 @@ def q_agg_kmv_portable(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "q_agg_listagg",
+    oracle="""
+WITH d AS (
+  SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+)
+SELECT o_orderstatus,
+       string_agg(o_orderpriority, ',' ORDER BY o_orderpriority)
+         AS priorities,
+       COUNT(*) AS n_priorities
+FROM d GROUP BY o_orderstatus
+""",
+    doc="Ordered string aggregation (SQL:2023 LISTAGG ... WITHIN "
+    "GROUP, Spark 4's listagg): the distinct priorities seen per "
+    "order status, comma-joined in sorted order — deterministic "
+    "because the ORDER BY inside the aggregate is total. Oracle uses "
+    "DuckDB's equivalent string_agg(... ORDER BY).",
+    scale_notes="DISTINCT first shrinks the aggregation input to the "
+    "(status, priority) key space — the listagg itself then "
+    "concatenates a bounded set per group. Never listagg an unbounded "
+    "fact column; the distinct pre-step is the scale contract.",
+)
+def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "wes_listagg_orders"
+    )
+    return spark.sql(
+        """
+WITH d AS (
+  SELECT DISTINCT o_orderstatus, o_orderpriority FROM wes_listagg_orders
+)
+SELECT o_orderstatus,
+       listagg(o_orderpriority, ',')
+         WITHIN GROUP (ORDER BY o_orderpriority) AS priorities,
+       COUNT(*) AS n_priorities
+FROM d GROUP BY o_orderstatus
+"""
+    )
+
+
+@register(
+    "q_agg_filter_clause",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n_all,
+       COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+       CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                     FILTER (WHERE l_discount > 0.05), 0) AS DOUBLE)
+         AS qty_disc,
+       COUNT(*) FILTER (WHERE l_quantity < 10) AS n_small
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="Conditional aggregation via the SQL FILTER clause (one pass, "
+    "no self-joins): per return flag, total rows, discounted rows, "
+    "discounted quantity (DECIMAL-exact), and small-quantity rows — "
+    "the idiom that replaces N filtered subqueries with one scan.",
+    scale_notes="All four aggregates evaluate in the SAME partial-agg "
+    "pass — one scan, one shuffle of (flag, partials), however many "
+    "FILTER conditions are added. The naive multi-subquery form scans "
+    "the fact table once per condition.",
+)
+def q_agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "wes_filter_lineitem"
+    )
+    return spark.sql(
+        """
+SELECT l_returnflag,
+       COUNT(*) AS n_all,
+       COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+       CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                     FILTER (WHERE l_discount > 0.05), 0) AS DOUBLE)
+         AS qty_disc,
+       COUNT(*) FILTER (WHERE l_quantity < 10) AS n_small
+FROM wes_filter_lineitem
+GROUP BY l_returnflag
+"""
+    )
+
+
+@register(
+    "q_agg_grouping_id",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+       COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+    doc="GROUPING() provenance flags over grouping sets: each output "
+    "row carries which columns were aggregated-away (the NULL-vs-"
+    "grouped disambiguation q_agg_rollup's consumers need when a real "
+    "NULL key exists). Completes the grouping-sets family with the "
+    "introspection function.",
+    scale_notes="Same single-Expand single-shuffle plan as "
+    "q_agg_gsets; GROUPING() reads the expand-generated bitmask, "
+    "adding zero cost.",
+)
+def q_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "wes_gid_orders"
+    )
+    return spark.sql(
+        """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+       COUNT(*) AS n
+FROM wes_gid_orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+    )

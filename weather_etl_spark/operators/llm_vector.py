@@ -586,3 +586,79 @@ def llm_doc_embed_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cohesion"
         ),
     )
+
+
+@register(
+    "llm_embed_quantize",
+    oracle="""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), s AS (
+  SELECT vec_id, e,
+         list_max(list_transform(e, x -> abs(x))) AS mx
+  FROM v
+), q AS (
+  SELECT vec_id, mx,
+         CASE WHEN mx = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(
+                     e, x -> CAST(floor(x / (mx / 127) + 0.5) AS BIGINT))
+         END AS qv,
+         len(e) AS n_dims
+  FROM s
+)
+SELECT vec_id,
+       ROUND(mx / 127, 6) AS scale,
+       CAST(n_dims AS BIGINT) AS n_dims,
+       CAST(COALESCE(list_aggregate(qv, 'sum'), 0) AS BIGINT) AS q_sum,
+       CAST(COALESCE(list_aggregate(
+              list_transform(qv, x -> abs(x)), 'sum'), 0) AS BIGINT)
+         AS q_l1
+FROM q
+""",
+    doc="Symmetric int8 quantization of the embedding column (the "
+    "compression step before ANN indexes ship to serving): per-vector "
+    "scale = max|x|/127, q_i = floor(x/scale + 0.5) (explicit "
+    "half-up, so both engines round identically), emitting the scale "
+    "plus order-invariant checksums (sum, L1) of the quantized "
+    "vector. Float->double widening and the division sequence are "
+    "written identically in both engines, so the checksums are "
+    "bit-exact.",
+    scale_notes="Zero-shuffle projection over array columns — all "
+    "higher-order functions inside codegen, no Python. At 100 TB the "
+    "quantized vectors are 4x smaller than fp32 before they ever hit "
+    "a shuffle or an index build (SCALE.md §8).",
+)
+def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> CAST(x AS DOUBLE))"
+            ).alias("e"),
+        )
+        .withColumn(
+            "mx", F.expr("array_max(transform(e, x -> abs(x)))")
+        )
+        .withColumn(
+            "qv",
+            F.expr(
+                "CASE WHEN mx = 0 THEN transform(e, x -> CAST(0 AS BIGINT)) "
+                "ELSE transform(e, x -> "
+                "CAST(floor(x / (mx / 127) + 0.5) AS BIGINT)) END"
+            ),
+        )
+        .select(
+            "vec_id",
+            F.round(F.col("mx") / 127, 6).alias("scale"),
+            F.size("e").cast("bigint").alias("n_dims"),
+            F.expr(
+                "CAST(aggregate(qv, 0L, (a, x) -> a + x) AS BIGINT)"
+            ).alias("q_sum"),
+            F.expr(
+                "CAST(aggregate(qv, 0L, (a, x) -> a + abs(x)) AS BIGINT)"
+            ).alias("q_l1"),
+        )
+    )

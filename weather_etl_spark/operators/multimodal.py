@@ -500,3 +500,88 @@ def llm_mm_audio_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, win_idx long, byte_off long, win_len long, "
         "n_spaces long",
     )
+
+
+@register(
+    "llm_mm_resize",
+    oracle="""
+WITH v AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text))                AS nb,
+         octet_length(encode(text)) % 31 + 1       AS w,
+         (octet_length(encode(text)) * 7) % 17 + 1 AS h
+  FROM documents WHERE doc_id <= 100
+), g AS (
+  SELECT doc_id, hx, nb, w, h,
+         (w + 1) // 2 AS out_w, (h + 1) // 2 AS out_h
+  FROM v
+)
+SELECT doc_id,
+       CAST(out_w AS BIGINT) AS out_w,
+       CAST(out_h AS BIGINT) AS out_h,
+       CAST(out_w * out_h * 3 AS BIGINT) AS out_npix,
+       CAST(COALESCE(list_sum(flatten(list_transform(
+              range(0, out_h), yy -> list_transform(
+                range(0, out_w * 3), j ->
+                  CASE WHEN (yy * 2 * w + (j // 3) * 2) * 3 + (j % 3) < nb
+                       THEN CAST('0x' || substr(hx,
+                              2 * ((yy * 2 * w + (j // 3) * 2) * 3
+                                   + (j % 3)) + 1, 2) AS INTEGER)
+                       ELSE 0 END)))), 0) AS BIGINT) AS out_sum
+FROM g
+""",
+    doc="Nearest-neighbor 2x image downsample over binary payloads "
+    "(the thumbnail/feature-pyramid step of a multimodal pipeline): "
+    "encode each document as PPM/BMP (like llm_mm_decode), decode, "
+    "keep every 2nd row and column via numpy strided slicing, emit "
+    "the output geometry plus an order-invariant pixel checksum. The "
+    "oracle recomputes every kept byte arithmetically (hex-pair "
+    "indexing of the same UTF-8 payload, zero-padding beyond the "
+    "text), so an off-by-one in stride or row origin hash-mismatches.",
+    scale_notes="Same executor-side Arrow-batch contract as "
+    "llm_mm_decode: payloads never shuffle, only (doc, geometry, "
+    "checksum) rows move. Resize is numpy strided slicing per batch — "
+    "vectorized, no per-pixel Python.",
+)
+def llm_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") <= 100)
+        .select("doc_id", "text")
+    )
+
+    def encode_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                tb = text.encode("utf-8")
+                w = len(tb) % 31 + 1
+                h = (len(tb) * 7) % 17 + 1
+                pix = _doc_pixels(tb, w, h)
+                enc = encode_ppm if doc_id % 2 == 0 else encode_bmp
+                payloads.append(enc(w, h, pix))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(encode_stage, "doc_id long, payload binary")
+
+    def resize_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {"doc_id": [], "out_w": [], "out_h": [],
+                    "out_npix": [], "out_sum": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _fmt, w, h, pixels = decode_image(bytes(payload))
+                arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, 3)
+                sub = arr[::2, ::2, :]
+                rows["doc_id"].append(doc_id)
+                rows["out_w"].append(sub.shape[1])
+                rows["out_h"].append(sub.shape[0])
+                rows["out_npix"].append(int(sub.size))
+                rows["out_sum"].append(int(sub.sum()))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        resize_stage,
+        "doc_id long, out_w long, out_h long, out_npix long, out_sum long",
+    )

@@ -313,3 +313,40 @@ FROM months LEFT JOIN wes_rcte_orders
 GROUP BY mon
         """
     )
+
+
+@register(
+    "q_sql_groupby_all",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(year(o_orderdate) AS BIGINT) AS yr,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_price
+FROM orders
+GROUP BY ALL
+""",
+    doc="GROUP BY ALL (the SQL-surface affordance both Spark 4 and "
+    "DuckDB ship): every non-aggregate select item becomes a grouping "
+    "key — status x priority x order-year rollup with an exact "
+    "DECIMAL price sum. Oracle is the same statement; both engines "
+    "must infer the same key set.",
+    scale_notes="Identical plan to the explicit GROUP BY — key "
+    "inference is purely syntactic; one partial agg + one shuffle on "
+    "the 3-column key.",
+)
+def q_sql_groupby_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "wes_gball_orders"
+    )
+    return spark.sql(
+        """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(year(o_orderdate) AS BIGINT) AS yr,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_price
+FROM wes_gball_orders
+GROUP BY ALL
+"""
+    )
