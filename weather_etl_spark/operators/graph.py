@@ -19,6 +19,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from weather_etl_spark.checkpoints import (
+    release_rdds,
+    tracked_local_checkpoint,
+)
 from weather_etl_spark.io import read_table
 from weather_etl_spark.registry import register
 
@@ -149,15 +153,27 @@ LIMIT 20
     "1-row node-count crossJoin broadcasts.",
 )
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _edges(spark, sf_dir)
-    outdeg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
+    # Materialize the loop-invariant frames ONCE (edge list + degrees):
+    # without this every unrolled iteration re-derives them from the
+    # base tables and the final plan re-executes the orders⋈lineitem
+    # join per iteration (measured: 66 Exchanges unchecked vs 8 with
+    # checkpoints at sf0.01). Same lifecycle protocol as
+    # llm_components_starcontract: per-round state is checkpointed and
+    # the previous round's blocks are released as soon as the next
+    # round is materialized; the invariants stay pinned until the
+    # harness's between-queries release.
+    edges, _edge_ids = tracked_local_checkpoint(_edges(spark, sf_dir))
+    outdeg, _deg_ids = tracked_local_checkpoint(
+        edges.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
+    )
     n = outdeg.agg(F.count(F.lit(1)).alias("n"))
     pr = outdeg.crossJoin(F.broadcast(n)).select(
         "u",
         "outdeg",
         F.round(F.lit(1.0) / F.col("n"), 6).alias("pr"),
     )
-    for _ in range(_ITERS):
+    prev_ids: set[int] = set()
+    for it in range(_ITERS):
         contrib = edges.join(
             pr.select(F.col("u").alias("src"), "outdeg", "pr"),
             edges.u == F.col("src"),
@@ -182,6 +198,11 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("pr"),
             )
         )
+        if it < _ITERS - 1:
+            # materialize this round, then drop round N-1's blocks
+            pr, ids = tracked_local_checkpoint(pr)
+            release_rdds(spark, prev_ids)
+            prev_ids = ids
     return (
         pr.select(
             F.col("u").alias("node_id"),
