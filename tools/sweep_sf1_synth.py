@@ -1,0 +1,144 @@
+"""Synthetic ~sf1 scale sweep (r5 verdict stretch #7, adapted).
+
+No sf1 fixture exists, so this tool fabricates one — STRICTLY for
+performance/plan-shape measurement, never for correctness oracles
+(TESTDATA.md's tables remain the only correctness inputs): each sf0.1
+table is replicated 10x with key-shifted replicas that preserve every
+foreign-key relationship (orderkey/custkey/suppkey/partkey/event/user/
+doc/vec ids shift by replica * 10^ceil(log10(max+1)); constant dims
+region/nation copy through; event timestamps shift by replica days so
+the temporal density profile is preserved rather than stacked).
+
+Output: per-query seconds at the synthetic sf1, plus the
+BroadcastHashJoin/SortMergeJoin composition of the join composites so
+SCALE.md can record whether any plan changes shape 10x up
+(broadcast->SMJ flips are the interesting event for the de-hinted
+r6 queries).
+
+Usage:  python tools/sweep_sf1_synth.py [--rebuild]
+"""
+
+from __future__ import annotations
+
+import math
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from weather_etl_spark.checkpoints import release_session_checkpoints
+from weather_etl_spark.io import TABLES
+from weather_etl_spark.registry import load_all
+from weather_etl_spark.session import get_spark
+
+SRC = "/root/testdata/sf0.1"
+DST = "/root/repo/spark-warehouse/sf1_synth"
+REPLICAS = 10
+
+#: key column -> shift unit derived from that column's own max
+_SHIFT_KEYS = {
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+#: shared key spaces must shift by the SAME unit on both sides
+_SHARED_UNITS = {
+    "o_orderkey": "orderkey", "l_orderkey": "orderkey",
+    "o_custkey": "custkey", "c_custkey": "custkey",
+    "l_suppkey": "suppkey", "s_suppkey": "suppkey",
+    "l_partkey": "partkey", "p_partkey": "partkey",
+    "user_id": "userkey",
+}
+
+SWEEP = [
+    "q_agg_q1", "q_join_smj", "q_join_star", "q_tpch_q3", "q_tpch_q5",
+    "q_join_salted", "q_join_interval_overlap", "q_llm_knn",
+    "q_llm_perplexity", "q_llm_tfidf", "q_llm_decontaminate",
+    "q_graph_degree", "q_graph_pagerank", "q_win_runsum",
+    "q_llm_chunk", "llm_embed_quantize", "q_llm_exact_dedup",
+    "llm_jaccard_prefix", "llm_components_starcontract",
+]
+JOIN_COMPOSITES = {"q_join_star", "q_tpch_q3", "q_tpch_q5", "q_join_smj"}
+
+
+def _pow10_unit(mx: int) -> int:
+    return 10 ** math.ceil(math.log10(max(mx, 1) + 1))
+
+
+def build(spark) -> None:
+    shutil.rmtree(DST, ignore_errors=True)
+    Path(DST).mkdir(parents=True)
+    # shared shift units from the defining side's max
+    units: dict[str, int] = {}
+    for tbl, cols in _SHIFT_KEYS.items():
+        df = spark.read.parquet(f"{SRC}/{tbl}.parquet")
+        for c in cols:
+            space = _SHARED_UNITS.get(c, c)
+            mx = df.agg(F.max(c)).first()[0]
+            units[space] = max(units.get(space, 0), _pow10_unit(int(mx)))
+    for tbl in TABLES:
+        src = spark.read.parquet(f"{SRC}/{tbl}.parquet")
+        if tbl not in _SHIFT_KEYS:  # region / nation: constant dims
+            src.write.mode("overwrite").parquet(f"{DST}/{tbl}.parquet")
+            continue
+        rep = src.withColumn(
+            "_r", F.explode(F.sequence(F.lit(0), F.lit(REPLICAS - 1)))
+        )
+        for c in _SHIFT_KEYS[tbl]:
+            space = _SHARED_UNITS.get(c, c)
+            rep = rep.withColumn(
+                c, F.col(c) + F.col("_r") * F.lit(units[space])
+            )
+        if tbl == "events":
+            rep = rep.withColumn(
+                "ts", F.col("ts") + F.make_dt_interval(F.col("_r"))
+            )
+        rep.drop("_r").write.mode("overwrite").parquet(
+            f"{DST}/{tbl}.parquet"
+        )
+        n0, n1 = src.count(), spark.read.parquet(
+            f"{DST}/{tbl}.parquet"
+        ).count()
+        assert n1 == n0 * REPLICAS, (tbl, n0, n1)
+        print(f"[build] {tbl}: {n0} -> {n1}", flush=True)
+
+
+def main() -> None:
+    spark = get_spark("sweep-sf1-synth")
+    if "--rebuild" in sys.argv or not Path(DST).exists():
+        t0 = time.perf_counter()
+        build(spark)
+        print(f"[build] done in {time.perf_counter() - t0:.1f}s", flush=True)
+    specs = load_all()
+    for name in SWEEP:
+        df = specs[name].fn(spark, DST)
+        t0 = time.perf_counter()
+        df.count()
+        sec = round(time.perf_counter() - t0, 2)
+        line = f"{name},{sec}"
+        if name in JOIN_COMPOSITES:
+            plan = (
+                specs[name].fn(spark, DST)
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            line += (
+                f",BHJ={plan.count('BroadcastHashJoin')}"
+                f",SMJ={plan.count('SortMergeJoin')}"
+                f",SHJ={plan.count('ShuffledHashJoin')}"
+            )
+        print(line, flush=True)
+        release_session_checkpoints(spark)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
