@@ -123,15 +123,16 @@ GROUP BY c_mktsegment
 """,
     doc="Stream-static enrichment join (events x customer dim), batch "
     "parity (reference A9: dimension lookup before write).",
-    scale_notes="In streaming mode the static side is re-broadcast per "
-    "micro-batch; keep dims bounded or snapshot them to a broadcast "
-    "table.",
+    scale_notes="No broadcast hint (r6 policy: customer grows with SF) "
+    "— the size estimator broadcasts the dim while it fits; in "
+    "streaming mode the static side is then re-read per micro-batch, "
+    "so at scale snapshot the dim or accept a shuffle join.",
 )
 def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     cust = read_table(spark, sf_dir, "customer")
     return (
-        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        ev.join(cust, ev.user_id == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n"),
