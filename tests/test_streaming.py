@@ -175,3 +175,25 @@ def test_streaming_sessionizer_agrees_with_batch_sessionize(spark):
         .drop("rn")
     )
     assert got == want
+
+
+def test_stream_defines_on_empty_input_dir(spark, tmp_path):
+    """An empty input directory is a legitimate state for a stream
+    awaiting its first files (ADVICE r5): the dtype probe must fall
+    back to the documented default instead of raising at definition
+    time, and the stream must start and drain zero rows."""
+    import os
+
+    from weather_etl_spark.streaming.runtime import (
+        _run_to_memory,
+        _stream_events,
+    )
+
+    in_dir = str(tmp_path / "empty_in")
+    os.makedirs(in_dir, exist_ok=True)
+    stream = _stream_events(spark, in_dir)  # must not raise
+    assert stream.isStreaming
+    out = _run_to_memory(
+        stream.groupBy("user_id").count(), "complete", str(tmp_path)
+    )
+    assert out.count() == 0
