@@ -47,3 +47,29 @@ def test_readme_counts_match_registry():
     reg = load_all()
     assert declared == len(reg)
     assert oracled == sum(1 for s in reg.values() if s.oracle is not None)
+
+
+def test_driver_window_priority_head_fits_in_window():
+    """The driver checks only the first 50 queries. Never-verified rows
+    rank ahead of the priority list, so every op added in a round
+    displaces one queued re-check from the window. This guard fails
+    loudly when the head of DRIVER_WINDOW_PRIORITY (the rows the last
+    verdict ORDERED re-checked: stale lineage + changed oracles) no
+    longer fits — rebalance before registering another query."""
+    from weather_etl_spark.registry import (
+        DRIVER_VERIFIED,
+        DRIVER_WINDOW_PRIORITY,
+        load_all,
+    )
+
+    reg = list(load_all())
+    window = set(reg[:50])
+    n_new = sum(1 for n in reg if n not in DRIVER_VERIFIED)
+    # the ordered head: everything before the explicit buffer marker —
+    # round 6: 21 r2-stale + 7 changed rows
+    head = DRIVER_WINDOW_PRIORITY[:28]
+    missing = [n for n in head if n not in window]
+    assert not missing, (
+        f"{n_new} unverified rows push these ordered re-checks out of "
+        f"the 50-slot driver window: {missing}"
+    )
