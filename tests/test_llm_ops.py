@@ -428,3 +428,65 @@ def test_interval_overlap_windows_disjoint_from_geometry(spark, sf_dir):
         assert b - a >= 21_600_000_000
     for r in rows:
         assert r["n_users"] <= r["n_events"]
+
+
+def test_pagerank_differential_vs_pure_python(spark):
+    """Differential check of the PageRank loop on synthetic graphs
+    (the star-contract testing pattern): a pure-python reference
+    mirrors the engine's arithmetic exactly — half-up rounding on the
+    shortest decimal repr (what Spark's ROUND and DuckDB both do for
+    doubles), exact DECIMAL(18,6) contribution sums, float damping —
+    so ranks must match to the last bit, not approximately."""
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql import functions as F
+
+    from weather_etl_spark.operators.graph import (
+        _DAMP,
+        _ITERS,
+        pagerank_frame,
+    )
+
+    def r6(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP)
+        )
+
+    def reference(pairs):
+        edges = sorted(set(pairs) | {(v, u) for u, v in pairs})
+        out = {}
+        for u, _ in edges:
+            out[u] = out.get(u, 0) + 1
+        n = len(out)
+        pr = {u: r6(1.0 / n) for u in out}
+        for _ in range(_ITERS):
+            sums = {u: Decimal(0) for u in out}
+            for u, v in edges:
+                sums[v] += Decimal(repr(r6(pr[u] / out[u]))).quantize(
+                    Decimal("1e-6")
+                )
+            pr = {
+                u: r6((1 - _DAMP) / n + _DAMP * float(sums[u]))
+                for u in out
+            }
+        return pr
+
+    rng = random.Random(19)
+    cases = [
+        [(2 * c, 2 * s + 1) for c, s in
+         {(rng.randrange(40), rng.randrange(8)) for _ in range(120)}],
+        [(0, 1), (0, 3), (2, 1)],                       # tiny bipartite
+        [(2 * i, 2 * i + 1) for i in range(25)],        # perfect matching
+    ]
+    for pairs in cases:
+        pairs = sorted(set(pairs))
+        df = spark.createDataFrame(pairs, "u long, v long")
+        und = df.union(df.select(F.col("v").alias("u"),
+                                 F.col("u").alias("v")))
+        got = {r["u"]: r["pr"] for r in pagerank_frame(und).collect()}
+        want = reference(pairs)
+        assert got == want, (
+            f"rank drift on {len(pairs)}-edge case: "
+            f"{ {k: (got.get(k), want.get(k)) for k in want if got.get(k) != want.get(k)} }"
+        )

@@ -143,25 +143,13 @@ LIMIT 20
     return sql
 
 
-@register(
-    "q_graph_pagerank",
-    oracle=_pagerank_oracle(),
-    doc=f"PageRank ({_ITERS} iterations, d={_DAMP}) over the "
-    "customer-supplier transaction graph, as pure DataFrame "
-    "join+aggregate rounds — the canonical iterative-algorithm shape "
-    "on Spark (what Pregel/GraphX lowers to). Top-20 nodes by rank "
-    "with full (pr, node_id) tie-break; per-edge contributions are "
-    "rounded and DECIMAL-summed so both engines produce bit-identical "
-    "ranks.",
-    scale_notes="Per iteration: one shuffle of (dst, contribution) "
-    "pairs — edge-count-sized, never node-state x degree. The rank "
-    "frame re-partitions on node id once and reuses that partitioning "
-    "across iterations; at 100 TB each iteration localCheckpoints "
-    "like llm_components_starcontract to cut the lineage (3 fixed "
-    "iterations here, so lineage stays shallow by construction). The "
-    "1-row node-count crossJoin broadcasts.",
-)
-def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pagerank_frame(undirected_edges: DataFrame) -> DataFrame:
+    """Run the fixed-iteration PageRank loop over an (u, v) edge list
+    (both directions present). Returns the full (u, outdeg, pr) frame;
+    callers order/limit. Exposed separately so tests can differential-
+    check the loop against a pure-python reference on synthetic graphs
+    (the star-contract testing pattern)."""
+    spark = undirected_edges.sparkSession
     # Materialize the loop-invariant frames ONCE (edge list + degrees):
     # without this every unrolled iteration re-derives them from the
     # base tables and the final plan re-executes the orders⋈lineitem
@@ -171,7 +159,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the previous round's blocks are released as soon as the next
     # round is materialized; the invariants stay pinned until the
     # harness's between-queries release.
-    edges, _edge_ids = tracked_local_checkpoint(_edges(spark, sf_dir))
+    edges, _edge_ids = tracked_local_checkpoint(undirected_edges)
     outdeg, _deg_ids = tracked_local_checkpoint(
         edges.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
     )
@@ -212,6 +200,30 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             pr, ids = tracked_local_checkpoint(pr)
             release_rdds(spark, prev_ids)
             prev_ids = ids
+    return pr
+
+
+@register(
+    "q_graph_pagerank",
+    oracle=_pagerank_oracle(),
+    doc=f"PageRank ({_ITERS} iterations, d={_DAMP}) over the "
+    "customer-supplier transaction graph, as pure DataFrame "
+    "join+aggregate rounds — the canonical iterative-algorithm shape "
+    "on Spark (what Pregel/GraphX lowers to). Top-20 nodes by rank "
+    "with full (pr, node_id) tie-break; per-edge contributions are "
+    "rounded and DECIMAL-summed so both engines produce bit-identical "
+    "ranks (differential-checked against a pure-python reference on "
+    "synthetic graphs in tests/test_llm_ops.py).",
+    scale_notes="Per iteration: one shuffle of (dst, contribution) "
+    "pairs — edge-count-sized, never node-state x degree. The rank "
+    "frame re-partitions on node id once and reuses that partitioning "
+    "across iterations; at 100 TB each iteration localCheckpoints "
+    "like llm_components_starcontract to cut the lineage (3 fixed "
+    "iterations here, so lineage stays shallow by construction). The "
+    "1-row node-count crossJoin broadcasts.",
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pr = pagerank_frame(_edges(spark, sf_dir))
     return (
         pr.select(
             F.col("u").alias("node_id"),
