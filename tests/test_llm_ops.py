@@ -490,3 +490,85 @@ def test_pagerank_differential_vs_pure_python(spark):
             f"rank drift on {len(pairs)}-edge case: "
             f"{ {k: (got.get(k), want.get(k)) for k in want if got.get(k) != want.get(k)} }"
         )
+
+
+def test_quantize_differential_vs_numpy(spark, sf_dir):
+    """Third-opinion check (Spark and DuckDB already agree): numpy
+    float64 computes the same scale/checksums from the raw vectors."""
+    import math
+
+    import numpy as np
+
+    from weather_etl_spark.io import read_table
+
+    raw = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in read_table(spark, sf_dir, "embeddings")
+        .limit(200)
+        .collect()
+    }
+    got = {
+        r["vec_id"]: r
+        for r in SPECS["llm_embed_quantize"].fn(spark, sf_dir).collect()
+        if r["vec_id"] in raw
+    }
+    assert set(got) == set(raw)
+    for vid, v in raw.items():
+        mx = float(np.max(np.abs(v)))
+        scale = mx / 127
+        q = (
+            np.zeros_like(v)
+            if mx == 0
+            else np.floor(v / scale + 0.5)
+        )
+        r = got[vid]
+        assert r["q_sum"] == int(q.sum()) and r["q_l1"] == int(
+            np.abs(q).sum()
+        ), f"vec {vid} checksum drift"
+        # scale is emitted rounded half-up on the shortest repr
+        from decimal import ROUND_HALF_UP, Decimal
+
+        want_scale = float(
+            Decimal(repr(scale)).quantize(Decimal("1e-6"), ROUND_HALF_UP)
+        )
+        assert math.isclose(r["scale"], want_scale, rel_tol=0, abs_tol=0)
+
+
+def test_interval_overlap_differential_vs_naive_python(spark, sf_dir):
+    """The bucketed equi-join rewrite must reproduce the naive O(n·m)
+    pairing computed in plain python from the same inputs."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from weather_etl_spark.io import read_table
+    from weather_etl_spark.operators.joins import (
+        _IV_EV_LEN,
+        _IV_N_WIN,
+        _IV_W_LEN,
+        _IV_W_STRIDE,
+    )
+
+    ev = [
+        (r["event_id"], r["user_id"], r["s"])
+        for r in read_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 5000)
+        .select("event_id", "user_id", F.unix_micros("ts").alias("s"))
+        .collect()
+    ]
+    t0 = min(s for _, _, s in ev)
+    want = defaultdict(lambda: [0, set()])
+    for i in range(_IV_N_WIN):
+        ws = t0 + i * _IV_W_STRIDE
+        we = ws + _IV_W_LEN
+        for _eid, uid, s in ev:
+            if s < we and ws < s + _IV_EV_LEN:
+                want[(i, ws)][0] += 1
+                want[(i, ws)][1].add(uid)
+    got = {
+        (r["win_idx"], r["win_start_us"]): (r["n_events"], r["n_users"])
+        for r in SPECS["q_join_interval_overlap"].fn(spark, sf_dir).collect()
+    }
+    assert got == {
+        k: (n, len(users)) for k, (n, users) in want.items()
+    }
