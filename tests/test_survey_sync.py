@@ -62,6 +62,10 @@ def test_driver_window_priority_head_fits_in_window():
         load_all,
     )
 
+    assert len(set(DRIVER_WINDOW_PRIORITY)) == len(DRIVER_WINDOW_PRIORITY), (
+        "duplicate name in DRIVER_WINDOW_PRIORITY — the LAST index wins "
+        "in the rotation, silently demoting the head entry"
+    )
     reg = list(load_all())
     window = set(reg[:50])
     n_new = sum(1 for n in reg if n not in DRIVER_VERIFIED)

@@ -209,17 +209,38 @@ def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_udf_grouped_map",
     oracle="""
+WITH c AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+), p AS (
+  SELECT c_custkey, c_mktsegment,
+         cents * (COUNT(*) OVER w) - (SUM(cents) OVER w) AS num,
+         100 * (COUNT(*) OVER w) AS den
+  FROM c
+  WINDOW w AS (PARTITION BY c_mktsegment)
+)
 SELECT c_custkey,
        c_mktsegment,
-       ROUND(c_acctbal - AVG(c_acctbal) OVER (PARTITION BY c_mktsegment), 4)
-         AS bal_centered
-FROM customer
+       CAST(CASE WHEN num >= 0
+                 THEN (2 * num * 10000 + den) // (2 * den)
+                 ELSE -((2 * (-num) * 10000 + den) // (2 * den))
+            END AS DOUBLE) / 10000 AS bal_centered
+FROM p
 """,
     doc="Grouped-map applyInPandas: per-segment mean-centering of "
     "account balances — each group arrives as ONE pandas DataFrame, "
     "the full-group custom transform that window functions cannot "
     "always express (here it can, which is what makes the exact "
-    "window oracle possible).",
+    "window oracle possible). §7.4 exactness, hardened twice by the "
+    "sf0.001 sweep: (1) a float group MEAN is accumulation-order-"
+    "dependent (pandas pairwise vs DuckDB AVG differ by an ulp), so "
+    "both sides center via the integer-cents identity "
+    "cents*n - sum_cents; (2) that identity makes exact decimal TIES "
+    "systematic (denominator 100n), where Spark's shortest-repr "
+    "half-up and DuckDB's binary-value rounding disagree — so the "
+    "4-dp round itself is integer arithmetic (half-away via "
+    "(2|p|*10^4 + q) // 2q), and only the final /10^4 is float.",
     scale_notes="applyInPandas materializes each GROUP in executor "
     "memory — bounded by the largest group, not the table; skewed "
     "groups need salting or a two-pass broadcast-stats rewrite "
@@ -229,10 +250,19 @@ FROM customer
 )
 def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         out = pdf[["c_custkey", "c_mktsegment"]].copy()
-        out["bal_centered"] = (
-            pdf["c_acctbal"] - pdf["c_acctbal"].mean()
-        ).round(4)
+        cents = (pdf["c_acctbal"] * 100).round().astype("int64")
+        n = len(cents)
+        num = (cents * n - cents.sum()) * 10000
+        den = 100 * n
+        r = np.where(
+            num >= 0,
+            (2 * num + den) // (2 * den),
+            -((-2 * num + den) // (2 * den)),
+        )
+        out["bal_centered"] = r / 10000.0
         return out
 
     cust = read_table(spark, sf_dir, "customer").select(

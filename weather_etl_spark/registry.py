@@ -226,12 +226,19 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 #: rows-only llm_ann_lsh/udtf_mapinpandas); (2) the rows CHANGED in
 #: round 6 and needing a re-verdict: llm_mm_audio_window + q_fn_map
 #: (oracle text changed — byte-accurate n_spaces / has_k coalesce),
-#: q_llm_perplexity + q_llm_tfidf (vocabulary broadcast hints dropped),
-#: q_tpch_q3/q_tpch_q5/q_join_star (customer/supplier hints dropped);
-#: (3) an r3-stale buffer that fills whatever slots the round's NEW
-#: queries (which rank ahead of this whole list by the never-verified
-#: rule below) leave free.  With 22 new rows in r6 the window is
-#: exactly 22 new + the 21 r2-stale + the first 7 changed rows;
+#: q_udf_grouped_map (oracle + UDF rewritten to exact integer-cents
+#: centering after the sf0.001 cross-SF sweep caught a float-mean
+#: rounding-boundary flip), q_llm_perplexity + q_llm_tfidf
+#: (vocabulary broadcast hints dropped), q_tpch_q3/q_join_star
+#: (customer hints dropped); (3) an r3-stale buffer that fills
+#: whatever slots the round's NEW queries (which rank ahead of this
+#: whole list by the never-verified rule below) leave free.
+#: q_tpch_q5 yields its head slot to q_udf_grouped_map: q5's oracle
+#: text is unchanged (hint-only Spark change, values provably
+#: identical, broadcast behavior plan-tested), while grouped_map's
+#: oracle changed — a hash re-verdict matters more than a lineage
+#: refresh.  With 22 new rows in r6 the window is exactly 22 new +
+#: the 21 r2-stale + the first 7 changed rows;
 #: already-fresh rows stay regression-guarded by
 #: tests/test_oracle_parity.py.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
@@ -245,12 +252,14 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "llm_mm_framesample", "llm_embed_dedup_blocked", "llm_mm_decode",
     "llm_ann_lsh",
     # -- changed in round 6: oracle/plan edits need a fresh verdict --
-    "llm_mm_audio_window", "q_fn_map",
+    "llm_mm_audio_window", "q_fn_map", "q_udf_grouped_map",
     "q_llm_perplexity", "q_llm_tfidf",
-    "q_tpch_q3", "q_tpch_q5", "q_join_star",
+    "q_tpch_q3", "q_join_star",
+    # (q_tpch_q5 queues first in the buffer — see comment above)
+    "q_tpch_q5",
     # -- r3-stale buffer (oldest remaining lineage, oracled first) --
     "q_join_lateral", "q_join_cbo", "q_win_percent", "q_udf_arrow",
-    "q_udf_grouped_map", "q_fn_variant", "q_fn_try", "q_scan_filemeta",
+    "q_fn_variant", "q_fn_try", "q_scan_filemeta",
     "q_set_union_byname", "snk_schema_evolution", "q_time_rollup",
     "q_llm_editdist", "q_llm_dedup_components", "q_llm_split",
     "q_llm_winnow", "q_llm_winnow_pairs", "q_llm_repetition",
