@@ -414,10 +414,14 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = read_table(spark, sf_dir, "orders").withColumn(
         "order_year", F.year("o_orderdate").cast("long")
     )
-    od.select(
+    staged = od.select(
         "o_orderkey", "o_totalprice", "o_orderpriority", "order_year"
-    ).write.mode("overwrite").partitionBy("order_year").parquet(tmp)
-    fact = spark.read.parquet(tmp)
+    )
+    staged.write.mode("overwrite").partitionBy("order_year").parquet(tmp)
+    # Explicit schema on read-back (no inference — SURVEY §1.3); also
+    # keeps a zero-row staging write readable.  Partition pruning still
+    # comes from the directory layout, not the schema source.
+    fact = spark.read.schema(staged.schema).parquet(tmp)
     sel = (
         fact.filter(
             (F.col("o_orderpriority") == "1-URGENT")

@@ -499,6 +499,17 @@ def _banded_candidate_pairs(
     emb = read_table(spark, sf_dir, "embeddings").cache()
     try:
         centroids = lloyd_kmeans(emb, k, iters)
+        if not centroids:  # empty corpus -> no cells, no pairs (A12)
+            lo = emb.select(
+                F.col("vec_id").alias("id_lo"),
+                F.col("embedding").alias("e_lo"),
+            ).limit(0)
+            hi = emb.select(
+                F.col("vec_id").alias("id_hi"),
+                F.col("embedding").alias("e_hi"),
+            ).limit(0)
+            return lo.crossJoin(hi)
+        k = len(centroids)  # lloyd_kmeans clamps k on tiny corpora
         # Representatives live on the unit sphere (cosine-threshold
         # geometry); assignment by max cosine is scale-invariant so raw
         # centroids serve as assignment anchors unchanged.

@@ -76,6 +76,8 @@ def _make_cosine_pandas():
 
     @pandas_udf("double", PandasUDFType.SCALAR)
     def cosine_pandas(a, b):
+        if len(a) == 0:  # np.stack needs >=1 array; empty batch -> empty
+            return pd.Series([], dtype="float64")
         ma = np.stack(a.to_numpy()).astype(np.float64)
         mb = np.stack(b.to_numpy()).astype(np.float64)
         dots = _ltr_sum(ma * mb)
@@ -315,10 +317,12 @@ def lloyd_kmeans(
     init = (
         emb.orderBy("vec_id").select(vec_col).limit(k).collect()
     )
-    if len(init) < k:
-        raise ValueError(
-            f"lloyd_kmeans: need at least k={k} vectors, got {len(init)}"
-        )
+    # Fewer vectors than requested cells: clamp k (every vector its own
+    # cell); an empty corpus trains no cells at all ([]) and the caller
+    # short-circuits (empty-input contract, reference invariant A12).
+    k = min(k, len(init))
+    if k == 0:
+        return []
     centroids = [[float(x) for x in r[vec_col]] for r in init]
     for _ in range(iters):
         assigned = emb.withColumn(
@@ -386,6 +390,10 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         emb.unpersist()
     emb = read_table(spark, sf_dir, "embeddings")
+    if not centroids:  # empty corpus -> no cells, no neighbors (A12)
+        return spark.createDataFrame(
+            [], "probe_id long, vec_id long, cos double"
+        )
 
     # --- search: candidates = union of the probe's nprobe nearest cells ---
     celled = emb.withColumn("cell", _assign_cell(F.col("embedding"), centroids))
@@ -479,6 +487,10 @@ def llm_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .collect()  # 5 x 64 floats — constant probe matrix
     )
+    if not probe_rows:  # empty corpus -> no probes, no neighbors (A12)
+        return spark.createDataFrame(
+            [], "probe_id long, vec_id long, cos double"
+        )
     probe_ids = [int(r["vec_id"]) for r in probe_rows]
     probe_mat = np.array(
         [[float(x) for x in r["embedding"]] for r in probe_rows],

@@ -4,6 +4,7 @@ summarizes the sink state so idempotence is oracle-checkable."""
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -39,7 +40,16 @@ def snk_append_idem(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         first = idempotent_append(spark, ev, sink, ["event_id"])
         second = idempotent_append(spark, ev, sink, ["event_id"])
-        total = spark.read.parquet(sink).count()
+        # Empty batches never create the sink (A12 short-circuit in
+        # idempotent_append), so read back with the EXPLICIT batch
+        # schema and treat a never-materialized sink as zero rows —
+        # an incremental run with no new data must be a no-op, not an
+        # inference error.
+        total = (
+            spark.read.schema(ev.schema).parquet(sink).count()
+            if os.path.exists(sink)
+            else 0
+        )
         return spark.createDataFrame(
             [(first, second, total)],
             "first_insert long, second_insert long, total_rows long",
@@ -73,7 +83,12 @@ def snk_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_partitioned(
             ev.repartition("event_date"), sink, ["event_date"]
         )
-        back = spark.read.parquet(sink)
+        # Explicit schema on read-back (fail-fast/no-inference contract,
+        # SURVEY §1.3) — also makes a zero-row write (directory with no
+        # data files) readable instead of an inference error.  Partition
+        # values are still recovered from the directory names; the
+        # schema only types them.
+        back = spark.read.schema(ev.schema).parquet(sink)
         return (
             back.groupBy("event_date")
             .agg(F.count(F.lit(1)).alias("n"))
