@@ -1,0 +1,106 @@
+"""Scan physical plans for the node types that decide 100 TB survival.
+
+Shared by ``tools/audit_plans.py`` (CSV report over the registry) and
+``tests/test_plan_audit.py`` (pytest invariant).  See the tool's
+docstring for what each flag means and why it is (dis)allowed.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+#: Operators whose plans legitimately contain a keyless join node.
+#: ``CartesianProduct``: only the operator that MEANS cross join.
+ALLOW_CARTESIAN = frozenset({"q_join_cross"})
+
+#: ``BroadcastNestedLoopJoin`` is admissible only when one side is
+#: provably bounded (a 1-row aggregate, a <=k-row probe/centroid set,
+#: a bounded pattern table) or the operator is the documented naive
+#: oracle twin of a banded/blocked scale path.  Populated empirically
+#: by tools/audit_plans.py; every entry carries its bound.
+ALLOW_BNL: dict[str, str] = {
+    "q_join_cross": "the operator MEANS cross join (region x nation dims)",
+    "q_filter_ts_cursor": "1-row MAX(ts) cursor aggregate (scans.py:157)",
+    "q_graph_pagerank": "1-row node-count aggregate (graph.py:167,187)",
+    "q_llm_domain_mix": "1-row corpus-total aggregate (llm_prep.py:207)",
+    "q_llm_zipf": "1-row token-total aggregate (llm_prep.py)",
+    "q_llm_tfidf": "1-row n_docs aggregate (llm_text.py:101)",
+    "q_llm_knn": "5-row constant probe matrix (llm_vector.py:156)",
+    "q_time_interp": "bounded generated day axis per the gapfill grid "
+    "(aggregates.py:797)",
+    "llm_minhash_banded": "constant permutation table, bands x rows "
+    "(llm_dedup.py:938)",
+    "q_llm_cosine_pairs": "deliberate naive all-pairs oracle twin of "
+    "llm_cosine_pairs_blocked (SCALE.md §10)",
+    "q_llm_embed_dedup": "deliberate naive all-pairs oracle twin of "
+    "llm_embed_dedup_blocked (SCALE.md §10)",
+}
+
+#: Row-at-a-time Python — only the deliberate slow-path demos that
+#: exist to be measured against their vectorized twins.
+ALLOW_ROW_PYTHON = frozenset({"q_udf_py", "q_udtf_py"})
+
+#: Operators excluded from plan audit, with the reason.
+AUDIT_SKIP: dict[str, str] = {}
+
+
+@dataclass
+class PlanReport:
+    exchanges: int
+    codegen_spans: int
+    nodes: set[str] = field(default_factory=set)
+    text: str = ""
+
+    FLAG_NODES = frozenset(
+        {
+            "CartesianProduct",
+            "BroadcastNestedLoopJoin",
+            "BatchEvalPython",
+            "BatchEvalPythonUDTF",
+        }
+    )
+
+
+def plan_text(df: DataFrame) -> str:
+    """The simple-mode physical plan string (codegen stars included)."""
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
+def audit_plan(df: DataFrame) -> PlanReport:
+    text = plan_text(df)
+    nodes = set()
+    for flag in PlanReport.FLAG_NODES:
+        # word-boundary match so BatchEvalPython != BatchEvalPythonUDTF
+        if re.search(rf"\b{flag}\b(?!UDTF)" if flag == "BatchEvalPython"
+                     else rf"\b{flag}\b", text):
+            nodes.add(flag)
+    exchanges = len(re.findall(r"\bExchange\b", text))
+    codegen_ids = set(re.findall(r"\*\((\d+)\)", text))
+    return PlanReport(
+        exchanges=exchanges,
+        codegen_spans=len(codegen_ids),
+        nodes=nodes,
+        text=text,
+    )
+
+
+def disallowed_flags(name: str, report: PlanReport) -> list[str]:
+    bad = []
+    if "CartesianProduct" in report.nodes and name not in ALLOW_CARTESIAN:
+        bad.append("CartesianProduct")
+    if "BroadcastNestedLoopJoin" in report.nodes and name not in ALLOW_BNL:
+        bad.append("BroadcastNestedLoopJoin")
+    if (
+        report.nodes & {"BatchEvalPython", "BatchEvalPythonUDTF"}
+        and name not in ALLOW_ROW_PYTHON
+    ):
+        bad.append("row-at-a-time Python")
+    return bad
