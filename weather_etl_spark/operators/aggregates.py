@@ -1105,3 +1105,118 @@ FROM wes_gid_orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """
     )
+
+
+@register(
+    "q_agg_cms_portable",
+    oracle="""
+WITH depths AS (SELECT unnest([0, 1, 2, 3]) AS d),
+state AS (
+  SELECT d,
+         CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || ':' ||
+                                  CAST(l_partkey AS VARCHAR)), 1, 8))
+              AS BIGINT) % 32 AS bucket,
+         COUNT(*) AS c
+  FROM lineitem CROSS JOIN depths
+  GROUP BY 1, 2
+),
+chk AS (
+  SELECT CAST(SUM(c * (d * 32 + bucket + 1)) AS BIGINT) AS state_checksum
+  FROM state
+),
+base AS (
+  SELECT l_partkey, COUNT(*) AS true_cnt FROM lineitem GROUP BY l_partkey
+),
+top5 AS (
+  SELECT l_partkey, true_cnt FROM base
+  ORDER BY true_cnt DESC, l_partkey LIMIT 5
+),
+pb AS (
+  SELECT t.l_partkey, t.true_cnt, dd.d,
+         CAST(('0x' || substr(md5(CAST(dd.d AS VARCHAR) || ':' ||
+                                  CAST(t.l_partkey AS VARCHAR)), 1, 8))
+              AS BIGINT) % 32 AS bucket
+  FROM top5 t CROSS JOIN depths dd
+)
+SELECT pb.l_partkey AS p_partkey,
+       pb.true_cnt AS true_cnt,
+       MIN(s.c) AS cms_est,
+       MAX(chk.state_checksum) AS state_checksum
+FROM pb
+JOIN state s ON s.d = pb.d AND s.bucket = pb.bucket
+CROSS JOIN chk
+GROUP BY pb.l_partkey, pb.true_cnt
+""",
+    doc="PORTABLE count-min sketch (depth 4 x width 32), exact-oracled "
+    "end-to-end like q_agg_hll_portable: four md5-seeded hash rows "
+    "count l_partkey occurrences into 32 buckets each; a key's "
+    "frequency estimate is the MIN of its four counters (the published "
+    "CM guarantee: est >= truth, overestimate bounded by collisions). "
+    "Output = the five true heaviest keys with true count, CM "
+    "estimate, and a weighted checksum over all 128 counters so the "
+    "ENTIRE sketch state hash-verifies, not just the probed cells.",
+    scale_notes="The sketch is a mergeable two-phase aggregate: "
+    "map-side partial counts into (depth, bucket) cells, one shuffle "
+    "of at most depth*width rows per partition regardless of key "
+    "cardinality — the same bounded-state shape as the HLL/KMV "
+    "sketches. Probing joins a 20-row probe table against the 128-row "
+    "state: both bounded by construction.",
+)
+def q_agg_cms_portable(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem")
+    depths = spark.range(4).select(F.col("id").cast("int").alias("d"))
+
+    def cms_bucket(d_col, key_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            d_col.cast("string"),
+                            F.lit(":"),
+                            key_col.cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 32
+        )
+
+    state = (
+        li.select("l_partkey")
+        .crossJoin(F.broadcast(depths))
+        .groupBy(
+            "d", cms_bucket(F.col("d"), F.col("l_partkey")).alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    chk = state.agg(
+        F.sum(
+            F.col("c") * (F.col("d") * 32 + F.col("bucket") + 1)
+        )
+        .cast("bigint")
+        .alias("state_checksum")
+    )
+    base = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("true_cnt"))
+    top5 = base.orderBy(
+        F.col("true_cnt").desc(), F.col("l_partkey").asc()
+    ).limit(5)
+    pb = top5.crossJoin(F.broadcast(depths)).withColumn(
+        "bucket", cms_bucket(F.col("d"), F.col("l_partkey"))
+    )
+    return (
+        pb.join(state, ["d", "bucket"])
+        .crossJoin(F.broadcast(chk))
+        .groupBy(
+            F.col("l_partkey").alias("p_partkey"),
+            "true_cnt",
+        )
+        .agg(
+            F.min("c").alias("cms_est"),
+            F.max("state_checksum").alias("state_checksum"),
+        )
+    )

@@ -235,3 +235,111 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pr").desc(), F.col("node_id").asc())
         .limit(20)
     )
+
+
+@register(
+    "q_graph_triangles",
+    oracle="""
+WITH sup AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+),
+edges AS (
+  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM sup a JOIN sup b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+),
+deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+  ) GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+              THEN e.u ELSE e.v END AS s,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+              THEN e.v ELSE e.u END AS t
+  FROM edges e
+  JOIN deg du ON du.node = e.u
+  JOIN deg dv ON dv.node = e.v
+),
+tri AS (
+  SELECT e1.s AS a, e1.t AS b, e2.t AS c
+  FROM oriented e1
+  JOIN oriented e2 ON e2.s = e1.t
+  JOIN oriented e3 ON e3.s = e1.s AND e3.t = e2.t
+)
+SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+       (SELECT COUNT(*) FROM edges) AS n_edges,
+       (SELECT COUNT(*) FROM tri) AS n_triangles
+""",
+    doc="Triangle counting over the supplier co-occurrence graph "
+    "(suppliers appearing in the same order are adjacent), using the "
+    "DEGREE-ORIENTED wedge algorithm: each undirected edge is directed "
+    "from its lower-(degree, id) endpoint to the higher, every wedge "
+    "a->b->c is closed against the oriented edge a->c, and each "
+    "triangle is counted exactly once. The orientation is the "
+    "published trick that bounds out-degree by sqrt(2m), keeping the "
+    "wedge join sub-quadratic on skewed (power-law) graphs where the "
+    "naive formulation explodes on hub nodes.",
+    scale_notes="Three shuffles on node keys; intermediate wedge "
+    "volume is sum(outdeg^2) <= O(m^1.5) by the orientation bound — "
+    "the reason this formulation (not u<v id ordering) is the 100 TB "
+    "path: a hub with degree 10^6 contributes its SQUARE as wedges "
+    "under id-ordering but only sqrt(2m)-bounded wedges when "
+    "degree-oriented. Edge construction per order is C(k,2) on "
+    "per-order supplier counts (bounded small by order shape).",
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    sup = li.select("l_orderkey", "l_suppkey").distinct()
+    a = sup.alias("a")
+    b = sup.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.alias("du")
+    dv = deg.alias("dv")
+    e = edges.alias("e")
+    lower_first = (F.col("du.d") < F.col("dv.d")) | (
+        (F.col("du.d") == F.col("dv.d")) & (F.col("e.u") < F.col("e.v"))
+    )
+    oriented = (
+        e.join(du, F.col("du.node") == F.col("e.u"))
+        .join(dv, F.col("dv.node") == F.col("e.v"))
+        .select(
+            F.when(lower_first, F.col("e.u")).otherwise(F.col("e.v"))
+            .alias("s"),
+            F.when(lower_first, F.col("e.v")).otherwise(F.col("e.u"))
+            .alias("t"),
+        )
+    )
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    e3 = oriented.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.s") == F.col("e1.t"))
+        .join(
+            e3,
+            (F.col("e3.s") == F.col("e1.s"))
+            & (F.col("e3.t") == F.col("e2.t")),
+        )
+    )
+    return (
+        deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+        .crossJoin(edges.agg(F.count(F.lit(1)).alias("n_edges")))
+        .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+    )

@@ -795,3 +795,112 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(rev.alias("revenue"), F.count(F.lit(1)).alias("n_items"))
     )
+
+
+@register(
+    "q_join_bloom",
+    oracle="""
+WITH dim AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+hs AS (SELECT unnest([0, 1, 2]) AS j),
+bits AS (
+  SELECT DISTINCT
+         CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||
+                                  CAST(c_custkey AS VARCHAR)), 1, 8))
+              AS BIGINT) % 1024 AS bit
+  FROM dim CROSS JOIN hs
+),
+probe AS (
+  SELECT o.o_orderkey, o.o_custkey, hs.j,
+         CAST(('0x' || substr(md5(CAST(hs.j AS VARCHAR) || ':' ||
+                                  CAST(o.o_custkey AS VARCHAR)), 1, 8))
+              AS BIGINT) % 1024 AS bit
+  FROM orders o CROSS JOIN hs
+),
+hits AS (
+  SELECT o_orderkey, o_custkey
+  FROM probe JOIN bits USING (bit)
+  GROUP BY o_orderkey, o_custkey
+  HAVING COUNT(DISTINCT j) = 3
+)
+SELECT (SELECT COUNT(*) FROM hits) AS n_bloom_pass,
+       (SELECT COUNT(*) FROM orders JOIN dim ON o_custkey = c_custkey)
+         AS n_true,
+       (SELECT COUNT(*) FROM hits
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM dim))
+         AS n_false_pos
+""",
+    doc="Bloom-filter pre-join (the runtime-filter / semi-join-pushdown "
+    "pattern Spark itself applies as InjectRuntimeFilter): a 1024-bit "
+    "filter with 3 md5-derived hash functions is built from the "
+    "filtered customer dim, then every order probes it — an order "
+    "passes iff all three of its key's bits are set. Output: rows "
+    "passing the bloom filter, true semi-join matches, and the false "
+    "positives the bit collisions admit (bloom guarantees no false "
+    "negatives: n_bloom_pass = n_true + n_false_pos, which the oracle "
+    "hash-verifies). All-integer bit arithmetic, portable across "
+    "engines.",
+    scale_notes="The filter is m=1024 DISTINCT bit rows — bounded by "
+    "construction regardless of dim size, so the broadcast hint is "
+    "safe (the policy SCALE.md §10 sets: hint only what is bounded "
+    "by a constant). The probe side never shuffles: membership is a "
+    "broadcast-hash join against the bit set plus a 3-of-3 count per "
+    "row. At 100 TB this is exactly how a runtime filter prunes a "
+    "fact scan before the real join.",
+)
+def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    ords = read_table(spark, sf_dir, "orders")
+    dim = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    hs = spark.range(3).select(F.col("id").cast("int").alias("j"))
+
+    def bloom_bit(j_col, key_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            j_col.cast("string"),
+                            F.lit(":"),
+                            key_col.cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 1024
+        )
+
+    bits = (
+        dim.crossJoin(F.broadcast(hs))
+        .select(bloom_bit(F.col("j"), F.col("c_custkey")).alias("bit"))
+        .distinct()
+    )
+    probe = ords.crossJoin(F.broadcast(hs)).select(
+        "o_orderkey",
+        "o_custkey",
+        "j",
+        bloom_bit(F.col("j"), F.col("o_custkey")).alias("bit"),
+    )
+    # bits is bounded at m=1024 rows by construction -> safe to hint.
+    hits = (
+        probe.join(F.broadcast(bits), "bit")
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.count_distinct("j").alias("nj"))
+        .filter(F.col("nj") == 3)
+        .select("o_orderkey", "o_custkey")
+    )
+    n_pass = hits.agg(F.count(F.lit(1)).alias("n_bloom_pass"))
+    n_true = (
+        ords.join(dim, ords.o_custkey == dim.c_custkey)
+        .agg(F.count(F.lit(1)).alias("n_true"))
+    )
+    n_fp = (
+        hits.join(dim, hits.o_custkey == dim.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_false_pos"))
+    )
+    return n_pass.crossJoin(n_true).crossJoin(n_fp)

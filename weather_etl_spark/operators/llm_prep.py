@@ -443,3 +443,223 @@ def q_llm_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_langs"),
         F.round(F.sum("term").cast("double"), 4).alias("lang_entropy"),
     )
+
+
+@register(
+    "q_llm_bpe_pairs",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), pairs AS (
+  SELECT unnest(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i + 1])) AS pair
+  FROM toks WHERE len(t) >= 2
+), counted AS (
+  SELECT pair, COUNT(*) AS cnt FROM pairs GROUP BY pair
+)
+SELECT pair, cnt,
+       CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS INT) AS rk
+FROM counted
+ORDER BY cnt DESC, pair LIMIT 20
+""",
+    doc="BPE merge-candidate statistics (the inner loop of "
+    "byte-pair-encoding tokenizer TRAINING): count every adjacent "
+    "token pair across the corpus and rank the top 20 — the highest "
+    "count is exactly the pair a BPE trainer would merge next. "
+    "Repeating this after applying the merge yields the full BPE "
+    "vocabulary; the counting step is the distributed 99% of that "
+    "loop.",
+    scale_notes="One shuffle carrying (pair, partial-count) after "
+    "map-side combine — vocabulary^2-bounded in theory but "
+    "corpus-frequency-truncated in practice; the top-20 compiles to "
+    "TakeOrderedAndProject (per-partition heaps, no global sort). "
+    "Tokenizer training at 100 TB samples the corpus first; the "
+    "operator shape is identical on the sample.",
+)
+def q_llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> concat_ws(' ', element_at(t, i),"
+                " element_at(t, i + 1)))"
+            )
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("pair").asc())
+    return (
+        counted.withColumn("rk", F.row_number().over(w).cast("int"))
+        .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "q_llm_keywords",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+), df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token
+), scored AS (
+  SELECT tf.doc_id, tf.token, (tf.tf * 1000000) // df.df AS score_ppm
+  FROM tf JOIN df USING (token)
+), ranked AS (
+  SELECT doc_id, token, score_ppm,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY score_ppm DESC, token) AS INT)
+           AS rk
+  FROM scored
+)
+SELECT doc_id, token, score_ppm, rk FROM ranked WHERE rk <= 3
+""",
+    doc="Per-document keyword extraction: rank each document's tokens "
+    "by a TF/DF relevance score and keep the top 3 — the classic "
+    "tf-idf keyword surface, with the idf expressed as FIXED-POINT "
+    "integer division (tf * 1e6 // df, same ranking as tf*log(N/df) "
+    "for fixed tf since 1/df and log(N/df) are co-monotone) so both "
+    "engines agree bit-for-bit with no transcendental in sight.",
+    scale_notes="tf is a (doc, token) shuffle with map-side combine; "
+    "df is vocabulary-sized and joined WITHOUT a hint (AQE broadcasts "
+    "while it fits, shuffle-joins beyond — the q_llm_tfidf policy). "
+    "The per-doc top-3 compiles to WindowGroupLimit: rank state never "
+    "exceeds 3 rows per doc on any executor.",
+)
+def q_llm_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("token").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    scored = tf.join(df, "token").select(
+        "doc_id",
+        "token",
+        F.expr("(tf * 1000000) DIV df").alias("score_ppm"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_ppm").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "token", "score_ppm", "rk")
+    )
+
+
+#: DSIR hashed-feature bucket count and Laplace smoothing width.
+_DSIR_BUCKETS = 64
+
+
+@register(
+    "q_llm_dsir",
+    oracle=f"""
+WITH toks AS (
+  SELECT d.doc_id, d.lang,
+         CAST(('0x' || substr(md5(t.token), 1, 8)) AS BIGINT)
+           % {_DSIR_BUCKETS} AS b
+  FROM documents d,
+       unnest(string_split(d.text, ' ')) AS t(token)
+), ct AS (
+  SELECT b, COUNT(*) AS n_t FROM toks WHERE lang = 'en' GROUP BY b
+), cr AS (
+  SELECT b, COUNT(*) AS n_r FROM toks GROUP BY b
+), tot AS (
+  SELECT (SELECT COUNT(*) FROM toks WHERE lang = 'en') AS nt,
+         (SELECT COUNT(*) FROM toks) AS nr
+), lr AS (
+  SELECT cr.b,
+         CAST(ROUND(ln(
+           CAST((COALESCE(ct.n_t, 0) + 1) * (tot.nr + {_DSIR_BUCKETS})
+                AS DOUBLE)
+           / ((cr.n_r + 1) * (tot.nt + {_DSIR_BUCKETS}))
+         ), 6) AS DECIMAL(18,6)) AS logratio
+  FROM cr LEFT JOIN ct USING (b) CROSS JOIN tot
+)
+SELECT toks.doc_id AS doc_id,
+       COUNT(*) AS n_toks,
+       CAST(SUM(lr.logratio) * 1000000 AS BIGINT) AS dsir_weight_micro
+FROM toks JOIN lr USING (b)
+GROUP BY toks.doc_id
+""",
+    doc="DSIR-style importance weighting (the published data-selection-"
+    "via-importance-resampling recipe): tokens hash into "
+    f"{_DSIR_BUCKETS} feature buckets; the target distribution is the "
+    "English sub-corpus, the raw distribution the whole corpus; each "
+    "document scores the sum over its tokens of the Laplace-smoothed "
+    "log-ratio log(p_target(b)/p_raw(b)). High weight = looks like "
+    "the target; resampling by this weight tilts a raw crawl toward "
+    "the target domain. Per-bucket log-ratios are exact-integer "
+    "rationals fed to one ln, rounded to 6 decimals and summed as "
+    "DECIMAL (the q_llm_perplexity discipline); the per-doc score is "
+    "emitted micro-scaled as an exact BIGINT so no final float "
+    "rounding can tie-break differently across engines.",
+    scale_notes=f"The 'model' is a {_DSIR_BUCKETS}-row log-ratio "
+    "table — bounded by construction (hashed feature space, not "
+    "vocabulary), so its join to the token stream broadcasts safely "
+    "at ANY corpus size; the only corpus-volume shuffle is the "
+    "per-doc sum. This boundedness is the reason DSIR hashes "
+    "features instead of using raw n-grams.",
+)
+def q_llm_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", "lang",
+                    F.explode(F.split("text", " ")).alias("token"))
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(F.substring(F.md5("token"), 1, 8), 16, 10)
+                .cast("bigint")
+                % _DSIR_BUCKETS
+            ).alias("b"),
+        )
+    )
+    ct = toks.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.count(F.lit(1)).alias("n_t")
+    )
+    cr = toks.groupBy("b").agg(F.count(F.lit(1)).alias("n_r"))
+    tot = toks.agg(
+        F.sum((F.col("lang") == "en").cast("bigint")).alias("nt"),
+        F.count(F.lit(1)).alias("nr"),
+    )
+    lr = (
+        cr.join(ct, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce(F.col("n_t"), F.lit(0)) + 1)
+                        * (F.col("nr") + _DSIR_BUCKETS)
+                    ).cast("double")
+                    / ((F.col("n_r") + 1) * (F.col("nt") + _DSIR_BUCKETS))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("logratio"),
+        )
+    )
+    # lr is bounded at _DSIR_BUCKETS rows by construction -> safe hint.
+    return (
+        toks.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            (F.sum("logratio") * 1000000)
+            .cast("bigint")
+            .alias("dsir_weight_micro"),
+        )
+    )

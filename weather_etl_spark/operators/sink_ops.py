@@ -267,3 +267,56 @@ def snk_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(tmp)
     )
     return back.localCheckpoint()
+
+
+@register(
+    "snk_text_roundtrip",
+    oracle="""
+SELECT COUNT(*) AS n_lines,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       CAST(SUM(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT))
+            AS BIGINT) AS text_checksum
+FROM documents
+""",
+    doc="Plain-text sink + source round-trip (spark.write.text / "
+    "spark.read.text — the line-oriented format raw corpus dumps "
+    "arrive in): each document becomes one line 'doc_id md5(text)', "
+    "written to a temp dir and read back with read.text; the returned "
+    "aggregate (line count, id sum, text-hash checksum) must equal "
+    "the same aggregate computed directly on the source table, "
+    "proving the round-trip lost nothing. Hashing before write keeps "
+    "the lines newline-free by construction, the correct discipline "
+    "for a one-record-per-line format.",
+    scale_notes="Text is the ingest format, not the processing one: "
+    "no schema, no pruning, no stats. The engine's pattern is "
+    "read.text at the edge -> parse -> land Parquet; the round-trip "
+    "checksum is how a 100 TB ingest job validates a transfer "
+    "without re-reading payloads twice (aggregate once per side).",
+)
+def snk_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tmp = scratch_dir("snk_text")
+    docs = read_table(spark, sf_dir, "documents")
+    lines = docs.select(
+        F.concat_ws(
+            " ", F.col("doc_id").cast("string"), F.md5("text")
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(tmp)
+    back = spark.read.text(tmp)
+    parsed = back.select(
+        F.split_part(F.col("value"), F.lit(" "), F.lit(1))
+        .cast("bigint")
+        .alias("doc_id"),
+        F.split_part(F.col("value"), F.lit(" "), F.lit(2)).alias("h"),
+    )
+    out = parsed.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+        F.sum(
+            F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("text_checksum"),
+    )
+    # Materialize before any scratch cleanup.
+    return out.localCheckpoint()

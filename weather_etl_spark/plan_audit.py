@@ -39,6 +39,17 @@ ALLOW_BNL: dict[str, str] = {
     "llm_cosine_pairs_blocked (SCALE.md §10)",
     "q_llm_embed_dedup": "deliberate naive all-pairs oracle twin of "
     "llm_embed_dedup_blocked (SCALE.md §10)",
+    "q_sample_weighted": "1-row MAX(w_cents) aggregate — the "
+    "q_filter_ts_cursor pattern (analytics.py)",
+    "q_agg_cms_portable": "constant 4-row depth axis, 1-row state "
+    "checksum, 5-row probe set — all bounded by sketch geometry "
+    "(aggregates.py)",
+    "q_join_bloom": "constant 3-row hash-index axis + three 1-row "
+    "count aggregates assembled into the summary row (joins.py)",
+    "q_graph_triangles": "three 1-row count aggregates crossed into "
+    "the single summary row (graph.py)",
+    "q_llm_dsir": "1-row corpus-total aggregate; the 64-row log-ratio "
+    "table itself joins hash-keyed on b (llm_prep.py)",
 }
 
 #: Row-at-a-time Python — only the deliberate slow-path demos that

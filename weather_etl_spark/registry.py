@@ -273,10 +273,27 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
 )
 
 
+#: Queries registered AFTER the round-6 driver window was frozen (the
+#: 22 early-r6 rows + 21 r2-stale + 7 changed = exactly 50 slots, per
+#: the r5 verdict's order #1).  These queue BEHIND the planned window —
+#: still locally oracle-verified by tests/test_oracle_parity.py — and
+#: rotate into the driver window next round.  Without this, every
+#: late-round registration would silently evict one verdict-ordered
+#: re-check from the 50-slot window (guarded by
+#: tests/test_survey_sync.py::test_driver_window_priority_head_fits...).
+DRIVER_DEFERRED: frozenset[str] = frozenset({
+    "q_funnel", "q_cohort_retention", "q_sample_weighted",
+    "q_agg_cms_portable", "q_join_bloom", "q_graph_triangles",
+    "q_llm_bpe_pairs", "q_llm_keywords", "q_llm_dsir",
+    "snk_text_roundtrip",
+})
+
+
 def _rotation_order(reg: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
     """Order the registry for the driver's 50-entry correctness window:
     explicit priority list first, then other not-yet-verified rows in
-    registration order, then driver-verified rows last."""
+    registration order (deferred late-round rows behind the window),
+    then driver-verified rows last."""
     prio = {n: i for i, n in enumerate(DRIVER_WINDOW_PRIORITY)}
 
     def key(item: tuple[int, str]) -> tuple[int, int, int]:
@@ -284,11 +301,13 @@ def _rotation_order(reg: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
         verified = name in DRIVER_VERIFIED
         if name in prio and not verified:
             return (0, prio[name], reg_pos)      # pending, explicit order
-        if not verified:
+        if not verified and name not in DRIVER_DEFERRED:
             return (1, 0, reg_pos)               # new this round
         if name in prio:
             return (2, prio[name], reg_pos)      # regression re-checks
-        return (3, 0, reg_pos)
+        if not verified:
+            return (3, 0, reg_pos)               # deferred to next round
+        return (4, 0, reg_pos)
 
     ordered = sorted(enumerate(reg), key=key)
     return {name: reg[name] for _, name in ordered}
