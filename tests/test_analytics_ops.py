@@ -1,0 +1,168 @@
+"""Semantic invariants for the round-6 late batch (analytics, portable
+sketches II, graph, tokenizer prep) — guarantees the oracle-parity hash
+can't state by itself:
+
+- the bloom filter admits no false negatives (pass = true + false-pos,
+  with the true count re-derived independently);
+- the count-min sketch never underestimates (the published CM bound);
+- degree-oriented triangle counting equals a naive common-neighbor
+  count computed in pure Python;
+- funnel stages are temporally ordered and consistent with nulls;
+- cohort week offsets are non-negative and offset-0 covers the cohort;
+- weighted sampling favors heavy rows and every sampled row satisfies
+  the integer inclusion inequality re-checked in Python;
+- DSIR importance weights separate the target language (en scores
+  higher on average than the rest, the property resampling relies on);
+- the BPE top pair equals the max adjacent-pair count recomputed in
+  Python.
+"""
+
+from __future__ import annotations
+
+import duckdb
+
+from weather_etl_spark.registry import load_all
+
+SPECS = load_all()
+
+
+def test_bloom_filter_no_false_negatives(spark, sf_dir):
+    row = SPECS["q_join_bloom"].fn(spark, sf_dir).collect()[0]
+    # Bloom guarantee: every true match passes; extras are collisions.
+    assert row.n_bloom_pass == row.n_true + row.n_false_pos
+    assert row.n_false_pos >= 0
+    truth = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/orders.parquet' o "
+        f"JOIN '{sf_dir}/customer.parquet' c ON o.o_custkey = c.c_custkey "
+        f"WHERE c.c_mktsegment = 'BUILDING'"
+    ).fetchone()[0]
+    assert row.n_true == truth
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    rows = SPECS["q_agg_cms_portable"].fn(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.cms_est >= r.true_cnt, (
+            f"CM sketch underestimated key {r.p_partkey}"
+        )
+        assert r.state_checksum > 0
+
+
+def test_triangles_match_naive_common_neighbor_count(spark, sf_dir):
+    row = SPECS["q_graph_triangles"].fn(spark, sf_dir).collect()[0]
+    edges = duckdb.sql(
+        f"WITH sup AS (SELECT DISTINCT l_orderkey, l_partkey "
+        f"FROM '{sf_dir}/lineitem.parquet') "
+        f"SELECT DISTINCT a.l_partkey, b.l_partkey FROM sup a JOIN sup b "
+        f"ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+    ).fetchall()
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    naive = sum(len(adj[u] & adj[v]) for u, v in edges)
+    assert naive % 3 == 0  # each triangle counted once per edge
+    assert row.n_triangles == naive // 3
+    assert row.n_edges == len(edges)
+    assert row.n_nodes == len(adj)
+
+
+def test_funnel_stages_temporally_ordered(spark, sf_dir):
+    rows = SPECS["q_funnel"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.t_view_us is not None
+        if r.t_click_us is not None:
+            assert r.t_click_us > r.t_view_us
+        if r.t_purchase_us is not None:
+            assert r.t_click_us is not None  # can't skip a stage
+            assert r.t_purchase_us > r.t_click_us
+        want = 1 + (r.t_click_us is not None) + (r.t_purchase_us is not None)
+        assert r.stage == want
+
+
+def test_cohort_offsets_nonneg_and_offset0_covers_cohort(spark, sf_dir):
+    rows = SPECS["q_cohort_retention"].fn(spark, sf_dir).collect()
+    assert rows
+    by_cohort: dict[str, dict[int, int]] = {}
+    for r in rows:
+        assert r.week_offset >= 0
+        assert r.n_users > 0
+        by_cohort.setdefault(str(r.cohort_week), {})[r.week_offset] = (
+            r.n_users
+        )
+    for cohort, cells in by_cohort.items():
+        # a user's first event lies in the cohort week, so the offset-0
+        # cell exists and no later cell can exceed it
+        assert 0 in cells, f"cohort {cohort} missing offset-0 cell"
+        assert cells[0] == max(cells.values())
+
+
+def test_weighted_sampling_inequality_and_bias(spark, sf_dir):
+    rows = SPECS["q_sample_weighted"].fn(spark, sf_dir).collect()
+    assert rows
+    allw = duckdb.sql(
+        f"SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) "
+        f"FROM '{sf_dir}/orders.parquet'"
+    ).fetchall()
+    wmax = max(w for _, w in allw)
+    sampled = set()
+    for r in rows:
+        # re-check the integer inclusion test independently
+        assert r.u32 * wmax < 2147483648 * r.w_cents
+        sampled.add(r.o_orderkey)
+    weights = sorted(w for _, w in allw)
+    median = weights[len(weights) // 2]
+    heavy = [k for k, w in allw if w > median]
+    light = [k for k, w in allw if w <= median]
+    rate_heavy = sum(k in sampled for k in heavy) / len(heavy)
+    rate_light = sum(k in sampled for k in light) / len(light)
+    assert rate_heavy > rate_light, (
+        "weight-proportional sampling should favor heavy rows"
+    )
+
+
+def test_dsir_weights_separate_target_language(spark, sf_dir):
+    rows = SPECS["q_llm_dsir"].fn(spark, sf_dir).collect()
+    langs = dict(
+        duckdb.sql(
+            f"SELECT doc_id, lang FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    )
+    en = [r.dsir_weight_micro for r in rows if langs[r.doc_id] == "en"]
+    rest = [r.dsir_weight_micro for r in rows if langs[r.doc_id] != "en"]
+    assert en and rest
+    assert sum(en) / len(en) > sum(rest) / len(rest), (
+        "target-language docs must score higher importance on average"
+    )
+
+
+def test_bpe_top_pair_matches_python_recount(spark, sf_dir):
+    rows = SPECS["q_llm_bpe_pairs"].fn(spark, sf_dir).collect()
+    assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+    texts = duckdb.sql(
+        f"SELECT text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    counts: dict[str, int] = {}
+    for (text,) in texts:
+        toks = text.split(" ")
+        for a, b in zip(toks, toks[1:]):
+            pair = f"{a} {b}"
+            counts[pair] = counts.get(pair, 0) + 1
+    top = rows[0]
+    assert top.cnt == max(counts.values())
+    assert counts[top.pair] == top.cnt
+
+
+def test_keywords_topk_shape(spark, sf_dir):
+    rows = SPECS["q_llm_keywords"].fn(spark, sf_dir).collect()
+    per_doc: dict[int, list[int]] = {}
+    for r in rows:
+        assert 1 <= r.rk <= 3
+        assert r.score_ppm >= 0
+        per_doc.setdefault(r.doc_id, []).append(r.rk)
+    for doc, rks in per_doc.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1)), (
+            f"doc {doc} has gapped/duplicate keyword ranks {rks}"
+        )

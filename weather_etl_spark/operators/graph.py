@@ -241,12 +241,12 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_graph_triangles",
     oracle="""
 WITH sup AS (
-  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
 ),
 edges AS (
-  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
   FROM sup a JOIN sup b
-    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 ),
 deg AS (
   SELECT node, COUNT(*) AS d FROM (
@@ -272,8 +272,10 @@ SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
        (SELECT COUNT(*) FROM edges) AS n_edges,
        (SELECT COUNT(*) FROM tri) AS n_triangles
 """,
-    doc="Triangle counting over the supplier co-occurrence graph "
-    "(suppliers appearing in the same order are adjacent), using the "
+    doc="Triangle counting over the part co-occurrence graph (parts "
+    "appearing in the same order are adjacent — the sparse graph: "
+    "the part universe grows with SF, so density FALLS as data "
+    "grows, unlike the saturating supplier graph), using the "
     "DEGREE-ORIENTED wedge algorithm: each undirected edge is directed "
     "from its lower-(degree, id) endpoint to the higher, every wedge "
     "a->b->c is closed against the oriented edge a->c, and each "
@@ -291,17 +293,17 @@ SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
 )
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
-    sup = li.select("l_orderkey", "l_suppkey").distinct()
+    sup = li.select("l_orderkey", "l_partkey").distinct()
     a = sup.alias("a")
     b = sup.alias("b")
     edges = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
         .select(
-            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
         )
         .distinct()
     )
