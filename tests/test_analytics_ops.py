@@ -166,3 +166,40 @@ def test_keywords_topk_shape(spark, sf_dir):
         assert sorted(rks) == list(range(1, len(rks) + 1)), (
             f"doc {doc} has gapped/duplicate keyword ranks {rks}"
         )
+
+
+def test_bitmap_popcount_is_exact_distinct(spark, sf_dir):
+    rows = SPECS["q_agg_bitmap_portable"].fn(spark, sf_dir).collect()
+    truth = dict(
+        duckdb.sql(
+            f"SELECT event_type, COUNT(DISTINCT user_id) "
+            f"FROM '{sf_dir}/events.parquet' GROUP BY event_type"
+        ).fetchall()
+    )
+    assert len(rows) == len(truth)
+    for r in rows:
+        assert r.exact_distinct == truth[r.event_type], (
+            f"bitmap popcount diverged for {r.event_type}"
+        )
+
+
+def test_hist_quantile_bin_contains_kth_element(spark, sf_dir):
+    rows = {
+        r.q: r for r in SPECS["q_agg_hist_quantile"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {50, 90, 99}
+    # monotone: higher quantile can't land in a lower bin
+    assert rows[50].qbin <= rows[90].qbin <= rows[99].qbin
+    (n,) = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/lineitem.parquet'"
+    ).fetchone()
+    for q, r in rows.items():
+        k = -(-q * n // 100)  # ceil(q*n/100), the crossing element
+        (kth,) = duckdb.sql(
+            f"SELECT l_extendedprice FROM '{sf_dir}/lineitem.parquet' "
+            f"ORDER BY l_extendedprice LIMIT 1 OFFSET {k - 1}"
+        ).fetchone()
+        assert min(int(kth // 2000), 63) == r.qbin, (
+            f"p{q}: bin {r.qbin} does not contain the k-th element {kth}"
+        )
+        assert r.q_lower_edge == r.qbin * 2000

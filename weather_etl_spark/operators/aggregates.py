@@ -1220,3 +1220,119 @@ def q_agg_cms_portable(spark, sf_dir):
             F.max("state_checksum").alias("state_checksum"),
         )
     )
+
+
+@register(
+    "q_agg_bitmap_portable",
+    oracle="""
+WITH words AS (
+  SELECT event_type, user_id // 32 AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT)) AS word
+  FROM events GROUP BY event_type, user_id // 32
+)
+SELECT event_type,
+       COUNT(*) AS n_words,
+       CAST(SUM(bit_count(word)) AS BIGINT) AS exact_distinct,
+       CAST(SUM(word_idx * 131 + word) AS BIGINT) AS word_checksum
+FROM words GROUP BY event_type
+""",
+    doc="PORTABLE bitmap-index distinct count (the roaring-bitmap "
+    "pattern every OLAP engine uses for COUNT(DISTINCT intkey)): "
+    "user ids pack into 32-bit words (word = id/32, bit = id%32) "
+    "OR-ed per group; popcount over the words is the EXACT distinct "
+    "count — a sketch that is simultaneously exact, unlike HLL/KMV. "
+    "Word state and a weighted checksum hash-verify the whole bitmap "
+    "across engines.",
+    scale_notes="bit_or is a mergeable two-phase aggregate: map-side "
+    "partial OR, one shuffle carrying (group, word_idx, 8-byte word) "
+    "— size bounded by keyspace/32 words per group, independent of "
+    "row count (the reason bitmap indexes beat exact sets for dense "
+    "integer keys). Sparse keyspaces at 100 TB use the same plan; "
+    "roaring's run/array containers are a per-word encoding detail, "
+    "not a plan change.",
+)
+def q_agg_bitmap_portable(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    words = (
+        ev.select(
+            "event_type",
+            (F.col("user_id") / 32).cast("bigint").alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT),"
+                " CAST(user_id % 32 AS INT))"
+            ).alias("m"),
+        )
+        .groupBy("event_type", "word_idx")
+        .agg(F.expr("bit_or(m)").alias("word"))
+    )
+    return words.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.bit_count("word")).cast("bigint").alias("exact_distinct"),
+        F.sum(F.col("word_idx") * 131 + F.col("word"))
+        .cast("bigint")
+        .alias("word_checksum"),
+    )
+
+
+@register(
+    "q_agg_hist_quantile",
+    oracle="""
+WITH b AS (
+  SELECT LEAST(CAST(FLOOR(l_extendedprice / 2000) AS BIGINT), 63) AS bin,
+         COUNT(*) AS c
+  FROM lineitem GROUP BY 1
+), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM b),
+cum AS (
+  SELECT bin, CAST(SUM(c) OVER (ORDER BY bin) AS BIGINT) AS cum FROM b
+),
+qs AS (SELECT unnest([50, 90, 99]) AS q)
+SELECT qs.q AS q,
+       MIN(cum.bin) AS qbin,
+       MIN(cum.bin) * 2000 AS q_lower_edge
+FROM qs JOIN cum ON cum.cum * 100 >= qs.q * (SELECT n FROM tot)
+GROUP BY qs.q
+""",
+    doc="PORTABLE fixed-bin histogram quantiles (the t-digest-lite "
+    "every metrics pipeline ships): prices bucket into 64 fixed "
+    "2000-wide bins, the p50/p90/p99 estimate is the lower edge of "
+    "the first bin whose cumulative count reaches q% of rows — the "
+    "crossing test cum*100 >= q*n is all-integer, so the sketch and "
+    "its readout hash-verify across engines. Fixed (data-independent) "
+    "bin edges are what make the sketch mergeable AND portable; "
+    "adaptive-edge digests trade that for accuracy.",
+    scale_notes="A mergeable bounded aggregate: one shuffle carrying "
+    "at most 64 (bin, partial-count) rows per partition; the "
+    "cumulative window runs over 64 rows on one task — constant "
+    "however large the input. This is the 100 TB shape for "
+    "percentile dashboards (approx_percentile's internal sketch has "
+    "the same geometry, here made explicit and verifiable).",
+)
+def q_agg_hist_quantile(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    b = (
+        li.select(
+            F.least(
+                F.floor(F.col("l_extendedprice") / 2000).cast("bigint"),
+                F.lit(63).cast("bigint"),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = b.agg(F.sum("c").cast("bigint").alias("n"))
+    cum = b.withColumn(
+        "cum", F.sum("c").over(Window.orderBy("bin")).cast("bigint")
+    )
+    qs = spark.createDataFrame([(50,), (90,), (99,)], "q int")
+    return (
+        qs.crossJoin(cum)
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("cum") * 100 >= F.col("q") * F.col("n"))
+        .groupBy("q")
+        .agg(
+            F.min("bin").alias("qbin"),
+            (F.min("bin") * 2000).alias("q_lower_edge"),
+        )
+    )

@@ -50,6 +50,9 @@ ALLOW_BNL: dict[str, str] = {
     "the single summary row (graph.py)",
     "q_llm_dsir": "1-row corpus-total aggregate; the 64-row log-ratio "
     "table itself joins hash-keyed on b (llm_prep.py)",
+    "q_agg_hist_quantile": "constant 3-row quantile axis x <=64-bin "
+    "histogram + 1-row total — all bounded by sketch geometry "
+    "(aggregates.py)",
 }
 
 #: Row-at-a-time Python — only the deliberate slow-path demos that

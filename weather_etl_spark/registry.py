@@ -286,6 +286,7 @@ DRIVER_DEFERRED: frozenset[str] = frozenset({
     "q_agg_cms_portable", "q_join_bloom", "q_graph_triangles",
     "q_llm_bpe_pairs", "q_llm_keywords", "q_llm_dsir",
     "snk_text_roundtrip",
+    "q_agg_bitmap_portable", "q_agg_hist_quantile",
 })
 
 
