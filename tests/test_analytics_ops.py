@@ -203,3 +203,37 @@ def test_hist_quantile_bin_contains_kth_element(spark, sf_dir):
             f"p{q}: bin {r.qbin} does not contain the k-th element {kth}"
         )
         assert r.q_lower_edge == r.qbin * 2000
+
+
+def test_scd2_intervals_tile_and_version(spark, sf_dir):
+    rows = SPECS["q_scd2_intervals"].fn(spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, vs in by_user.items():
+        vs.sort(key=lambda r: r.version)
+        assert [r.version for r in vs] == list(range(1, len(vs) + 1))
+        opens = [r for r in vs if r.eff_to_us is None]
+        assert len(opens) == 1 and opens[0] is vs[-1], (
+            f"user {user}: exactly the last version must be open-ended"
+        )
+        for a, b in zip(vs, vs[1:]):
+            # intervals tile: each version closes where the next opens
+            assert a.eff_to_us == b.eff_from_us
+            assert a.value != b.value, "consecutive versions must differ"
+
+
+def test_cdc_upsert_classification(spark, sf_dir):
+    rows = SPECS["q_cdc_upsert"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.cdc_op == "inserted":
+            assert r.base_value is None and r.upd_value is not None
+            assert r.current_value == r.upd_value
+        elif r.cdc_op == "updated":
+            assert r.base_value is not None and r.upd_value is not None
+            assert r.current_value == r.upd_value
+        else:
+            assert r.cdc_op == "unchanged"
+            assert r.upd_value is None
+            assert r.current_value == r.base_value

@@ -13,12 +13,18 @@ re-expressed as exact-oracled DataFrame plans:
   matrix from two shuffles (first-event cohort + distinct activity);
 - q_sample_weighted: weight-proportional Bernoulli sampling with an
   md5-derived uniform, all-integer so both engines agree bit-for-bit
-  (the float-free cousin of A-ES weighted reservoir sampling).
+  (the float-free cousin of A-ES weighted reservoir sampling);
+- q_scd2_intervals: SCD Type-2 versioned-dimension build (lag-detect
+  changes, lead-close validity intervals) in one user_id shuffle;
+- q_cdc_upsert: the CDC latest-wins MERGE semantic — pre-reduced
+  change stream full-outer the base snapshot, rows classified
+  inserted/updated/unchanged (the set-based generalization of the
+  reference's ON CONFLICT append, A11).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from weather_etl_spark.io import read_table
@@ -200,4 +206,127 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             < F.lit(2147483648) * F.col("w_cents")
         )
         .select("o_orderkey", "w_cents", "u32")
+    )
+
+
+@register(
+    "q_scd2_intervals",
+    oracle="""
+WITH ch AS (
+  SELECT user_id, ts, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev
+  FROM events WHERE event_type = 'view'
+), changes AS (
+  SELECT user_id, ts, value FROM ch
+  WHERE prev IS NULL OR value <> prev
+)
+SELECT user_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS INT)
+         AS version,
+       epoch_us(ts) AS eff_from_us,
+       epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts))
+         AS eff_to_us,
+       value
+FROM changes
+""",
+    doc="SCD Type-2 dimension build (the warehouse pattern for "
+    "versioned attributes): each user's 'view' value stream collapses "
+    "to CHANGE rows (value differs from the previous event), and each "
+    "change opens a validity interval [eff_from, eff_to) closed by the "
+    "next change — eff_to NULL marks the current version. Two window "
+    "passes (lag to detect changes, lead to close intervals), no "
+    "self-join; an as-of join against the result is the point-in-time "
+    "lookup q_join_asof already demonstrates.",
+    scale_notes="Both windows partition on user_id — ONE shuffle, "
+    "reused across the lag and lead passes (same partitioning "
+    "expression, Catalyst plans a single Exchange). Change-row "
+    "filtering happens between the passes, so the second window sorts "
+    "only surviving versions. Value equality is raw-parquet-double "
+    "equality, identical in both engines by construction.",
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "view"
+    )
+    w_ev = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev", F.lag("value").over(w_ev))
+        .filter(F.col("prev").isNull() | (F.col("value") != F.col("prev")))
+        .select("user_id", "ts", "value")
+    )
+    w_ch = Window.partitionBy("user_id").orderBy("ts")
+    return changes.select(
+        "user_id",
+        F.row_number().over(w_ch).cast("int").alias("version"),
+        F.unix_micros("ts").alias("eff_from_us"),
+        F.unix_micros(F.lead("ts").over(w_ch)).alias("eff_to_us"),
+        "value",
+    )
+
+
+@register(
+    "q_cdc_upsert",
+    oracle="""
+WITH base AS (
+  SELECT user_id, MIN_BY(value, event_id) AS base_value
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), upd AS (
+  SELECT user_id, MAX_BY(value, event_id) AS upd_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT COALESCE(base.user_id, upd.user_id) AS user_id,
+       base.base_value AS base_value,
+       upd.upd_value AS upd_value,
+       COALESCE(upd.upd_value, base.base_value) AS current_value,
+       CASE WHEN upd.user_id IS NULL THEN 'unchanged'
+            WHEN base.user_id IS NULL THEN 'inserted'
+            ELSE 'updated' END AS cdc_op
+FROM base FULL OUTER JOIN upd ON base.user_id = upd.user_id
+""",
+    doc="CDC latest-wins upsert merge (the MERGE INTO semantic on "
+    "plain tables, and the set-based generalization of the "
+    "reference's ON CONFLICT append, lambda_function.py:176-186): "
+    "the base snapshot is each user's first signup value, the change "
+    "stream is purchases reduced to the LATEST value per key via "
+    "max_by with a total (ts, event_id) tie-break; a full outer join "
+    "classifies every key as inserted / updated / unchanged and "
+    "emits the post-merge value.",
+    scale_notes="Both sides reduce BEFORE the join (one row per key), "
+    "so the full-outer shuffle carries key-sized tables, never the "
+    "change stream. At 100 TB this is the standard dedup-then-merge "
+    "compaction shape; the idempotent-append sink (A11) is the "
+    "write-side of the same pattern.",
+)
+def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    base = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(
+            F.expr("min_by(value, event_id)").alias("base_value")
+        )
+    )
+    upd = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.expr("max_by(value, event_id)").alias("upd_value")
+        )
+    )
+    b = base.alias("b")
+    u = upd.alias("u")
+    return b.join(
+        u, F.col("b.user_id") == F.col("u.user_id"), "full_outer"
+    ).select(
+        F.coalesce(F.col("b.user_id"), F.col("u.user_id")).alias("user_id"),
+        F.col("b.base_value").alias("base_value"),
+        F.col("u.upd_value").alias("upd_value"),
+        F.coalesce(F.col("u.upd_value"), F.col("b.base_value")).alias(
+            "current_value"
+        ),
+        F.when(F.col("u.user_id").isNull(), "unchanged")
+        .when(F.col("b.user_id").isNull(), "inserted")
+        .otherwise("updated")
+        .alias("cdc_op"),
     )
