@@ -1186,13 +1186,19 @@ def q_agg_cms_portable(spark, sf_dir):
             % 32
         )
 
+    base = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("true_cnt"))
+    # Counters count ROWS, so aggregating per-key counts first and
+    # summing them into (d, bucket) cells yields the identical sketch
+    # while hashing each DISTINCT key once per depth instead of every
+    # row — keys/rows x fewer md5 evaluations (measured 9.1 -> ~1 s at
+    # sf0.1).  The oracle keeps the row-wise formulation, proving the
+    # two-level rollup exact.
     state = (
-        li.select("l_partkey")
-        .crossJoin(F.broadcast(depths))
+        base.crossJoin(F.broadcast(depths))
         .groupBy(
             "d", cms_bucket(F.col("d"), F.col("l_partkey")).alias("bucket")
         )
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("true_cnt").cast("bigint").alias("c"))
     )
     chk = state.agg(
         F.sum(
@@ -1201,7 +1207,6 @@ def q_agg_cms_portable(spark, sf_dir):
         .cast("bigint")
         .alias("state_checksum")
     )
-    base = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("true_cnt"))
     top5 = base.orderBy(
         F.col("true_cnt").desc(), F.col("l_partkey").asc()
     ).limit(5)
