@@ -237,3 +237,21 @@ def test_cdc_upsert_classification(spark, sf_dir):
             assert r.cdc_op == "unchanged"
             assert r.upd_value is None
             assert r.current_value == r.base_value
+
+
+def test_dq_audit_clean_fixture_and_populations(spark, sf_dir):
+    rows = {r.check_name: r for r in SPECS["q_dq_audit"].fn(spark, sf_dir).collect()}
+    assert len(rows) == 6
+    (n_orders,) = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/orders.parquet'"
+    ).fetchone()
+    (n_li,) = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/lineitem.parquet'"
+    ).fetchone()
+    for name, r in rows.items():
+        assert 0 <= r.n_violations <= r.n_checked
+        want = n_li if name.startswith("lineitem") else n_orders
+        assert r.n_checked == want
+    # the synthetic fixture is referentially clean by construction
+    assert rows["orders_orphan_custkey"].n_violations == 0
+    assert rows["orders_dup_orderkey"].n_violations == 0

@@ -330,3 +330,131 @@ def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("updated")
         .alias("cdc_op"),
     )
+
+
+@register(
+    "q_dq_audit",
+    oracle="""
+SELECT 'orders_orphan_custkey' AS check_name,
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))
+         AS n_violations,
+       (SELECT COUNT(*) FROM orders) AS n_checked
+UNION ALL
+SELECT 'lineitem_orphan_orderkey',
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)),
+       (SELECT COUNT(*) FROM lineitem)
+UNION ALL
+SELECT 'orders_null_orderdate',
+       (SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL),
+       (SELECT COUNT(*) FROM orders)
+UNION ALL
+SELECT 'orders_dup_orderkey',
+       (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders),
+       (SELECT COUNT(*) FROM orders)
+UNION ALL
+SELECT 'lineitem_qty_out_of_range',
+       (SELECT COUNT(*) FROM lineitem
+        WHERE l_quantity < 1 OR l_quantity > 50),
+       (SELECT COUNT(*) FROM lineitem)
+UNION ALL
+SELECT 'lineitem_nonpositive_price',
+       (SELECT COUNT(*) FROM lineitem WHERE l_extendedprice <= 0),
+       (SELECT COUNT(*) FROM lineitem)
+""",
+    doc="Data-quality audit suite (the expectation checks every "
+    "production pipeline runs before publishing a partition, and the "
+    "distributed generalization of the reference's fail-fast guards, "
+    "lambda_function.py:119-127): referential integrity via "
+    "NOT-EXISTS anti-joins (orders->customer, lineitem->orders), "
+    "null-rate, primary-key duplication, and domain-range checks — "
+    "one row per check with violation and population counts, so a "
+    "single scan of the result gates the publish step.",
+    scale_notes="Each check is an independent aggregate (count-only "
+    "shuffles); the anti-joins shuffle on their FK and AQE broadcasts "
+    "the smaller side. Checks over the same table share its scan via "
+    "Spark's scan reuse; adding checks adds aggregates, never "
+    "passes over the data that carry full rows.",
+)
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ords = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    li = read_table(spark, sf_dir, "lineitem")
+
+    def check(name, n_violations_df, n_checked_df):
+        return (
+            n_violations_df.crossJoin(n_checked_df)
+            .select(
+                F.lit(name).alias("check_name"),
+                F.col("nv").alias("n_violations"),
+                F.col("nc").alias("n_checked"),
+            )
+        )
+
+    cnt = F.count(F.lit(1))
+    n_orders = ords.agg(cnt.alias("nc"))
+    n_li = li.agg(cnt.alias("nc"))
+    checks = [
+        check(
+            "orders_orphan_custkey",
+            ords.join(
+                cust, ords.o_custkey == cust.c_custkey, "left_anti"
+            ).agg(cnt.alias("nv")),
+            n_orders,
+        ),
+        check(
+            "lineitem_orphan_orderkey",
+            li.join(
+                ords, li.l_orderkey == ords.o_orderkey, "left_anti"
+            ).agg(cnt.alias("nv")),
+            n_li,
+        ),
+        check(
+            "orders_null_orderdate",
+            ords.agg(
+                F.sum(F.col("o_orderdate").isNull().cast("bigint"))
+                .cast("bigint")
+                .alias("nv")
+            ),
+            n_orders,
+        ),
+        check(
+            "orders_dup_orderkey",
+            ords.agg(
+                (cnt - F.count_distinct("o_orderkey"))
+                .cast("bigint")
+                .alias("nv")
+            ),
+            n_orders,
+        ),
+        check(
+            "lineitem_qty_out_of_range",
+            li.agg(
+                F.sum(
+                    (
+                        (F.col("l_quantity") < 1)
+                        | (F.col("l_quantity") > 50)
+                    ).cast("bigint")
+                )
+                .cast("bigint")
+                .alias("nv")
+            ),
+            n_li,
+        ),
+        check(
+            "lineitem_nonpositive_price",
+            li.agg(
+                F.sum((F.col("l_extendedprice") <= 0).cast("bigint"))
+                .cast("bigint")
+                .alias("nv")
+            ),
+            n_li,
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out

@@ -53,6 +53,8 @@ ALLOW_BNL: dict[str, str] = {
     "q_agg_hist_quantile": "constant 3-row quantile axis x <=64-bin "
     "histogram + 1-row total — all bounded by sketch geometry "
     "(aggregates.py)",
+    "q_dq_audit": "per-check 1-row violation x 1-row population "
+    "aggregates assembled into the fixed check list (analytics.py)",
 }
 
 #: Row-at-a-time Python — only the deliberate slow-path demos that

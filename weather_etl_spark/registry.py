@@ -287,7 +287,7 @@ DRIVER_DEFERRED: frozenset[str] = frozenset({
     "q_llm_bpe_pairs", "q_llm_keywords", "q_llm_dsir",
     "snk_text_roundtrip",
     "q_agg_bitmap_portable", "q_agg_hist_quantile",
-    "q_scd2_intervals", "q_cdc_upsert",
+    "q_scd2_intervals", "q_cdc_upsert", "q_dq_audit",
 })
 
 
