@@ -255,3 +255,17 @@ def test_dq_audit_clean_fixture_and_populations(spark, sf_dir):
     # the synthetic fixture is referentially clean by construction
     assert rows["orders_orphan_custkey"].n_violations == 0
     assert rows["orders_dup_orderkey"].n_violations == 0
+
+
+def test_dedup_weights_unit_mass_per_cluster(spark, sf_dir):
+    rows = SPECS["q_llm_dedup_weights"].fn(spark, sf_dir).collect()
+    by_size: dict[int, int] = {}
+    for r in rows:
+        assert r.weight_ppm == 1000000 // r.cluster_size
+        by_size[r.cluster_size] = by_size.get(r.cluster_size, 0) + 1
+    # each cluster's members sum to <= 1e6 ppm (one doc of mass),
+    # short only by the integer-division remainder
+    for size, n_members in by_size.items():
+        assert n_members % size == 0  # whole clusters
+        mass = size * (1000000 // size)
+        assert 1000000 - size < mass <= 1000000

@@ -66,6 +66,11 @@ SWEEP = [
     "q_graph_degree", "q_graph_pagerank", "q_win_runsum",
     "q_llm_chunk", "llm_embed_quantize", "q_llm_exact_dedup",
     "llm_jaccard_prefix", "llm_components_starcontract",
+    # round-6 late batch (key-shifted replicas keep the part graph
+    # disjoint per replica, so triangles scale by pure data volume)
+    "q_graph_triangles", "q_agg_cms_portable", "q_llm_dsir",
+    "q_funnel", "q_agg_bitmap_portable", "q_cdc_upsert",
+    "q_llm_keywords", "q_agg_hist_quantile",
 ]
 JOIN_COMPOSITES = {"q_join_star", "q_tpch_q3", "q_tpch_q5", "q_join_smj"}
 

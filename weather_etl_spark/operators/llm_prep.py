@@ -663,3 +663,40 @@ def q_llm_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dsir_weight_micro"),
         )
     )
+
+
+@register(
+    "q_llm_dedup_weights",
+    oracle="""
+WITH cl AS (
+  SELECT md5(text) AS h, COUNT(*) AS cluster_size
+  FROM documents GROUP BY md5(text)
+)
+SELECT d.doc_id AS doc_id,
+       cl.cluster_size AS cluster_size,
+       1000000 // cl.cluster_size AS weight_ppm
+FROM documents d JOIN cl ON md5(d.text) = cl.h
+""",
+    doc="Soft deduplication (the published reweight-instead-of-drop "
+    "recipe): exact-duplicate clusters by text hash, each member "
+    "weighted 1/cluster_size (fixed-point ppm) so a document "
+    "duplicated k times contributes one document's worth of gradient "
+    "in expectation — the training-loss-side alternative to "
+    "q_llm_exact_dedup's hard drop, preserving corpus coverage while "
+    "removing duplication bias.",
+    scale_notes="One shuffle on the 16-byte text hash carrying "
+    "(hash, partial-count); the join back to documents reuses the "
+    "same hash partitioning. Weights are integer ppm — no float in "
+    "the output. Generalizes to near-dup clusters by swapping the "
+    "hash for q_llm_dedup_components' component id.",
+)
+def q_llm_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    cl = docs.groupBy("h").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return docs.join(cl, "h").select(
+        "doc_id",
+        "cluster_size",
+        F.expr("1000000 DIV cluster_size").alias("weight_ppm"),
+    )
