@@ -444,3 +444,54 @@ def test_pagerank_checkpoints_loop_invariants(spark, sf_dir):
     assert plan.count("Exchange") <= 10, (
         f"pagerank plan re-grew shuffles: {plan.count('Exchange')}"
     )
+
+
+def test_keywords_topk_compiles_to_window_group_limit(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_llm_keywords"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, (
+        "per-doc top-3 must push the rank limit into the window"
+    )
+
+
+def test_bpe_pairs_topk_is_take_ordered(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_llm_bpe_pairs"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, (
+        "global top-20 must be per-partition heaps, not a full sort"
+    )
+
+
+def test_bloom_membership_is_broadcast_join(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_join_bloom"].fn(spark, sf_dir))
+    # the m<=1024-row bit set joins as a broadcast hash join on `bit`;
+    # the probe side must never sort-merge against it
+    assert "BroadcastHashJoin [bit" in plan.replace("#", " #").replace(
+        "bit#", "bit #"
+    ) or re.search(r"BroadcastHashJoin \[bit#\d+", plan), (
+        "bit-set membership should be a broadcast hash join"
+    )
+
+
+def test_cms_and_bitmap_partial_aggregate_before_exchange(spark, sf_dir):
+    for name in ("q_agg_cms_portable", "q_agg_bitmap_portable"):
+        plan = _executed_plan(SPECS[name].fn(spark, sf_dir))
+        assert "partial_" in plan, f"{name}: no map-side partial agg"
+        assert plan.index("partial_") > plan.index("Exchange"), (
+            f"{name}: partial agg must run below the exchange"
+        )
+
+
+def test_funnel_filters_event_type_before_shuffle(spark, sf_dir):
+    plan = _optimized_scan_info(SPECS["q_funnel"].fn(spark, sf_dir))
+    assert "PushedFilters:" in plan
+    assert "EqualTo(event_type,view)" in plan, (
+        "stage filters must reach the parquet scan"
+    )
+
+
+def test_scd2_windows_share_one_user_shuffle(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_scd2_intervals"].fn(spark, sf_dir))
+    n_exchanges = plan.count("Exchange hashpartitioning(user_id")
+    assert n_exchanges == 1, (
+        f"lag-detect and lead-close must reuse ONE user_id exchange, "
+        f"saw {n_exchanges}"
+    )
