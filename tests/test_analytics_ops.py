@@ -269,3 +269,22 @@ def test_dedup_weights_unit_mass_per_cluster(spark, sf_dir):
         assert n_members % size == 0  # whole clusters
         mass = size * (1000000 // size)
         assert 1000000 - size < mass <= 1000000
+
+
+def test_kmv_intersect_invariants_vs_exact(spark, sf_dir):
+    row = SPECS["q_agg_kmv_intersect"].fn(spark, sf_dir).collect()[0]
+    assert 0 <= row.n_overlap <= 8
+    assert row.union_est > 0
+    assert row.inter_est <= row.union_est
+    # the estimate should be in the right ballpark of the exact
+    # intersection (k=8 is a coarse sketch; assert within 3x bounds)
+    (exact,) = duckdb.sql(
+        f"SELECT COUNT(*) FROM ("
+        f"  SELECT DISTINCT user_id FROM '{sf_dir}/events.parquet'"
+        f"  WHERE event_type = 'view'"
+        f"  INTERSECT"
+        f"  SELECT DISTINCT user_id FROM '{sf_dir}/events.parquet'"
+        f"  WHERE event_type = 'purchase')"
+    ).fetchone()
+    if exact > 0 and row.n_overlap > 0:
+        assert exact / 3 <= row.inter_est <= exact * 3

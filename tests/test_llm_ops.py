@@ -572,3 +572,42 @@ def test_interval_overlap_differential_vs_naive_python(spark, sf_dir):
     assert got == {
         k: (n, len(users)) for k, (n, users) in want.items()
     }
+
+
+def test_triangles_random_graph_vs_python(spark, tmp_path):
+    """Differential on graphs the fixture can't produce: random edge
+    sets written as a tiny lineitem-shaped parquet, triangle counts
+    compared against a pure-python common-neighbor count."""
+    import itertools
+    import random
+
+    from weather_etl_spark.registry import load_all
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        n_orders, n_parts = 40, 12 + trial * 4
+        rows = []
+        for o in range(n_orders):
+            parts = rng.sample(range(n_parts), rng.randint(2, 5))
+            rows.extend((o, p) for p in parts)
+        sf = tmp_path / f"tri{trial}"
+        sf.mkdir()
+        spark.createDataFrame(
+            rows, "l_orderkey long, l_partkey long"
+        ).write.parquet(str(sf / "lineitem.parquet"))
+
+        got = load_all()["q_graph_triangles"].fn(spark, str(sf)).collect()[0]
+
+        adj: dict[int, set[int]] = {}
+        edges = set()
+        for o in range(n_orders):
+            group = sorted({p for oo, p in rows if oo == o})
+            for u, v in itertools.combinations(group, 2):
+                edges.add((u, v))
+        for u, v in edges:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        want = sum(len(adj[u] & adj[v]) for u, v in edges) // 3
+        assert got.n_triangles == want, f"trial {trial}"
+        assert got.n_edges == len(edges)
+        assert got.n_nodes == len(adj)

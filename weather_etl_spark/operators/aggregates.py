@@ -1341,3 +1341,91 @@ def q_agg_hist_quantile(spark, sf_dir):
             (F.min("bin") * 2000).alias("q_lower_edge"),
         )
     )
+
+
+@register(
+    "q_agg_kmv_intersect",
+    oracle="""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+              AS BIGINT) AS hv
+  FROM events WHERE event_type IN ('view', 'purchase')
+), rk AS (
+  SELECT event_type, hv,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+  FROM h
+), bk AS (
+  SELECT event_type, hv FROM rk WHERE rn <= 8
+), urk AS (
+  SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn
+  FROM (SELECT DISTINCT hv FROM bk)
+), kk AS (
+  SELECT hv FROM urk WHERE rn <= 8
+), kth AS (SELECT MAX(hv) AS m FROM kk),
+ov AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS c FROM kk
+  WHERE hv IN (SELECT hv FROM bk WHERE event_type = 'view')
+    AND hv IN (SELECT hv FROM bk WHERE event_type = 'purchase')
+)
+SELECT kth.m AS kth_min_union,
+       ov.c AS n_overlap,
+       ROUND(7 * 4503599627370496.0 / kth.m, 4) AS union_est,
+       ROUND((CAST(ov.c AS DOUBLE) / 8)
+             * (7 * 4503599627370496.0 / kth.m), 4) AS inter_est
+FROM kth CROSS JOIN ov
+""",
+    doc="KMV sketch INTERSECTION estimate (the set operation HLL "
+    "cannot do, and why bottom-k sketches exist): bottom-8 hash sets "
+    "for 'view' and 'purchase' users merge into the union's bottom-8; "
+    "Jaccard = |union-bottom-k present in BOTH input sketches| / k, "
+    "and the intersection estimate is Jaccard x the union's KMV "
+    "cardinality estimate. Sketch state (union k-th min, overlap "
+    "count) is integer-exact; only the final published-estimator "
+    "division is floating, rounded once (the q_agg_kmv_portable "
+    "discipline).",
+    scale_notes="Everything flows through bottom-k order statistics: "
+    "per-partition bottom-8 via WindowGroupLimit rank pushdown, merge "
+    "= bottom-8 of the union of two 8-row sets. Sketch sizes are "
+    "constant at any cardinality, and the estimator extends to "
+    "n-way intersections by the same Jaccard composition.",
+)
+def q_agg_kmv_intersect(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10
+    ).cast("bigint")
+    h = ev.select("event_type", hv.alias("hv")).distinct()
+    w = Window.partitionBy("event_type").orderBy("hv")
+    bk = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 8)
+        .select("event_type", "hv")
+    )
+    un = bk.select("hv").distinct()
+    kk = (
+        un.withColumn("rn", F.row_number().over(Window.orderBy("hv")))
+        .filter(F.col("rn") <= 8)
+        .select("hv")
+    )
+    kth = kk.agg(F.max("hv").alias("m"))
+    views = bk.filter(F.col("event_type") == "view").select("hv")
+    purch = bk.filter(F.col("event_type") == "purchase").select("hv")
+    ov = (
+        kk.join(views, "hv", "left_semi")
+        .join(purch, "hv", "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    est = F.lit(7 * 4503599627370496.0) / F.col("m")
+    return kth.crossJoin(ov).select(
+        F.col("m").alias("kth_min_union"),
+        F.col("c").alias("n_overlap"),
+        F.round(est, 4).alias("union_est"),
+        F.round((F.col("c").cast("double") / 8) * est, 4).alias(
+            "inter_est"
+        ),
+    )

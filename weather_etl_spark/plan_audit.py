@@ -55,6 +55,9 @@ ALLOW_BNL: dict[str, str] = {
     "(aggregates.py)",
     "q_dq_audit": "per-check 1-row violation x 1-row population "
     "aggregates assembled into the fixed check list (analytics.py)",
+    "q_agg_kmv_intersect": "two 1-row sketch aggregates (union k-th "
+    "min x overlap count) crossed into the single estimate row "
+    "(aggregates.py)",
 }
 
 #: Row-at-a-time Python — only the deliberate slow-path demos that
