@@ -288,3 +288,19 @@ def test_kmv_intersect_invariants_vs_exact(spark, sf_dir):
     ).fetchone()
     if exact > 0 and row.n_overlap > 0:
         assert exact / 3 <= row.inter_est <= exact * 3
+
+
+def test_skew_profile_consistency(spark, sf_dir):
+    row = SPECS["q_skew_profile"].fn(spark, sf_dir).collect()[0]
+    assert row.p50_rows <= row.p99_rows <= row.max_rows
+    assert row.n_keys > 0 and row.n_rows >= row.n_keys
+    truth = duckdb.sql(
+        f"SELECT COUNT(DISTINCT l_suppkey), COUNT(*), "
+        f"MAX(c) FROM (SELECT l_suppkey, COUNT(*) AS c "
+        f"FROM '{sf_dir}/lineitem.parquet' GROUP BY l_suppkey)"
+    ).fetchone()
+    assert row.n_keys == truth[0]
+    assert row.max_rows == truth[2]
+    assert row.max_over_mean_pct == (
+        row.max_rows * row.n_keys * 100
+    ) // row.n_rows

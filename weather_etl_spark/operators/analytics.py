@@ -458,3 +458,75 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionAll(c)
     return out
+
+
+@register(
+    "q_skew_profile",
+    oracle="""
+WITH per_key AS (
+  SELECT l_suppkey AS k, COUNT(*) AS c FROM lineitem GROUP BY l_suppkey
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(c) AS BIGINT) AS n_rows,
+         CAST(MAX(c) AS BIGINT) AS max_rows
+  FROM per_key
+), rk AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn FROM per_key
+)
+SELECT tot.n_keys, tot.n_rows, tot.max_rows,
+       (SELECT CAST(MAX(c) AS BIGINT) FROM rk
+        WHERE rn * 100 <= (SELECT n_keys FROM tot) * 50) AS p50_rows,
+       (SELECT CAST(MAX(c) AS BIGINT) FROM rk
+        WHERE rn * 100 <= (SELECT n_keys FROM tot) * 99) AS p99_rows,
+       tot.max_rows * tot.n_keys * 100 // tot.n_rows
+         AS max_over_mean_pct
+FROM tot
+""",
+    doc="Shuffle-skew profile of a join/aggregation key (the "
+    "diagnostic run BEFORE choosing salting or AQE skew hints): "
+    "per-key row counts for lineitem.l_suppkey reduced to key count, "
+    "row count, max, p50/p99 per-key rows, and max-over-mean as an "
+    "integer percentage — a max_over_mean_pct far above 100 is the "
+    "signal that one reducer will stall the stage (the condition "
+    "q_join_salted and q_agg_skew_salted exist to fix). All-integer "
+    "readout: percentile rows via the rank*100 <= n*q crossing test.",
+    scale_notes="One shuffle of (key, partial-count) pairs with "
+    "map-side combine; the profile reduction is over key cardinality, "
+    "not rows. This is the cheap pre-flight a 100 TB join runs to "
+    "decide between plain shuffle, salting, and AQE skew splitting — "
+    "the operator's output IS the decision input.",
+)
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy(F.col("l_suppkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = per_key.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.max("c").cast("bigint").alias("max_rows"),
+    )
+    rk = per_key.select(
+        "c", F.row_number().over(Window.orderBy("c")).alias("rn")
+    )
+    def pct(q, alias):
+        return (
+            rk.crossJoin(F.broadcast(tot.select("n_keys")))
+            .filter(F.col("rn") * 100 <= F.col("n_keys") * q)
+            .agg(F.max("c").cast("bigint").alias(alias))
+        )
+
+    return (
+        tot.crossJoin(pct(50, "p50_rows"))
+        .crossJoin(pct(99, "p99_rows"))
+        .select(
+            "n_keys",
+            "n_rows",
+            "max_rows",
+            "p50_rows",
+            "p99_rows",
+            F.expr("max_rows * n_keys * 100 DIV n_rows").alias(
+                "max_over_mean_pct"
+            ),
+        )
+    )

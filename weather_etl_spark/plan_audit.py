@@ -58,6 +58,8 @@ ALLOW_BNL: dict[str, str] = {
     "q_agg_kmv_intersect": "two 1-row sketch aggregates (union k-th "
     "min x overlap count) crossed into the single estimate row "
     "(aggregates.py)",
+    "q_skew_profile": "1-row totals x two 1-row percentile aggregates "
+    "over the key-cardinality table (analytics.py)",
 }
 
 #: Row-at-a-time Python — only the deliberate slow-path demos that
