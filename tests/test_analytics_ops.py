@@ -304,3 +304,37 @@ def test_skew_profile_consistency(spark, sf_dir):
     assert row.max_over_mean_pct == (
         row.max_rows * row.n_keys * 100
     ) // row.n_rows
+
+
+def test_weighted_sampling_python_differential(spark, tmp_path):
+    """Differential on synthetic weights the fixture can't produce
+    (extremes: w=1 cent vs w=max): the Spark sample must equal a pure
+    python evaluation of the same integer inclusion rule."""
+    import hashlib
+    import random
+
+    rng = random.Random(77)
+    rows = [
+        (k, float(rng.choice([0.01, 0.5, 10.0, 500.0, 21474836.47])))
+        for k in range(1, 400)
+    ]
+    sf = tmp_path / "wsample"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_totalprice double"
+    ).write.parquet(str(sf / "orders.parquet"))
+
+    got = sorted(
+        r.o_orderkey
+        for r in SPECS["q_sample_weighted"].fn(spark, str(sf)).collect()
+    )
+
+    def u32(k: int) -> int:
+        return int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
+
+    cents = {k: round(w * 100) for k, w in rows}
+    wmax = max(cents.values())
+    want = sorted(
+        k for k in cents if u32(k) * wmax < 2147483648 * cents[k]
+    )
+    assert got == want
