@@ -338,3 +338,115 @@ def test_weighted_sampling_python_differential(spark, tmp_path):
         k for k in cents if u32(k) * wmax < 2147483648 * cents[k]
     )
     assert got == want
+
+
+def test_funnel_python_differential_random_streams(spark, tmp_path):
+    """Funnel on random event streams vs a pure-python evaluation of
+    the same earliest-view -> first-later-click -> first-later-purchase
+    cascade (exercises orderings the fixture doesn't: purchase-first
+    users, click-only users, interleaved repeats)."""
+    import datetime
+    import random
+
+    rng = random.Random(4242)
+    types = ["view", "click", "purchase", "error"]
+    rows = []
+    t0 = datetime.datetime(2024, 3, 1)
+    for eid in range(600):
+        rows.append(
+            (
+                eid,
+                t0 + datetime.timedelta(minutes=rng.randint(0, 10000)),
+                rng.randint(1, 25),
+                rng.choice(types),
+                float(rng.randint(1, 100)),
+            )
+        )
+    sf = tmp_path / "funnel"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    ).write.parquet(str(sf / "events.parquet"))
+
+    got = {
+        r.user_id: (r.stage, r.t_view_us, r.t_click_us, r.t_purchase_us)
+        for r in SPECS["q_funnel"].fn(spark, str(sf)).collect()
+    }
+
+    def us(dt):
+        return int(dt.timestamp() * 1_000_000)
+
+    by_user: dict[int, list] = {}
+    for eid, ts, user, etype, _ in rows:
+        by_user.setdefault(user, []).append((ts, etype))
+    want = {}
+    for user, evs in by_user.items():
+        views = [t for t, e in evs if e == "view"]
+        if not views:
+            continue
+        t_view = min(views)
+        clicks = [t for t, e in evs if e == "click" and t > t_view]
+        t_click = min(clicks) if clicks else None
+        t_purch = None
+        if t_click is not None:
+            purch = [t for t, e in evs if e == "purchase" and t > t_click]
+            t_purch = min(purch) if purch else None
+        stage = 1 + (t_click is not None) + (t_purch is not None)
+        want[user] = (
+            stage,
+            us(t_view),
+            us(t_click) if t_click else None,
+            us(t_purch) if t_purch else None,
+        )
+    assert got == want
+
+
+def test_cohort_python_differential_random_streams(spark, tmp_path):
+    import datetime
+    import random
+
+    rng = random.Random(99)
+    rows = []
+    t0 = datetime.datetime(2024, 1, 1)  # a Monday
+    for eid in range(500):
+        rows.append(
+            (
+                eid,
+                t0 + datetime.timedelta(hours=rng.randint(0, 24 * 70)),
+                rng.randint(1, 20),
+                "click",
+                1.0,
+            )
+        )
+    sf = tmp_path / "cohort"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    ).write.parquet(str(sf / "events.parquet"))
+
+    got = {
+        (str(r.cohort_week), r.week_offset): r.n_users
+        for r in SPECS["q_cohort_retention"].fn(spark, str(sf)).collect()
+    }
+
+    def week(dt):
+        d = dt.date()
+        return d - datetime.timedelta(days=d.weekday())
+
+    first: dict[int, datetime.date] = {}
+    active: set = set()
+    for _, ts, user, _, _ in rows:
+        w = week(ts)
+        active.add((user, w))
+        if user not in first or w < first[user]:
+            first[user] = w
+    want: dict = {}
+    for user, w in active:
+        cohort = first[user]
+        key = (str(cohort), (w - cohort).days // 7)
+        want[key] = want.get(key, 0) + 1
+    assert got == want
