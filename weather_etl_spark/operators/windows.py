@@ -501,3 +501,59 @@ def q_win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(sum(CAST(value AS DECIMAL(18,6))) {frame} AS DOUBLE)"
         ).alias("sum_1h"),
     )
+
+
+@register(
+    "q_win_distinct_running",
+    oracle="""
+WITH flagged AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN ROW_NUMBER() OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS first_seen
+  FROM events
+)
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       CAST(SUM(first_seen) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+            ) AS BIGINT) AS run_distinct
+FROM flagged
+""",
+    doc="Running COUNT(DISTINCT) over a window — the aggregate window "
+    "frames cannot express directly (DISTINCT is not frameable): each "
+    "row carries how many distinct event types its user has produced "
+    "so far, via the standard first-occurrence-flag decomposition "
+    "(rank within (user, type) marks the first sighting; a running "
+    "sum of flags is the running distinct count). Exact integers, "
+    "totally ordered by (ts, event_id).",
+    scale_notes="Two window shuffles — (user_id, event_type) for the "
+    "first-seen flags, then user_id for the running sum; the second "
+    "is a strict coarsening of the first, and both carry fixed-width "
+    "rows. The decomposition is how running-distinct ships at any "
+    "scale; a sketch variant swaps the flag for HLL register deltas.",
+)
+def q_win_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn(
+            "first_seen",
+            F.when(F.row_number().over(w_first) == 1, 1).otherwise(0),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.sum("first_seen").over(w_run).cast("bigint").alias(
+                "run_distinct"
+            ),
+        )
+    )
