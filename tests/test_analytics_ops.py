@@ -450,3 +450,29 @@ def test_cohort_python_differential_random_streams(spark, tmp_path):
         key = (str(cohort), (w - cohort).days // 7)
         want[key] = want.get(key, 0) + 1
     assert got == want
+
+
+def test_kanonymity_flags_match_counts(spark, sf_dir):
+    rows = SPECS["q_kanonymity"].fn(spark, sf_dir).collect()
+    assert rows
+    total = 0
+    for r in rows:
+        assert r.k_safe == (r.n_docs >= 5)
+        total += r.n_docs
+    (n_docs,) = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()
+    assert total == n_docs  # classes partition the corpus
+
+
+def test_ab_metrics_sufficient_statistics(spark, sf_dir):
+    rows = {r.arm: r for r in SPECS["q_ab_metrics"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {0, 1}
+    (n_users,) = duckdb.sql(
+        f"SELECT COUNT(DISTINCT user_id) FROM '{sf_dir}/events.parquet'"
+    ).fetchone()
+    assert rows[0].n_users + rows[1].n_users == n_users
+    for r in rows.values():
+        assert 0 <= r.n_converted <= r.n_users
+        assert r.conv_ppm == r.n_converted * 1000000 // r.n_users
+        assert r.revenue_cents >= 0

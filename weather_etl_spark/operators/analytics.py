@@ -530,3 +530,105 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_kanonymity",
+    oracle="""
+WITH g AS (
+  SELECT lang, source, COUNT(*) AS n_docs FROM documents
+  GROUP BY lang, source
+)
+SELECT lang, source, n_docs,
+       CAST(n_docs >= 5 AS BOOLEAN) AS k_safe
+FROM g
+""",
+    doc="k-anonymity audit over quasi-identifier columns (the privacy "
+    "gate that complements q_llm_pii_scrub's direct-identifier "
+    "redaction): every (lang, source) equivalence class is counted "
+    "and flagged when smaller than k=5 — a class below k means those "
+    "documents are re-identifiable by their quasi-identifiers alone "
+    "and must be generalized or suppressed before release.",
+    scale_notes="One grouped count over the quasi-identifier tuple — "
+    "cardinality bounded by the QI domain product, not the corpus. "
+    "Generalization loops (coarsen QI, re-audit) repeat the same "
+    "aggregate; nothing ever carries row payloads.",
+)
+def q_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            (F.col("n_docs") >= 5).alias("k_safe"),
+        )
+    )
+
+
+@register(
+    "q_ab_metrics",
+    oracle="""
+WITH arms AS (
+  SELECT user_id, CAST(user_id % 2 AS INT) AS arm FROM events
+  GROUP BY user_id
+), conv AS (
+  SELECT user_id,
+         CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS converted,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(ROUND(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS revenue_cents
+  FROM events GROUP BY user_id
+)
+SELECT arms.arm AS arm,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(conv.converted) AS BIGINT) AS n_converted,
+       SUM(conv.converted) * 1000000 // COUNT(*) AS conv_ppm,
+       CAST(SUM(conv.revenue_cents) AS BIGINT) AS revenue_cents
+FROM arms JOIN conv USING (user_id)
+GROUP BY arms.arm
+""",
+    doc="A/B experiment readout: users assigned to arms by id parity "
+    "(the deterministic stand-in for an assignment service), per arm "
+    "the user count, converters (>=1 purchase), conversion rate in "
+    "integer ppm, and revenue in integer cents — the exact "
+    "sufficient statistics a significance test consumes, with no "
+    "float anywhere in the readout.",
+    scale_notes="Per-user reduction first (one user_id shuffle over "
+    "event rows), then a 2-row arm aggregate — the same "
+    "reduce-before-join shape as q_cdc_upsert, so the arm summary "
+    "never sees event volume. Sequential/ CUPED variants add columns, "
+    "not passes.",
+)
+def q_ab_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    conv = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("converted"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        )
+        .cast("bigint")
+        .alias("revenue_cents"),
+    )
+    return (
+        conv.withColumn("arm", (F.col("user_id") % 2).cast("int"))
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+            F.expr("SUM(converted) * 1000000 DIV COUNT(*)").alias(
+                "conv_ppm"
+            ),
+            F.sum("revenue_cents").cast("bigint").alias("revenue_cents"),
+        )
+    )
