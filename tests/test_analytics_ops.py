@@ -476,3 +476,28 @@ def test_ab_metrics_sufficient_statistics(spark, sf_dir):
         assert 0 <= r.n_converted <= r.n_users
         assert r.conv_ppm == r.n_converted * 1000000 // r.n_users
         assert r.revenue_cents >= 0
+
+
+def test_binaryfile_matches_duckdb_read_blob(spark, sf_dir):
+    """src_binaryfile is rows-only for the driver (its oracle would
+    need a file path, which the driver's view-based SQL can't take);
+    this test IS its cross-engine byte check: Spark's binaryFile and
+    DuckDB's read_blob must agree on every file's name, size, and
+    first/last-8-byte hex."""
+    got = {
+        r.file_name: (r.n_bytes, r.head_hex, r.tail_hex)
+        for r in SPECS["src_binaryfile"].fn(spark, sf_dir).collect()
+    }
+    want = {
+        name: (size, head, tail)
+        for name, size, head, tail in duckdb.sql(
+            f"SELECT regexp_extract(filename, '([^/]+)$', 1), "
+            f"CAST(size AS BIGINT), substr(hex(content), 1, 16), "
+            f"substr(hex(content), size * 2 - 15, 16) "
+            f"FROM read_blob('{sf_dir}/*.parquet')"
+        ).fetchall()
+    }
+    assert got == want
+    assert all(h.startswith("50415231") for _, h, _t in got.values()), (
+        "every parquet file must open with the PAR1 magic"
+    )
