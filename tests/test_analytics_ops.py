@@ -501,3 +501,42 @@ def test_binaryfile_matches_duckdb_read_blob(spark, sf_dir):
     assert all(h.startswith("50415231") for _, h, _t in got.values()), (
         "every parquet file must open with the PAR1 magic"
     )
+
+
+def test_downsample_picks_max_area_point_python(spark, sf_dir):
+    """Pure-python recompute of the bucketed largest-triangle choice
+    (fractions module = exact rational arithmetic, an independent
+    third opinion beside the DECIMAL oracle)."""
+    from fractions import Fraction
+
+    got = {
+        (r.user_id, r.bucket): (r.ts_us, r.value_cents)
+        for r in SPECS["q_time_downsample"].fn(spark, sf_dir).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT user_id, epoch_us(ts) // 1000000 - 1704067200, "
+        f"CAST(ROUND(value * 100) AS BIGINT), epoch_us(ts) "
+        f"FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    buckets: dict = {}
+    for user, x, y, ts_us in rows:
+        buckets.setdefault((user, x // 21600), []).append((x, y, ts_us))
+    want = {}
+    for (user, bk), pts in buckets.items():
+        prev = buckets.get((user, bk - 1))
+        nxt = buckets.get((user, bk + 1))
+        if not prev or not nxt:
+            continue
+        ax = Fraction(sum(p[0] for p in prev), len(prev))
+        ay = Fraction(sum(p[1] for p in prev), len(prev))
+        bx = Fraction(sum(p[0] for p in nxt), len(nxt))
+        by = Fraction(sum(p[1] for p in nxt), len(nxt))
+        best = max(
+            pts,
+            key=lambda p: (
+                abs((p[0] - ax) * (by - ay) - (p[1] - ay) * (bx - ax)),
+                -p[2],
+            ),
+        )
+        want[(user, bk)] = (best[2], best[1])
+    assert got == want

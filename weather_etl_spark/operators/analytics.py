@@ -632,3 +632,114 @@ def q_ab_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("revenue_cents").cast("bigint").alias("revenue_cents"),
         )
     )
+
+
+#: LTTB downsampling geometry: 6-hour buckets over seconds since the
+#: fixture epoch (2024-01-01), values in integer cents.
+_LTTB_EPOCH_S = 1704067200
+_LTTB_BUCKET_S = 21600
+
+
+@register(
+    "q_time_downsample",
+    oracle=f"""
+WITH pts AS (
+  SELECT user_id,
+         epoch_us(ts) // 1000000 - {_LTTB_EPOCH_S} AS x,
+         CAST(ROUND(value * 100) AS BIGINT) AS y,
+         epoch_us(ts) AS ts_us
+  FROM events
+), b AS (
+  SELECT *, x // {_LTTB_BUCKET_S} AS bucket FROM pts
+), anchors AS (
+  SELECT user_id, bucket,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM b GROUP BY user_id, bucket
+), tri AS (
+  SELECT b.user_id, b.bucket, b.ts_us, b.y,
+         ABS(CAST(b.x * p.n - p.sx AS DECIMAL(38,0))
+               * CAST(nx.sy * p.n - p.sy * nx.n AS DECIMAL(38,0))
+             - CAST(b.y * p.n - p.sy AS DECIMAL(38,0))
+               * CAST(nx.sx * p.n - p.sx * nx.n AS DECIMAL(38,0)))
+           AS area2
+  FROM b
+  JOIN anchors p  ON p.user_id = b.user_id AND p.bucket = b.bucket - 1
+  JOIN anchors nx ON nx.user_id = b.user_id AND nx.bucket = b.bucket + 1
+)
+SELECT user_id, bucket, ts_us, y AS value_cents
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+                               ORDER BY area2 DESC, ts_us) AS rk
+  FROM tri
+) WHERE rk = 1
+""",
+    doc="Time-series downsampling, largest-triangle family (the "
+    "published LTTB chart-decimation algorithm in its bucketed "
+    "parallel form): per user and 6-hour bucket, keep the point "
+    "maximizing the triangle area spanned with the NEIGHBOR BUCKETS' "
+    "average points as anchors. Fixing anchors to bucket averages "
+    "(instead of the previously-selected point) removes LTTB's "
+    "sequential dependency, making every bucket independent — the "
+    "standard distributed variant. The area comparison is exact: "
+    "cross-product numerators over a common denominator in "
+    "DECIMAL(38,0), integer-second x integer-cent coordinates, ties "
+    "broken by earliest timestamp.",
+    scale_notes="One shuffle to bucket anchors, self-joins on "
+    "(user, bucket+-1) that reuse the same partitioning, and a "
+    "per-bucket WindowGroupLimit argmax — no sequential pass, so a "
+    "century of telemetry downsamples as one job. Edge buckets "
+    "(missing a neighbor) are deliberately not emitted; production "
+    "keeps them via min/max fallback anchors.",
+)
+def q_time_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        (
+            F.expr("unix_micros(ts) div 1000000") - _LTTB_EPOCH_S
+        ).alias("x"),
+        F.round(F.col("value") * 100).cast("bigint").alias("y"),
+        F.unix_micros("ts").alias("ts_us"),
+    ).withColumn("bucket", F.expr(f"x div {_LTTB_BUCKET_S}"))
+    anchors = pts.groupBy("user_id", "bucket").agg(
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    b = pts.alias("b")
+    p = anchors.alias("p")
+    nx = anchors.alias("nx")
+    dec = "DECIMAL(38,0)"
+    tri = (
+        b.join(
+            p,
+            (F.col("p.user_id") == F.col("b.user_id"))
+            & (F.col("p.bucket") == F.col("b.bucket") - 1),
+        )
+        .join(
+            nx,
+            (F.col("nx.user_id") == F.col("b.user_id"))
+            & (F.col("nx.bucket") == F.col("b.bucket") + 1),
+        )
+        .select(
+            F.col("b.user_id").alias("user_id"),
+            F.col("b.bucket").alias("bucket"),
+            F.col("b.ts_us").alias("ts_us"),
+            F.col("b.y").alias("value_cents"),
+            F.expr(
+                f"ABS(CAST(b.x * p.n - p.sx AS {dec})"
+                f"       * CAST(nx.sy * p.n - p.sy * nx.n AS {dec})"
+                f"     - CAST(b.y * p.n - p.sy AS {dec})"
+                f"       * CAST(nx.sx * p.n - p.sx * nx.n AS {dec}))"
+            ).alias("area2"),
+        )
+    )
+    w = Window.partitionBy("user_id", "bucket").orderBy(
+        F.col("area2").desc(), F.col("ts_us").asc()
+    )
+    return (
+        tri.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "bucket", "ts_us", "value_cents")
+    )

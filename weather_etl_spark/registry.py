@@ -290,7 +290,7 @@ DRIVER_DEFERRED: frozenset[str] = frozenset({
     "q_scd2_intervals", "q_cdc_upsert", "q_dq_audit",
     "q_llm_dedup_weights", "q_agg_kmv_intersect", "q_skew_profile",
     "q_win_distinct_running", "q_kanonymity", "q_ab_metrics",
-    "src_binaryfile",
+    "src_binaryfile", "q_time_downsample",
 })
 
 
