@@ -1,0 +1,164 @@
+"""Semantic invariants for the event-sequence batch (eventseq.py) —
+properties the oracle-parity hash cannot state by itself:
+
+- the truncated-kernel EWMA matches a pure-python recomputation of the
+  same closed form (and the first observation's EWMA is the value);
+- every emitted anomaly z-score matches a python rolling mean/stddev
+  over the trailing frame, and the flag is exactly |z| > 3;
+- Markov transition probabilities sum to 1 per source state and the
+  pair count equals (events - users), the number of consecutive pairs;
+- the snapshot-diff classes partition the modular-arithmetic cases the
+  snapshots were constructed from (counts re-derived in DuckDB);
+- reciprocal-rank fusion matches a python recomputation from the two
+  independently re-derived rankings.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+from weather_etl_spark.operators.eventseq import (
+    _ANOM_FRAME,
+    _ANOM_MIN_N,
+    _EWMA_ALPHA,
+    _EWMA_TAPS,
+    _RRF_K,
+    _RRF_OUT,
+    _RRF_TOPN,
+)
+from weather_etl_spark.registry import load_all
+
+SPECS = load_all()
+
+
+def _events_sorted(sf_dir, cols, order):
+    return duckdb.sql(
+        f"SELECT {cols} FROM '{sf_dir}/events.parquet' ORDER BY {order}"
+    ).fetchall()
+
+
+def test_ewma_matches_python_closed_form(spark, sf_dir):
+    got = {
+        r.event_id: r.ewma
+        for r in SPECS["q_time_ewma"].fn(spark, sf_dir).collect()
+    }
+    rows = _events_sorted(
+        sf_dir, "user_id, event_id, value", "user_id, ts, event_id"
+    )
+    hist: dict[int, list[float]] = {}
+    checked = 0
+    for uid, eid, val in rows:
+        h = hist.setdefault(uid, [])
+        h.append(val)
+        taps = h[::-1][:_EWMA_TAPS]
+        w = [_EWMA_ALPHA * (1 - _EWMA_ALPHA) ** k for k in range(len(taps))]
+        want = sum(x * wk for x, wk in zip(taps, w)) / sum(w)
+        assert math.isclose(got[eid], want, abs_tol=5e-4), (
+            f"event {eid}: spark {got[eid]} python {want}"
+        )
+        if len(h) == 1:
+            # single-tap kernel normalizes to the value itself
+            assert math.isclose(got[eid], round(val, 4), abs_tol=5e-4)
+        checked += 1
+    assert checked == len(got)
+
+
+def test_anomaly_zscores_match_python_rolling_frame(spark, sf_dir):
+    out = {
+        r.event_id: (r.zscore, r.is_anomaly)
+        for r in SPECS["q_time_anomaly"].fn(spark, sf_dir).collect()
+    }
+    rows = _events_sorted(
+        sf_dir, "event_type, event_id, value", "event_type, ts, event_id"
+    )
+    hist: dict[str, list[float]] = {}
+    n_checked = n_flagged = 0
+    for etype, eid, val in rows:
+        h = hist.setdefault(etype, [])
+        frame = h[-_ANOM_FRAME:]
+        n = len(frame)
+        h.append(val)
+        if n < _ANOM_MIN_N:
+            assert eid not in out
+            continue
+        mu = sum(frame) / n
+        var = sum((x - mu) ** 2 for x in frame) / (n - 1)
+        if var <= 0:
+            assert eid not in out
+            continue
+        z = (val - mu) / math.sqrt(var)
+        assert eid in out
+        assert math.isclose(out[eid][0], z, abs_tol=5e-4)
+        assert out[eid][1] == (abs(z) > 3.0)
+        n_flagged += out[eid][1]
+        n_checked += 1
+    assert n_checked == len(out)
+    assert n_flagged >= 1, "fixture produced no |z|>3 outliers to exercise"
+
+
+def test_transition_probabilities_normalize(spark, sf_dir):
+    rows = SPECS["q_event_transitions"].fn(spark, sf_dir).collect()
+    by_prev: dict[str, list] = {}
+    for r in rows:
+        by_prev.setdefault(r.prev_type, []).append(r)
+    for prev, grp in by_prev.items():
+        assert math.isclose(sum(g.p for g in grp), 1.0, abs_tol=1e-3), prev
+    n_events, n_users = duckdb.sql(
+        f"SELECT COUNT(*), COUNT(DISTINCT user_id) "
+        f"FROM '{sf_dir}/events.parquet'"
+    ).fetchone()
+    # each user's stream of k events yields k-1 consecutive pairs
+    assert sum(r.n for r in rows) == n_events - n_users
+
+
+def test_snapshot_diff_partitions_modular_cases(spark, sf_dir):
+    rows = SPECS["q_snapshot_diff"].fn(spark, sf_dir).collect()
+    by_change: dict[str, set[int]] = {"added": set(), "removed": set(), "updated": set()}
+    for r in rows:
+        by_change[r.change].add(r.o_orderkey)
+        if r.change == "added":
+            assert r.old_cents is None and r.new_cents is not None
+        elif r.change == "removed":
+            assert r.new_cents is None and r.old_cents is not None
+        else:
+            assert r.new_cents - r.old_cents == 1000
+    added, removed, updated = duckdb.sql(
+        f"""SELECT
+        SUM(CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 5 <> 0
+             THEN 1 ELSE 0 END),
+        SUM(CASE WHEN o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
+             THEN 1 ELSE 0 END),
+        SUM(CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0
+             AND o_orderkey % 7 <> 0 THEN 1 ELSE 0 END)
+        FROM '{sf_dir}/orders.parquet'"""
+    ).fetchone()
+    assert (len(by_change["added"]), len(by_change["removed"]),
+            len(by_change["updated"])) == (added, removed, updated)
+
+
+def test_rank_fusion_matches_python_recomputation(spark, sf_dir):
+    rows = SPECS["q_rank_fusion"].fn(spark, sf_dir).collect()
+    assert [r.fused_rank for r in rows] == list(range(1, _RRF_OUT + 1))
+    by_len = duckdb.sql(
+        f"SELECT doc_id FROM '{sf_dir}/documents.parquet' "
+        f"ORDER BY n_chars DESC, doc_id LIMIT {_RRF_TOPN}"
+    ).fetchall()
+    by_hash = duckdb.sql(
+        f"SELECT doc_id FROM '{sf_dir}/documents.parquet' "
+        f"ORDER BY md5(text), doc_id LIMIT {_RRF_TOPN}"
+    ).fetchall()
+    r_len = {d: i + 1 for i, (d,) in enumerate(by_len)}
+    r_hash = {d: i + 1 for i, (d,) in enumerate(by_hash)}
+    score = {
+        d: (1.0 / (_RRF_K + r_len[d]) if d in r_len else 0.0)
+        + (1.0 / (_RRF_K + r_hash[d]) if d in r_hash else 0.0)
+        for d in set(r_len) | set(r_hash)
+    }
+    want = sorted(score, key=lambda d: (-score[d], d))[:_RRF_OUT]
+    assert [r.doc_id for r in rows] == want
+    for r in rows:
+        assert r.r_len == r_len.get(r.doc_id, 0)
+        assert r.r_hash == r_hash.get(r.doc_id, 0)
+        assert math.isclose(r.rrf, score[r.doc_id], abs_tol=1e-5)

@@ -1,0 +1,365 @@
+"""Event-sequence / time-series operators (SURVEY.md §2 B.12, round 6
+second batch): smoothing, anomaly flags, Markov transitions, snapshot
+diffing, and rank fusion.
+
+The reference pipeline (lambda_function.py:96-150) lands raw
+weather/event observations; these are the standard analyses a
+warehouse layers on such a table — each a single declarative plan,
+exact-oracled against DuckDB:
+
+- q_time_ewma: truncated-kernel exponential smoothing (8 lag taps,
+  alpha=0.3) — the window-closed-form of the recursive EWMA, so it
+  needs no iterative state and no UDF;
+- q_time_anomaly: rolling z-score outlier flags over a trailing
+  24-observation frame per event type;
+- q_event_transitions: first-order Markov transition counts and
+  probabilities between consecutive event types per user;
+- q_snapshot_diff: added/removed/updated classification between two
+  keyed snapshots via one full-outer join (the audit companion to
+  q_cdc_upsert's MERGE);
+- q_rank_fusion: reciprocal-rank fusion of two top-k document
+  rankings — the standard multi-retriever result combiner.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from weather_etl_spark.io import read_table
+from weather_etl_spark.registry import register
+
+#: EWMA smoothing factor and the 8-tap truncated kernel weights
+#: a*(1-a)^k. (1-a)^8 ~ 5.8% of mass is truncated; the per-row
+#: re-normalization over *present* taps redistributes it, which also
+#: makes the series well-defined from the first row. repr()'d doubles
+#: are embedded verbatim in both engines so the arithmetic is
+#: bit-identical before the final ROUND.
+_EWMA_ALPHA = 0.3
+_EWMA_TAPS = 8
+_EWMA_W = [repr(_EWMA_ALPHA * (1.0 - _EWMA_ALPHA) ** k) for k in range(_EWMA_TAPS)]
+
+
+def _ewma_sql(val: str, lag_fmt: str) -> tuple[str, str]:
+    """(numerator, denominator) SQL over lag taps; identical text for
+    both engines modulo the lag expression format."""
+    num = " + ".join(
+        f"COALESCE({lag_fmt.format(k=k)} * {w}, 0.0)"
+        for k, w in enumerate(_EWMA_W)
+    )
+    den = " + ".join(
+        f"CASE WHEN {lag_fmt.format(k=k)} IS NULL THEN 0.0 ELSE {w} END"
+        for k, w in enumerate(_EWMA_W)
+    )
+    return num, den
+
+
+_EWMA_NUM_D, _EWMA_DEN_D = _ewma_sql(
+    "value", "lag(value, {k}) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+)
+
+
+@register(
+    "q_time_ewma",
+    oracle=f"""
+SELECT user_id, event_id,
+       ROUND(value, 4) AS value_r,
+       ROUND(({_EWMA_NUM_D}) / ({_EWMA_DEN_D}), 4) AS ewma
+FROM events
+""",
+    doc="Exponentially weighted moving average of events.value per "
+    f"user (alpha={_EWMA_ALPHA}), expressed as the {_EWMA_TAPS}-tap "
+    "truncated kernel: ewma_n = sum_k w_k * x_(n-k) / sum_k w_k over "
+    "the taps that exist, w_k = a(1-a)^k. The closed form replaces "
+    "the recursive definition, so it is one window pass with bounded "
+    "frame state instead of an order-dependent scan; the truncated "
+    "<6% tail is re-normalized into the present taps.",
+    scale_notes="One shuffle on user_id, per-partition sort, 8 lag "
+    "slots of frame state per row — identical shape to q_win_lag. "
+    "The kernel is compile-time constants, so the whole expression "
+    "codegens; no UDF, no recursion. At 100 TB the per-user series "
+    "is the unit of parallelism (millions of users >> cores).",
+)
+def q_time_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    taps = [F.lag("value", k).over(w) for k in range(_EWMA_TAPS)]
+    num = None
+    den = None
+    for k, tap in enumerate(taps):
+        wk = float(_EWMA_W[k])
+        term = F.coalesce(tap * F.lit(wk), F.lit(0.0))
+        mass = F.when(tap.isNull(), F.lit(0.0)).otherwise(F.lit(wk))
+        num = term if num is None else num + term
+        den = mass if den is None else den + mass
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round("value", 4).alias("value_r"),
+        F.round(num / den, 4).alias("ewma"),
+    )
+
+
+_ANOM_FRAME = 24  # trailing observations per event_type
+_ANOM_MIN_N = 8  # minimum history before a z-score is emitted
+_ANOM_Z = 3.0
+
+
+@register(
+    "q_time_anomaly",
+    oracle=f"""
+WITH w AS (
+  SELECT event_id, event_type, value,
+         avg(value) OVER win AS mu,
+         stddev_samp(value) OVER win AS sd,
+         count(value) OVER win AS n_hist
+  FROM events
+  WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN {_ANOM_FRAME} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, event_type, ROUND(value, 4) AS value_r,
+       ROUND((value - mu) / sd, 4) + 0.0 AS zscore,
+       CAST(abs((value - mu) / sd) > {_ANOM_Z} AS BOOLEAN) AS is_anomaly
+FROM w
+WHERE n_hist >= {_ANOM_MIN_N} AND sd > 0
+""",
+    doc="Rolling z-score anomaly detection: for each event, the mean "
+    f"and sample stddev of the trailing {_ANOM_FRAME} observations of "
+    "the same event type (frame excludes the current row, so the "
+    "score is out-of-sample); |z| > 3 flags the row. Rows with fewer "
+    f"than {_ANOM_MIN_N} history points or zero variance are "
+    "withheld rather than scored against noise.",
+    scale_notes="One shuffle on event_type (low cardinality — at "
+    "100 TB salt into (event_type, time-bucket) exactly as "
+    "q_win_moving's scale note prescribes, flushing bucket-boundary "
+    "frames), bounded 24-row frame state. stddev over a frame is "
+    "incremental in both engines; no second pass.",
+)
+def q_time_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_ANOM_FRAME, -1)
+    )
+    mu = F.avg("value").over(win)
+    sd = F.stddev_samp("value").over(win)
+    n_hist = F.count("value").over(win)
+    z = (F.col("value") - mu) / sd
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value_r"),
+            # + 0.0 canonicalizes -0.0 (Spark rounds -1e-9 to 0.0,
+            # DuckDB to -0.0; IEEE -0.0 + 0.0 = +0.0 in both)
+            (F.round(z, 4) + F.lit(0.0)).alias("zscore"),
+            (F.abs(z) > _ANOM_Z).alias("is_anomaly"),
+            n_hist.alias("n_hist"),
+            sd.alias("sd"),
+        )
+        .filter((F.col("n_hist") >= _ANOM_MIN_N) & (F.col("sd") > 0))
+        .drop("n_hist", "sd")
+    )
+
+
+@register(
+    "q_event_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+), pairs AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, next_type, n,
+       ROUND(CAST(n AS DOUBLE) /
+             SUM(n) OVER (PARTITION BY prev_type), 4) AS p
+FROM pairs
+""",
+    doc="First-order Markov transition matrix over event types: for "
+    "each user's time-ordered stream, count consecutive "
+    "(prev, next) event-type pairs and normalize to per-prev-state "
+    "transition probabilities — the standard user-journey / "
+    "next-event model fit, as two window passes and one aggregate.",
+    scale_notes="Shuffle 1 on user_id for the lag (the only pass "
+    "over raw events); shuffle 2 carries one row per observed "
+    "type-pair (|types|^2 rows, constant-bounded), so the transition "
+    "normalization window is trivially small. Map-side partial "
+    "aggregation compresses the pair stream before the exchange.",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wp), 4).alias("p"),
+    )
+
+
+@register(
+    "q_snapshot_diff",
+    oracle="""
+WITH old AS (
+  SELECT o_orderkey AS k,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 7 <> 0
+), new AS (
+  SELECT o_orderkey AS k,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT)
+           + CASE WHEN o_orderkey % 3 = 0 THEN 1000 ELSE 0 END AS cents
+  FROM orders WHERE o_orderkey % 5 <> 0
+)
+SELECT COALESCE(old.k, new.k) AS o_orderkey,
+       CASE WHEN old.k IS NULL THEN 'added'
+            WHEN new.k IS NULL THEN 'removed'
+            ELSE 'updated' END AS change,
+       old.cents AS old_cents, new.cents AS new_cents
+FROM old FULL OUTER JOIN new ON old.k = new.k
+WHERE old.k IS NULL OR new.k IS NULL OR old.cents <> new.cents
+""",
+    doc="Keyed snapshot diff: two order snapshots (derived "
+    "deterministically from the orders table — the 'old' snapshot "
+    "omits keys = 0 mod 7, the 'new' omits 0 mod 5 and bumps every "
+    "0-mod-3 price by 10.00) are full-outer joined on the key and "
+    "each divergent row classified added / removed / updated. "
+    "Money compared in integer cents so the diff is exact. The "
+    "audit-trail companion to q_cdc_upsert: MERGE applies changes, "
+    "this reports them.",
+    scale_notes="One co-partitioned shuffle join on the snapshot key "
+    "(both sides hash-partition identically — at 100 TB bucket both "
+    "snapshots on the key and the Exchange disappears, the "
+    "q_join_bucketed pattern). Unchanged rows are filtered "
+    "post-join; output is proportional to churn, not table size.",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    old = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("k"), cents.alias("cents")
+    )
+    new = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        (
+            cents
+            + F.when(F.col("o_orderkey") % 3 == 0, F.lit(1000)).otherwise(
+                F.lit(0)
+            )
+        ).alias("cents"),
+    )
+    o, n = old.alias("o"), new.alias("n")
+    joined = o.join(n, F.col("o.k") == F.col("n.k"), "full_outer")
+    return joined.select(
+        F.coalesce(F.col("o.k"), F.col("n.k")).alias("o_orderkey"),
+        F.when(F.col("o.k").isNull(), F.lit("added"))
+        .when(F.col("n.k").isNull(), F.lit("removed"))
+        .otherwise(F.lit("updated"))
+        .alias("change"),
+        F.col("o.cents").alias("old_cents"),
+        F.col("n.cents").alias("new_cents"),
+    ).filter(
+        F.col("o.k").isNull()
+        | F.col("n.k").isNull()
+        | (F.col("o.cents") != F.col("n.cents"))
+    )
+
+
+_RRF_K = 60  # standard reciprocal-rank-fusion damping constant
+_RRF_TOPN = 200  # per-retriever candidate list depth
+_RRF_OUT = 100  # fused result size
+
+
+@register(
+    "q_rank_fusion",
+    oracle=f"""
+WITH by_len AS (
+  SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r
+  FROM documents
+), by_hash AS (
+  SELECT doc_id, row_number() OVER (ORDER BY md5(text), doc_id) AS r
+  FROM documents
+), fused AS (
+  SELECT COALESCE(l.doc_id, h.doc_id) AS doc_id,
+         COALESCE(l.r, 0) AS r_len, COALESCE(h.r, 0) AS r_hash,
+         COALESCE(1.0 / ({_RRF_K} + l.r), 0.0)
+           + COALESCE(1.0 / ({_RRF_K} + h.r), 0.0) AS score
+  FROM (SELECT * FROM by_len WHERE r <= {_RRF_TOPN}) l
+  FULL OUTER JOIN (SELECT * FROM by_hash WHERE r <= {_RRF_TOPN}) h
+    ON l.doc_id = h.doc_id
+)
+SELECT doc_id, r_len, r_hash, ROUND(score, 6) AS rrf,
+       row_number() OVER (ORDER BY score DESC, doc_id) AS fused_rank
+FROM fused
+ORDER BY score DESC, doc_id
+LIMIT {_RRF_OUT}
+""",
+    doc="Reciprocal-rank fusion of two document rankings (the "
+    "standard combiner for multi-retriever search): retriever 1 "
+    "ranks by length, retriever 2 by content hash (a deterministic "
+    "stand-in for a relevance model); each contributes "
+    f"1/({_RRF_K}+rank) for its top-{_RRF_TOPN} list, lists are "
+    "full-outer merged on doc_id (absent = 0 contribution, exactly "
+    f"the published RRF over top-k lists), top {_RRF_OUT} emitted "
+    "with a full doc_id tie-break.",
+    scale_notes=f"rank<={_RRF_TOPN} compiles to WindowGroupLimit: "
+    "per-partition top-N heaps feed the single-partition ranking "
+    "window with N rows per input partition, never the corpus. The "
+    f"fusion join touches <=2x{_RRF_TOPN} rows and the final sort is "
+    "TakeOrderedAndProject. Candidate depth, not corpus size, "
+    "bounds every post-scan stage.",
+)
+def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    w_len = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    w_hash = Window.orderBy(F.md5("text"), F.asc("doc_id"))
+    by_len = (
+        docs.select("doc_id", F.row_number().over(w_len).alias("r"))
+        .filter(F.col("r") <= _RRF_TOPN)
+        .alias("l")
+    )
+    by_hash = (
+        docs.select("doc_id", F.row_number().over(w_hash).alias("r"))
+        .filter(F.col("r") <= _RRF_TOPN)
+        .alias("h")
+    )
+    fused = by_len.join(
+        by_hash, F.col("l.doc_id") == F.col("h.doc_id"), "full_outer"
+    ).select(
+        F.coalesce(F.col("l.doc_id"), F.col("h.doc_id")).alias("doc_id"),
+        F.coalesce(F.col("l.r"), F.lit(0)).alias("r_len"),
+        F.coalesce(F.col("h.r"), F.lit(0)).alias("r_hash"),
+        (
+            F.coalesce(1.0 / (_RRF_K + F.col("l.r")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("h.r")), F.lit(0.0))
+        ).alias("score"),
+    )
+    w_fused = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        fused.select(
+            "doc_id",
+            "r_len",
+            "r_hash",
+            F.round("score", 6).alias("rrf"),
+            F.row_number().over(w_fused).alias("fused_rank"),
+            "score",
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_RRF_OUT)
+        .drop("score")
+    )

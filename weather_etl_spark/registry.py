@@ -291,6 +291,9 @@ DRIVER_DEFERRED: frozenset[str] = frozenset({
     "q_llm_dedup_weights", "q_agg_kmv_intersect", "q_skew_profile",
     "q_win_distinct_running", "q_kanonymity", "q_ab_metrics",
     "src_binaryfile", "q_time_downsample",
+    # second late batch (event-sequence / curation / layout ops)
+    "q_time_ewma", "q_time_anomaly", "q_event_transitions",
+    "q_snapshot_diff", "q_rank_fusion",
 })
 
 
