@@ -1,0 +1,164 @@
+"""Semantic invariants for the curation + layout batch (llm_prep.py
+second batch, layout.py) — properties the parity hash can't state:
+
+- markup stripping recovers the original text modulo the
+  deterministic ' and ' -> ' & ' entity round-trip (python recheck
+  on a sample);
+- the encoding audit flags exactly the 0-mod-13 corrupted docs, and
+  byte/char arithmetic matches python's UTF-8 encoder;
+- sentence stats match a python re-split on a sample;
+- token-budget selection IS the greedy prefix: equals a python
+  take-while over the full ratio-sorted corpus, never exceeds the
+  budget, and adding the best rejected doc would exceed it;
+- Z-order cluster bounding boxes are tight (<= 16x16 cells) —
+  the data-skipping guarantee — and cluster ids partition the rows;
+- compaction groups are contiguous in path order and every closed
+  group crosses the target only by its last file.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import duckdb
+
+from weather_etl_spark.operators.layout import (
+    _COMPACT_TARGET,
+    _Z_CLUSTER_SHIFT,
+)
+from weather_etl_spark.operators.llm_prep import (
+    _BUDGET_TOKENS,
+    _CORRUPT_MOD,
+    _REPL,
+)
+from weather_etl_spark.registry import load_all
+
+SPECS = load_all()
+
+
+def _docs(sf_dir):
+    return duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
+        f"ORDER BY doc_id"
+    ).fetchall()
+
+
+def test_strip_markup_roundtrips_text(spark, sf_dir):
+    got = {
+        r.doc_id: (r.n_wrapped, r.n_clean, r.clean_prefix)
+        for r in SPECS["q_llm_strip_markup"].fn(spark, sf_dir).collect()
+    }
+    for doc_id, text in _docs(sf_dir)[:50]:
+        wrapped = f'<p id="{doc_id}">' + text.replace(" and ", " &amp; ") + "</p>"
+        c = re.sub("<[^>]*>", " ", wrapped)
+        for ent, ch in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">")):
+            c = c.replace(ent, ch)
+        c = re.sub(" +", " ", c).strip()
+        assert got[doc_id] == (len(wrapped), len(c), c[:80])
+        # stripping undoes the wrap: clean == original with ' and '
+        # replaced by ' & ' (collapsed), if the source had no markup
+        assert c == re.sub(" +", " ", text.replace(" and ", " & ")).strip()
+
+
+def test_encoding_check_flags_exactly_corrupted_docs(spark, sf_dir):
+    rows = SPECS["q_llm_encoding_check"].fn(spark, sf_dir).collect()
+    texts = dict(_docs(sf_dir))
+    assert len(rows) == len(texts)
+    for r in rows:
+        corrupted = r.doc_id % _CORRUPT_MOD == 0
+        x = texts[r.doc_id] + (_REPL + "\x07" if corrupted else "")
+        assert r.n_chars == len(x)
+        assert r.n_bytes == len(x.encode("utf-8"))
+        assert r.has_replacement == corrupted
+        want_ctrl = sum(1 for ch in x if 1 <= ord(ch) <= 31)
+        assert r.n_ctrl == want_ctrl
+        assert r.is_clean == (
+            r.n_extra_bytes == 0 and r.n_ctrl == 0 and not r.has_replacement
+        )
+        if corrupted:
+            assert not r.is_clean
+
+
+def test_sentence_stats_match_python_resplit(spark, sf_dir):
+    got = {
+        r.doc_id: (r.n_sentences, r.avg_sent_chars, r.max_sent_chars)
+        for r in SPECS["q_llm_sentences"].fn(spark, sf_dir).collect()
+    }
+    for doc_id, text in _docs(sf_dir)[:50]:
+        sents = [s for s in re.split(r"[.!?]+", text) if s.strip()]
+        if not sents:
+            assert doc_id not in got
+            continue
+        lens = [len(s.strip()) for s in sents]
+        n, avg, mx = got[doc_id]
+        assert n == len(sents)
+        assert math.isclose(avg, sum(lens) / len(lens), abs_tol=5e-4)
+        assert mx == max(lens)
+
+
+def test_token_budget_is_exact_greedy_prefix(spark, sf_dir):
+    rows = SPECS["q_llm_token_budget"].fn(spark, sf_dir).collect()
+    docs = _docs(sf_dir)
+    stats = []
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        stats.append((doc_id, len(toks), len(set(toks)) / len(toks)))
+    order = sorted(stats, key=lambda t: (-t[2], t[0]))
+    want, cum = [], 0
+    for doc_id, n_tok, ratio in order:
+        if cum + n_tok > _BUDGET_TOKENS:
+            break
+        cum += n_tok
+        want.append(doc_id)
+    got_ids = {r.doc_id for r in rows}
+    assert got_ids == set(want), (
+        f"selection diverges from greedy prefix: extra="
+        f"{sorted(got_ids - set(want))[:5]} "
+        f"missing={sorted(set(want) - got_ids)[:5]}"
+    )
+    total = sum(r.n_tokens for r in rows)
+    assert total <= _BUDGET_TOKENS
+    if len(want) < len(order):
+        # take-while: the next candidate would not have fit
+        assert total + order[len(want)][1] > _BUDGET_TOKENS
+
+
+def test_zorder_boxes_are_tight_and_partition_rows(spark, sf_dir):
+    rows = SPECS["q_layout_zorder"].fn(spark, sf_dir).collect()
+    cell = 1 << (_Z_CLUSTER_SHIFT // 2)  # 16x16 cells per cluster
+    n_total = 0
+    for r in rows:
+        assert r.bbox_area == (r.max_px - r.min_px + 1) * (
+            r.max_sx - r.min_sx + 1
+        )
+        # Z-order guarantee: a cluster of 2^8 interleaved low bits
+        # spans at most a 16x16 aligned cell in (px, sx) space.
+        assert r.max_px - r.min_px < cell
+        assert r.max_sx - r.min_sx < cell
+        n_total += r.n_rows
+    n_li = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/lineitem.parquet'"
+    ).fetchone()[0]
+    assert n_total == n_li
+
+
+def test_compaction_groups_contiguous_and_sized(spark, sf_dir):
+    rows = sorted(
+        SPECS["q_layout_compaction"].fn(spark, sf_dir).collect(),
+        key=lambda r: (r.source, r.lang),
+    )
+    # bins are nondecreasing along the path walk (contiguity)
+    bins = [r.bin for r in rows]
+    assert bins == sorted(bins)
+    # python next-fit recheck
+    cum = 0
+    for r in rows:
+        assert r.bin == cum // _COMPACT_TARGET
+        cum += r.bytes
+    by_bin: dict[int, list] = {}
+    for r in rows:
+        by_bin.setdefault(r.bin, []).append(r)
+    for b, grp in by_bin.items():
+        assert all(g.bin_bytes == sum(x.bytes for x in grp) for g in grp)
+        assert all(g.bin_files == len(grp) for g in grp)

@@ -700,3 +700,281 @@ def q_llm_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         F.expr("1000000 DIV cluster_size").alias("weight_ppm"),
     )
+
+
+# --- round-6 second batch: markup stripping, encoding audit, sentence
+# --- statistics, token-budget selection ---------------------------------
+
+#: U+FFFD replacement char + BEL, the corruption marker appended to
+#: every 0-mod-13 document by q_llm_encoding_check (Spark's char() is
+#: mod-256, so the literal codepoint is embedded from Python in BOTH
+#: engines rather than computed in SQL).
+_REPL = "�"
+_CORRUPT_MOD = 13
+#: Control-character class (C0 minus NUL, which parquet text never
+#: holds) — raw chars embedded identically in both regex dialects.
+_CTRL_CLASS = "[" + chr(1) + "-" + chr(31) + "]"
+
+_SENT_SPLIT = "[.!?]+"
+
+#: Token budget for q_llm_token_budget, in whitespace tokens: about
+#: half the sf0.01 corpus, so the greedy cut is exercised at every SF.
+_BUDGET_TOKENS = 10000
+#: Quality-ratio bins for the parallel prefix-sum formulation.
+_BUDGET_BINS = 1000
+
+
+@register(
+    "q_llm_strip_markup",
+    oracle="""
+WITH wrapped AS (
+  SELECT doc_id,
+         '<p id="' || doc_id || '">' || replace(text, ' and ', ' &amp; ')
+           || '</p>' AS w
+  FROM documents
+), clean AS (
+  SELECT doc_id, w,
+         trim(regexp_replace(regexp_replace(regexp_replace(
+              regexp_replace(regexp_replace(w,
+              '<[^>]*>', ' ', 'g'),
+              '&amp;', '&', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+              ' +', ' ', 'g')) AS c
+  FROM wrapped
+)
+SELECT doc_id, length(w) AS n_wrapped, length(c) AS n_clean,
+       substr(c, 1, 80) AS clean_prefix
+FROM clean
+""",
+    doc="HTML/boilerplate stripping (the first transform every "
+    "web-crawl curation pipeline applies): each document is "
+    "deterministically wrapped in markup with an entity-encoded "
+    "conjunction (so the fixture exercises real tag and entity "
+    "machinery), then cleaned — tags to spaces, &amp;/&lt;/&gt; "
+    "decoded, whitespace collapsed, trimmed. Emits before/after "
+    "lengths and the cleaned prefix.",
+    scale_notes="Zero-shuffle codegen'd projection — five regexp "
+    "passes fuse into one WholeStageCodegen stage over the pruned "
+    "(doc_id, text) scan. At 100 TB this is scan-bound; the regex "
+    "set is fixed (no vocabulary state), so executors stream.",
+)
+def q_llm_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    wrapped = F.concat(
+        F.lit('<p id="'),
+        F.col("doc_id").cast("string"),
+        F.lit('">'),
+        F.replace(F.col("text"), F.lit(" and "), F.lit(" &amp; ")),
+        F.lit("</p>"),
+    )
+    c = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_replace(wrapped, "<[^>]*>", " "),
+                        "&amp;",
+                        "&",
+                    ),
+                    "&lt;",
+                    "<",
+                ),
+                "&gt;",
+                ">",
+            ),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.length(wrapped).alias("n_wrapped"),
+        F.length(c).alias("n_clean"),
+        F.substring(c, 1, 80).alias("clean_prefix"),
+    )
+
+
+@register(
+    "q_llm_encoding_check",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {_CORRUPT_MOD} = 0
+              THEN text || '{_REPL}' || chr(7) ELSE text END AS x
+  FROM documents
+)
+SELECT doc_id,
+       length(x) AS n_chars,
+       strlen(x) AS n_bytes,
+       strlen(x) - length(x) AS n_extra_bytes,
+       length(x) - length(regexp_replace(x,
+         '[' || chr(1) || '-' || chr(31) || ']', '', 'g')) AS n_ctrl,
+       contains(x, '{_REPL}') AS has_replacement,
+       (strlen(x) = length(x)
+        AND length(x) = length(regexp_replace(x,
+              '[' || chr(1) || '-' || chr(31) || ']', '', 'g'))
+        AND NOT contains(x, '{_REPL}')) AS is_clean
+FROM t
+""",
+    doc="Encoding-health audit (the mojibake/corruption gate run "
+    "before tokenization): every 0-mod-13 document is "
+    "deterministically corrupted with U+FFFD + a control byte, then "
+    "each document reports char count, UTF-8 byte count, "
+    "multi-byte overhead, C0-control count, replacement-char "
+    "presence, and the aggregate is_clean verdict the filter "
+    "stage keys on.",
+    scale_notes="Zero-shuffle projection; byte vs char length and "
+    "the control-class regex are all codegen'd. The corruption "
+    "injection exists only to make the fixture exercise the "
+    "detectors — production input arrives pre-corrupted.",
+)
+def q_llm_encoding_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    x = F.when(
+        F.col("doc_id") % _CORRUPT_MOD == 0,
+        F.concat(F.col("text"), F.lit(_REPL + "\x07")),
+    ).otherwise(F.col("text"))
+    no_ctrl = F.regexp_replace(x, F.lit(_CTRL_CLASS), F.lit(""))
+    n_chars = F.length(x)
+    n_bytes = F.octet_length(x)
+    n_ctrl = n_chars - F.length(no_ctrl)
+    has_rep = F.contains(x, F.lit(_REPL))
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_bytes.alias("n_bytes"),
+        (n_bytes - n_chars).alias("n_extra_bytes"),
+        n_ctrl.alias("n_ctrl"),
+        has_rep.alias("has_replacement"),
+        ((n_bytes == n_chars) & (n_ctrl == 0) & ~has_rep).alias("is_clean"),
+    )
+
+
+@register(
+    "q_llm_sentences",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '{_SENT_SPLIT}'),
+                     x -> trim(x) <> '') AS sents
+  FROM documents
+)
+SELECT doc_id,
+       len(sents) AS n_sentences,
+       ROUND(CAST(list_sum(list_transform(sents,
+               x -> length(trim(x)))) AS DOUBLE) / len(sents), 4)
+         AS avg_sent_chars,
+       list_max(list_transform(sents, x -> length(trim(x))))
+         AS max_sent_chars
+FROM s
+WHERE len(sents) >= 1
+""",
+    doc="Sentence segmentation statistics (the document-structure "
+    "profile quality classifiers consume): sentences split on "
+    "terminal punctuation runs, empties dropped, per document the "
+    "sentence count, mean trimmed length, and longest sentence — "
+    "entirely with array higher-order functions, no explode shuffle.",
+    scale_notes="Zero-shuffle projection: split/filter/transform/"
+    "aggregate all evaluate per-row inside codegen. Array state is "
+    "bounded by document length; nothing leaves the task.",
+)
+def q_llm_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    sents = F.expr(
+        f"filter(split(text, '{_SENT_SPLIT}'), x -> trim(x) != '')"
+    )
+    return (
+        docs.select("doc_id", sents.alias("sents"))
+        .filter(F.size("sents") >= 1)
+        .select(
+            "doc_id",
+            F.size("sents").alias("n_sentences"),
+            F.round(
+                F.expr(
+                    "aggregate(sents, 0, (a, x) -> a + length(trim(x)))"
+                ).cast("double")
+                / F.size("sents"),
+                4,
+            ).alias("avg_sent_chars"),
+            F.expr(
+                "array_max(transform(sents, x -> length(trim(x))))"
+            ).alias("max_sent_chars"),
+        )
+    )
+
+
+@register(
+    "q_llm_token_budget",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS ratio
+  FROM documents
+), binned AS (
+  SELECT *, CAST(FLOOR(ratio * {_BUDGET_BINS}) AS INT) AS b FROM d
+), bins AS (
+  SELECT b, SUM(n_tokens) AS bt FROM binned GROUP BY b
+), above AS (
+  SELECT b, COALESCE(SUM(bt) OVER (ORDER BY b DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS above_t
+  FROM bins
+), w AS (
+  SELECT binned.doc_id, binned.n_tokens, binned.ratio, above.above_t,
+         SUM(binned.n_tokens) OVER (PARTITION BY binned.b
+           ORDER BY binned.ratio DESC, binned.doc_id) AS in_bin_cum
+  FROM binned JOIN above ON binned.b = above.b
+)
+SELECT doc_id, n_tokens, ROUND(ratio, 4) AS quality_ratio,
+       CAST(above_t + in_bin_cum AS BIGINT) AS cum_tokens
+FROM w WHERE above_t + in_bin_cum <= {_BUDGET_TOKENS}
+""",
+    doc="Token-budget corpus selection: greedy take-while over "
+    "documents ordered by quality (type-token ratio desc, doc_id "
+    f"tie-break) until the {_BUDGET_TOKENS}-token budget is spent — "
+    "how a pretraining mix fills a fixed token allocation from the "
+    "best material first. Computed WITHOUT a global-order running "
+    "sum: quality is binned, the bounded per-bin token totals give "
+    "each bin's prefix offset, and the within-bin running sum is "
+    "partitioned by bin — the union is exactly the greedy prefix "
+    "because the bin index is monotone in the ratio.",
+    scale_notes=f"The only global structure is the {_BUDGET_BINS}-row "
+    "bin ledger (bounded, driver-safe); per-bin windows run "
+    "partition-parallel. This is the scalable form of 'ORDER BY "
+    "quality LIMIT budget' — no single-partition sort of the corpus, "
+    "and the same shape serves any take-while-threshold selection.",
+)
+def q_llm_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    d = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        (
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        ).alias("ratio"),
+    ).withColumn(
+        "b", F.floor(F.col("ratio") * _BUDGET_BINS).cast("int")
+    )
+    bins = d.groupBy("b").agg(F.sum("n_tokens").alias("bt"))
+    w_above = (
+        Window.orderBy(F.desc("b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    above = bins.select(
+        "b", F.coalesce(F.sum("bt").over(w_above), F.lit(0)).alias("above_t")
+    )
+    w_bin = (
+        Window.partitionBy("b")
+        .orderBy(F.desc("ratio"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w = d.join(above, "b").withColumn(
+        "in_bin_cum", F.sum("n_tokens").over(w_bin)
+    )
+    return w.select(
+        "doc_id",
+        "n_tokens",
+        F.round("ratio", 4).alias("quality_ratio"),
+        (F.col("above_t") + F.col("in_bin_cum")).alias("cum_tokens"),
+    ).filter(F.col("cum_tokens") <= _BUDGET_TOKENS)

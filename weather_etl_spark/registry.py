@@ -294,6 +294,8 @@ DRIVER_DEFERRED: frozenset[str] = frozenset({
     # second late batch (event-sequence / curation / layout ops)
     "q_time_ewma", "q_time_anomaly", "q_event_transitions",
     "q_snapshot_diff", "q_rank_fusion",
+    "q_llm_strip_markup", "q_llm_encoding_check", "q_llm_sentences",
+    "q_llm_token_budget", "q_layout_zorder", "q_layout_compaction",
 })
 
 
