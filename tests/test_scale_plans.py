@@ -495,3 +495,97 @@ def test_scd2_windows_share_one_user_shuffle(spark, sf_dir):
         f"lag-detect and lead-close must reuse ONE user_id exchange, "
         f"saw {n_exchanges}"
     )
+
+
+# --- round-6 second-batch plan shapes (eventseq / curation / layout) ---
+
+
+def test_eventseq_windows_share_one_user_shuffle(spark, sf_dir):
+    """EWMA's 8 lag taps and the transition lag must each compile into
+    ONE user_id exchange + one Window node, not a shuffle per tap."""
+    for name in ("q_time_ewma", "q_event_transitions"):
+        plan = _executed_plan(SPECS[name].fn(spark, sf_dir))
+        n = plan.count("Exchange hashpartitioning(user_id")
+        assert n == 1, f"{name}: expected 1 user_id exchange, saw {n}"
+
+
+def test_anomaly_single_event_type_shuffle_bounded_frame(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_time_anomaly"].fn(spark, sf_dir))
+    n = plan.count("Exchange hashpartitioning(event_type")
+    assert n == 1, f"expected 1 event_type exchange, saw {n}"
+    # the three frame aggregates share one Window node
+    assert plan.count("Window") == 1
+
+
+def test_snapshot_diff_is_single_keyed_shuffle_join(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_snapshot_diff"].fn(spark, sf_dir))
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rank_fusion_pushes_rank_limit(spark, sf_dir):
+    """Both retriever rankings must bound the data reaching the
+    single-partition ranking window: either WindowGroupLimit (heap
+    per partition) or — as the current optimizer does — a
+    TakeOrderedAndProject(limit=200) directly under each Window.
+    Either way, no unbounded corpus rows enter a ranking window."""
+    plan = _executed_plan(SPECS["q_rank_fusion"].fn(spark, sf_dir))
+    bounded = plan.count("WindowGroupLimit") + plan.count(
+        "TakeOrderedAndProject(limit=200"
+    )
+    assert bounded >= 2, (
+        "rank<=N must compile to per-partition top-N ahead of the "
+        "ranking windows"
+    )
+    assert "TakeOrderedAndProject(limit=100" in plan
+
+
+def test_curation_projections_are_shuffle_free(spark, sf_dir):
+    """Markup strip, encoding audit, and sentence stats are per-row
+    codegen — any Exchange or Python eval node is a regression."""
+    for name in ("q_llm_strip_markup", "q_llm_encoding_check",
+                 "q_llm_sentences"):
+        plan = _executed_plan(SPECS[name].fn(spark, sf_dir))
+        assert "Exchange" not in plan, f"{name} grew a shuffle"
+        assert "EvalPython" not in plan and "MapInPandas" not in plan, (
+            f"{name} dropped out of codegen into Python"
+        )
+
+
+def test_token_budget_has_no_corpus_wide_single_partition_window(
+    spark, sf_dir
+):
+    """The greedy prefix must come from the bin ledger: the only
+    SinglePartition exchange feeds the bounded bin table (1000 rows),
+    and the per-doc running sum is partitioned by bin."""
+    plan = _executed_plan(SPECS["q_llm_token_budget"].fn(spark, sf_dir))
+    assert "Exchange hashpartitioning(b" in plan, (
+        "per-doc running sum must partition by the quality bin"
+    )
+    # the single-partition window exists but only over the bin ledger:
+    # it must sit directly above the bin aggregate, not the doc scan
+    assert "partial_sum" in plan.lower() or "partial" in plan, (
+        "bin ledger must partial-aggregate before its exchange"
+    )
+
+
+def test_zorder_is_one_map_combined_aggregate(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_layout_zorder"].fn(spark, sf_dir))
+    assert plan.count("Exchange") == 1, (
+        "bit interleave must stay in the scan stage; one cluster agg "
+        "exchange only"
+    )
+    assert "partial_" in plan, "cluster stats must map-side combine"
+    assert "EvalPython" not in plan
+
+
+def test_compaction_plans_on_metadata_scale(spark, sf_dir):
+    """The prefix sum runs over the per-partition file ledger (output
+    of the groupBy), never the document rows: the single-partition
+    exchange must sit above a partial-aggregated ledger."""
+    plan = _executed_plan(SPECS["q_layout_compaction"].fn(spark, sf_dir))
+    assert "partial_sum" in plan, "file ledger must partial-aggregate"
+    assert plan.index("partial_sum") > plan.index("SinglePartition"), (
+        "prefix sum must consume the reduced ledger, not raw rows"
+    )
