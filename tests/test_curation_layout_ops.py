@@ -162,3 +162,68 @@ def test_compaction_groups_contiguous_and_sized(spark, sf_dir):
     for b, grp in by_bin.items():
         assert all(g.bin_bytes == sum(x.bytes for x in grp) for g in grp)
         assert all(g.bin_files == len(grp) for g in grp)
+
+
+def test_domain_cap_keeps_exactly_topk_per_source(spark, sf_dir):
+    from weather_etl_spark.operators.stats_ext import _DOMAIN_CAP_K
+
+    rows = SPECS["q_llm_domain_cap"].fn(spark, sf_dir).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    truth = duckdb.sql(
+        f"SELECT source, doc_id, n_chars FROM "
+        f"'{sf_dir}/documents.parquet' ORDER BY source, n_chars DESC, doc_id"
+    ).fetchall()
+    want: dict[str, list] = {}
+    for src, doc_id, n_chars in truth:
+        if len(want.setdefault(src, [])) < _DOMAIN_CAP_K:
+            want[src].append(doc_id)
+    assert set(by_src) == set(want)
+    for src, grp in by_src.items():
+        grp.sort(key=lambda r: r.rk)
+        assert [r.doc_id for r in grp] == want[src]
+        assert [r.rk for r in grp] == list(range(1, len(grp) + 1))
+
+
+def test_corr_matrix_matches_python(spark, sf_dir):
+    rows = SPECS["q_agg_corr_matrix"].fn(spark, sf_dir).collect()
+    import statistics
+
+    for r in rows:
+        data = duckdb.sql(
+            f"SELECT l_quantity, l_extendedprice FROM "
+            f"'{sf_dir}/lineitem.parquet' WHERE l_returnflag = '{r.l_returnflag}'"
+        ).fetchall()
+        want = statistics.correlation(
+            [x for x, _ in data], [y for _, y in data]
+        )
+        assert math.isclose(r.corr_qty_price, want, abs_tol=5e-4)
+        assert r.n == len(data)
+        for c in (r.corr_qty_disc, r.corr_price_tax, r.corr_disc_tax):
+            assert -1.0 <= c <= 1.0
+
+
+def test_weighted_median_crossing_rule(spark, sf_dir):
+    rows = SPECS["q_agg_weighted_median"].fn(spark, sf_dir).collect()
+    for r in rows:
+        data = sorted(
+            duckdb.sql(
+                f"SELECT l_extendedprice, l_quantity FROM "
+                f"'{sf_dir}/lineitem.parquet' "
+                f"WHERE l_returnflag = '{r.l_returnflag}'"
+            ).fetchall()
+        )
+        total = sum(w for _, w in data)
+        assert math.isclose(r.total_weight, round(total, 4), abs_tol=1e-3)
+        cum = 0.0
+        for price, w in data:
+            cum += w
+            if 2 * cum >= total:
+                assert math.isclose(
+                    r.weighted_median_price, round(price, 4), abs_tol=1e-3
+                )
+                break
+        # at least half the weight sits at or below the median price
+        below = sum(w for p, w in data if p <= r.weighted_median_price + 1e-9)
+        assert 2 * below >= total - 1e-6

@@ -162,3 +162,35 @@ def test_rank_fusion_matches_python_recomputation(spark, sf_dir):
         assert r.r_len == r_len.get(r.doc_id, 0)
         assert r.r_hash == r_hash.get(r.doc_id, 0)
         assert math.isclose(r.rrf, score[r.doc_id], abs_tol=1e-5)
+
+
+def test_attribution_matches_python_stream_walk(spark, sf_dir):
+    rows = SPECS["q_event_attribution"].fn(spark, sf_dir).collect()
+    got = {
+        r.event_id: (r.first_click_id, r.last_click_id, r.attributed,
+                     r.value_cents)
+        for r in rows
+    }
+    ev = _events_sorted(
+        sf_dir, "user_id, event_id, event_type, value",
+        "user_id, ts, event_id",
+    )
+    first_click: dict[int, int] = {}
+    last_click: dict[int, int] = {}
+    n_purchases = n_attr = 0
+    for uid, eid, etype, val in ev:
+        if etype == "purchase":
+            n_purchases += 1
+            want = (
+                first_click.get(uid),
+                last_click.get(uid),
+                uid in last_click,
+                round(val * 100),
+            )
+            assert got[eid] == want, f"purchase {eid}: {got[eid]} != {want}"
+            n_attr += want[2]
+        if etype == "click":
+            first_click.setdefault(uid, eid)
+            last_click[uid] = eid
+    assert n_purchases == len(got)
+    assert 0 < n_attr  # fixture exercises the attributed path

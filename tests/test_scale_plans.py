@@ -589,3 +589,35 @@ def test_compaction_plans_on_metadata_scale(spark, sf_dir):
     assert plan.index("partial_sum") > plan.index("SinglePartition"), (
         "prefix sum must consume the reduced ledger, not raw rows"
     )
+
+
+def test_domain_cap_compiles_to_window_group_limit(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_llm_domain_cap"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, (
+        "per-domain cap must push the rank limit into the window"
+    )
+
+
+def test_attribution_is_one_user_window_pass(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_event_attribution"].fn(spark, sf_dir))
+    n = plan.count("Exchange hashpartitioning(user_id")
+    assert n == 1, f"expected 1 user_id exchange, saw {n}"
+    assert "Join" not in plan, (
+        "attribution must be a window pass, not a purchase x click join"
+    )
+
+
+def test_corr_matrix_is_single_pass_partial_agg(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_agg_corr_matrix"].fn(spark, sf_dir))
+    assert plan.count("Exchange") == 1, (
+        "all four correlations must share one grouped pass"
+    )
+    assert "partial_" in plan, "corr partials must map-side combine"
+
+
+def test_weighted_median_single_flag_shuffle(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_agg_weighted_median"].fn(spark, sf_dir))
+    n = plan.count("Exchange hashpartitioning(l_returnflag")
+    assert n == 1, (
+        f"cumulative and total weight must share one flag exchange, saw {n}"
+    )

@@ -363,3 +363,59 @@ def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_RRF_OUT)
         .drop("score")
     )
+
+
+@register(
+    "q_event_attribution",
+    oracle="""
+WITH marked AS (
+  SELECT event_id, user_id, ts, event_type, value,
+         first_value(CASE WHEN event_type = 'click' THEN event_id END
+                     IGNORE NULLS) OVER w AS first_click_id,
+         last_value(CASE WHEN event_type = 'click' THEN event_id END
+                    IGNORE NULLS) OVER w AS last_click_id
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id,
+       CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
+       first_click_id, last_click_id,
+       (last_click_id IS NOT NULL) AS attributed
+FROM marked WHERE event_type = 'purchase'
+""",
+    doc="Marketing attribution: each purchase is credited to the "
+    "user's FIRST preceding click (first-touch) and MOST RECENT "
+    "preceding click (last-touch), both strictly before the purchase "
+    "— one window pass with IGNORE NULLS first/last over the "
+    "click-marker column, no self-join against the click stream. "
+    "Purchases with no prior click surface as unattributed.",
+    scale_notes="One user_id shuffle; the frame state is two event "
+    "ids, not the click history. The self-join formulation this "
+    "replaces (purchases x clicks, ts-range predicate) is quadratic "
+    "per heavy user — the window form is linear and inherits "
+    "q_win_lag's salting recipe for degenerate users.",
+)
+def q_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    first_click = F.first(click_id, ignorenulls=True).over(w)
+    last_click = F.last(click_id, ignorenulls=True).over(w)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+            first_click.alias("first_click_id"),
+            last_click.alias("last_click_id"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .drop("event_type")
+        .withColumn("attributed", F.col("last_click_id").isNotNull())
+    )
