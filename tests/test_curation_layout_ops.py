@@ -227,3 +227,57 @@ def test_weighted_median_crossing_rule(spark, sf_dir):
         # at least half the weight sits at or below the median price
         below = sum(w for p, w in data if p <= r.weighted_median_price + 1e-9)
         assert 2 * below >= total - 1e-6
+
+
+def test_gram_novelty_first_doc_scores_one_on_unique_text(spark, sf_dir):
+    rows = {r.doc_id: r for r in
+            SPECS["q_llm_gram_novelty"].fn(spark, sf_dir).collect()}
+    from weather_etl_spark.operators.llm_prep import _NOVEL_GRAM
+
+    # python recheck on the first 80 docs in id order (novelty is
+    # defined against ALL lower ids, so walk the full corpus)
+    seen: set[str] = set()
+    for doc_id, text in _docs(sf_dir):
+        toks = text.split(" ")
+        grams = {
+            " ".join(toks[i : i + _NOVEL_GRAM])
+            for i in range(len(toks) - _NOVEL_GRAM + 1)
+        }
+        if not grams:
+            assert doc_id not in rows
+            continue
+        novel = {g for g in grams if g not in seen}
+        seen |= grams
+        if doc_id not in rows:
+            continue
+        r = rows[doc_id]
+        assert r.n_grams == len(grams)
+        assert r.n_novel == len(novel)
+        assert math.isclose(
+            r.novelty, round(len(novel) / len(grams), 4), abs_tol=1e-3
+        )
+    # the lowest doc_id is all-novel by definition
+    first = min(rows)
+    assert rows[first].novelty == 1.0
+
+
+def test_readability_matches_python_formula(spark, sf_dir):
+    rows = {r.doc_id: r for r in
+            SPECS["q_llm_readability"].fn(spark, sf_dir).collect()}
+    for doc_id, text in _docs(sf_dir)[:60]:
+        words = [w for w in text.split(" ") if w]
+        sents = [s for s in re.split(r"[.!?]+", text) if s.strip()]
+        sylls = re.findall(r"[aeiouy]+", text.lower())
+        if not words or not sents:
+            assert doc_id not in rows
+            continue
+        r = rows[doc_id]
+        assert (r.n_words, r.n_sents, r.n_syll) == (
+            len(words), len(sents), len(sylls),
+        )
+        want = (
+            206.835
+            - 1.015 * (len(words) / len(sents))
+            - 84.6 * (len(sylls) / len(words))
+        )
+        assert math.isclose(r.flesch, want, abs_tol=5e-4)

@@ -194,3 +194,46 @@ def test_attribution_matches_python_stream_walk(spark, sf_dir):
             last_click[uid] = eid
     assert n_purchases == len(got)
     assert 0 < n_attr  # fixture exercises the attributed path
+
+
+def test_entropy_matches_python_and_bounds(spark, sf_dir):
+    rows = SPECS["q_agg_entropy"].fn(spark, sf_dir).collect()
+    counts = duckdb.sql(
+        f"SELECT user_id, event_type, COUNT(*) FROM "
+        f"'{sf_dir}/events.parquet' GROUP BY 1, 2"
+    ).fetchall()
+    by_user: dict[int, list[int]] = {}
+    for uid, _, c in counts:
+        by_user.setdefault(uid, []).append(c)
+    assert len(rows) == len(by_user)
+    for r in rows:
+        cs = by_user[r.user_id]
+        t = sum(cs)
+        want = -sum((c / t) * math.log(c / t) for c in cs)
+        assert math.isclose(r.entropy_nats, want, abs_tol=5e-4)
+        assert r.n_events == t and r.n_types == len(cs)
+        # bounds: 0 <= H <= ln(n_types)
+        assert -1e-9 <= r.entropy_nats <= math.log(r.n_types) + 1e-6
+
+
+def test_rfm_scores_are_balanced_quintiles(spark, sf_dir):
+    rows = SPECS["q_event_rfm"].fn(spark, sf_dir).collect()
+    n = len(rows)
+    for attr in ("r_score", "f_score", "m_score"):
+        hist: dict[int, int] = {}
+        for r in rows:
+            hist[getattr(r, attr)] = hist.get(getattr(r, attr), 0) + 1
+        assert set(hist) == {1, 2, 3, 4, 5}
+        assert max(hist.values()) - min(hist.values()) <= 1, (
+            f"{attr}: ntile must balance bucket sizes"
+        )
+    # monotonicity: the top monetary quintile outspends the bottom
+    top = [r.monetary_cents for r in rows if r.m_score == 5]
+    bot = [r.monetary_cents for r in rows if r.m_score == 1]
+    assert min(top) >= max(bot)
+    # purchases roll up to the per-user frequency
+    n_purchases = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/events.parquet' "
+        f"WHERE event_type = 'purchase'"
+    ).fetchone()[0]
+    assert sum(r.frequency for r in rows) == n_purchases

@@ -621,3 +621,29 @@ def test_weighted_median_single_flag_shuffle(spark, sf_dir):
     assert n == 1, (
         f"cumulative and total weight must share one flag exchange, saw {n}"
     )
+
+
+def test_entropy_shuffles_pairs_not_events(spark, sf_dir):
+    """The (user, type) count must partial-aggregate map-side so the
+    exchanges carry pair counts, never raw events."""
+    plan = _executed_plan(SPECS["q_agg_entropy"].fn(spark, sf_dir))
+    assert "partial_count" in plan or "partial" in plan, (
+        "pair counts must map-side combine before shuffling"
+    )
+    assert "EvalPython" not in plan
+
+
+def test_readability_and_novelty_stay_jvm_side(spark, sf_dir):
+    plan_r = _executed_plan(SPECS["q_llm_readability"].fn(spark, sf_dir))
+    assert "Exchange" not in plan_r, "readability grew a shuffle"
+    assert "EvalPython" not in plan_r
+    plan_n = _executed_plan(SPECS["q_llm_gram_novelty"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan_n
+    assert "EvalPython" not in plan_n
+
+
+def test_rfm_anchor_is_broadcast_single_row(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_event_rfm"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
+        "the 1-row ts anchor must broadcast (q_filter_ts_cursor pattern)"
+    )

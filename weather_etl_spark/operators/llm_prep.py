@@ -978,3 +978,129 @@ def q_llm_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("ratio", 4).alias("quality_ratio"),
         (F.col("above_t") + F.col("in_bin_cum")).alias("cum_tokens"),
     ).filter(F.col("cum_tokens") <= _BUDGET_TOKENS)
+
+
+#: Shingle width for the novelty score (matches the published
+#: dedup-oriented 3-gram practice on short fixture docs).
+_NOVEL_GRAM = 3
+
+
+@register(
+    "q_llm_gram_novelty",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - {_NOVEL_GRAM - 2}),
+                i -> array_to_string(t[i:i + {_NOVEL_GRAM - 1}], ' '))) AS g
+  FROM toks WHERE len(t) >= {_NOVEL_GRAM}
+), first_seen AS (
+  SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g
+)
+SELECT grams.doc_id AS doc_id,
+       COUNT(*) AS n_grams,
+       COUNT(CASE WHEN first_seen.first_doc = grams.doc_id THEN 1 END)
+         AS n_novel,
+       ROUND(CAST(COUNT(CASE WHEN first_seen.first_doc = grams.doc_id
+                         THEN 1 END) AS DOUBLE) / COUNT(*), 4)
+         AS novelty
+FROM grams JOIN first_seen USING (g)
+GROUP BY grams.doc_id
+""",
+    doc="N-gram novelty score (the marginal-information measure "
+    "dedup-aware curation ranks by): a document's distinct "
+    f"{_NOVEL_GRAM}-gram shingles are split into first-seen-here "
+    "(no lower doc_id contains them) vs already-seen; novelty is "
+    "the first-seen fraction. Heavily duplicated documents score "
+    "near 0, fresh material near 1 — the streaming-order "
+    "generalization of exact dedup.",
+    scale_notes="Shuffles carry DISTINCT (gram, doc_id) pairs and "
+    "the gram->first_doc ledger, never text. first_seen and the "
+    "join back share the gram hash partitioning; the final "
+    "aggregate reduces to one row per document. Same shape as "
+    "q_llm_decontaminate with min() replacing the benchmark set.",
+)
+def q_llm_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= _NOVEL_GRAM
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {_NOVEL_GRAM - 1}),"
+                f" i -> concat_ws(' ', slice(t, i, {_NOVEL_GRAM})))"
+            )
+        ).alias("g"),
+    ).distinct()
+    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    joined = grams.join(first_seen, "g")
+    novel = F.count(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1)
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        novel.alias("n_novel"),
+        F.round(novel.cast("double") / F.count(F.lit(1)), 4).alias(
+            "novelty"
+        ),
+    )
+
+
+@register(
+    "q_llm_readability",
+    oracle="""
+WITH m AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS n_words,
+         len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+                         x -> trim(x) <> '')) AS n_sents,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syll
+  FROM documents
+)
+SELECT doc_id, n_words, n_sents, n_syll,
+       ROUND(206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+             - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 4) AS flesch
+FROM m WHERE n_words >= 1 AND n_sents >= 1
+""",
+    doc="Flesch reading-ease score per document (the readability "
+    "gate educational-quality filters apply): 206.835 - 1.015 x "
+    "words/sentences - 84.6 x syllables/words, with syllables "
+    "approximated by vowel-group runs — the standard "
+    "dictionary-free estimator. Degenerate docs (no words or no "
+    "sentence boundary) are withheld.",
+    scale_notes="Zero-shuffle codegen'd projection: both splits and "
+    "the vowel-run extraction evaluate per-row; no vocabulary "
+    "state, no explode. Scan-bound at any scale.",
+)
+def q_llm_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    n_words = F.size(F.expr("filter(split(text, ' '), x -> x != '')"))
+    n_sents = F.size(
+        F.expr("filter(split(text, '[.!?]+'), x -> trim(x) != '')")
+    )
+    n_syll = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), F.lit(0))
+    )
+    return (
+        docs.select(
+            "doc_id",
+            n_words.alias("n_words"),
+            n_sents.alias("n_sents"),
+            n_syll.alias("n_syll"),
+        )
+        .filter((F.col("n_words") >= 1) & (F.col("n_sents") >= 1))
+        .withColumn(
+            "flesch",
+            F.round(
+                F.lit(206.835)
+                - 1.015 * (F.col("n_words").cast("double") / F.col("n_sents"))
+                - 84.6 * (F.col("n_syll").cast("double") / F.col("n_words")),
+                4,
+            ),
+        )
+    )

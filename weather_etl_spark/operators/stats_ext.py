@@ -158,3 +158,128 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("tw"), 4).alias("total_weight"),
         )
     )
+
+
+@register(
+    "q_agg_entropy",
+    oracle="""
+WITH cnt AS (
+  SELECT user_id, event_type, COUNT(*) AS c
+  FROM events GROUP BY user_id, event_type
+), tot AS (
+  SELECT user_id, event_type, c,
+         SUM(c) OVER (PARTITION BY user_id) AS t
+  FROM cnt
+)
+SELECT user_id,
+       CAST(MAX(t) AS BIGINT) AS n_events,
+       COUNT(*) AS n_types,
+       ROUND(-SUM((CAST(c AS DOUBLE) / t) * ln(CAST(c AS DOUBLE) / t)), 4)
+         + 0.0 AS entropy_nats
+FROM tot GROUP BY user_id
+""",
+    doc="Shannon entropy of each user's event-type distribution "
+    "(behavioral diversity score): H = -sum p ln p over the user's "
+    "observed type frequencies, in nats. A single-type user scores "
+    "0 (the +0.0 canonicalizes the IEEE -0.0 that -1*ln(1) "
+    "produces); uniform use of all 5 types scores ln 5 ~ 1.609.",
+    scale_notes="Two-phase: the (user, type) count partial-aggregates "
+    "map-side, then one user_id exchange serves both the total window "
+    "and the entropy re-aggregate. Shuffle rows = users x observed "
+    "types (<=5 per user), never events.",
+)
+def q_agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    cnt = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("user_id")
+    tot = cnt.withColumn("t", F.sum("c").over(w))
+    p = F.col("c").cast("double") / F.col("t")
+    return tot.groupBy("user_id").agg(
+        F.max("t").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        (F.round(-F.sum(p * F.log(p)), 4) + F.lit(0.0)).alias(
+            "entropy_nats"
+        ),
+    )
+
+
+@register(
+    "q_event_rfm",
+    oracle="""
+WITH anchor AS (
+  SELECT MAX(ts) AS t_max FROM events
+), per_user AS (
+  SELECT user_id,
+         date_diff('day', CAST(MAX(ts) AS DATE),
+                   CAST((SELECT t_max FROM anchor) AS DATE)) AS recency_days,
+         COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS frequency,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                            THEN ROUND(value * 100) END), 0) AS BIGINT)
+           AS monetary_cents
+  FROM events GROUP BY user_id
+)
+SELECT user_id, recency_days, frequency, monetary_cents,
+       ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS r_score,
+       ntile(5) OVER (ORDER BY frequency, user_id) AS f_score,
+       ntile(5) OVER (ORDER BY monetary_cents, user_id) AS m_score
+FROM per_user
+""",
+    doc="RFM customer scoring: per user the days since their last "
+    "event (vs the corpus max timestamp), purchase count, and "
+    "purchase revenue in cents, each quintile-ranked 1-5 (higher = "
+    "better: most recent / most frequent / highest spend land in "
+    "quintile 5) with a user_id tie-break so the banding is "
+    "deterministic.",
+    scale_notes="One user_id reduce over events (map-side combined), "
+    "then ntile windows over the USER ledger — customer-dim scale, "
+    "not event scale. At 1e9 users replace exact ntile with the "
+    "q_llm_token_budget bin-ledger decomposition (quantile "
+    "thresholds from a bounded histogram, then a zero-shuffle "
+    "classify); the exact form here is the oracle for that rewrite. "
+    "The 1-row anchor joins via the q_filter_ts_cursor pattern.",
+)
+def q_event_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("t_max"))
+    per_user = ev.groupBy("user_id").agg(
+        F.max("ts").alias("t_last"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+            "frequency"
+        ),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("monetary_cents"),
+    )
+    joined = per_user.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.datediff(F.to_date("t_max"), F.to_date("t_last")).alias(
+            "recency_days"
+        ),
+        "frequency",
+        "monetary_cents",
+    )
+    return joined.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("recency_days"), F.asc("user_id")))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("frequency"), F.asc("user_id")))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("monetary_cents"), F.asc("user_id")))
+        .alias("m_score"),
+    )

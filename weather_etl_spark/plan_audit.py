@@ -41,6 +41,8 @@ ALLOW_BNL: dict[str, str] = {
     "llm_embed_dedup_blocked (SCALE.md §10)",
     "q_sample_weighted": "1-row MAX(w_cents) aggregate — the "
     "q_filter_ts_cursor pattern (analytics.py)",
+    "q_event_rfm": "1-row MAX(ts) recency anchor — the "
+    "q_filter_ts_cursor pattern (stats_ext.py)",
     "q_agg_cms_portable": "constant 4-row depth axis, 1-row state "
     "checksum, 5-row probe set — all bounded by sketch geometry "
     "(aggregates.py)",

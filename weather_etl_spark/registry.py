@@ -297,7 +297,8 @@ DRIVER_DEFERRED: frozenset[str] = frozenset({
     "q_llm_strip_markup", "q_llm_encoding_check", "q_llm_sentences",
     "q_llm_token_budget", "q_layout_zorder", "q_layout_compaction",
     "q_event_attribution", "q_llm_domain_cap", "q_agg_corr_matrix",
-    "q_agg_weighted_median",
+    "q_agg_weighted_median", "q_agg_entropy", "q_event_rfm",
+    "q_llm_gram_novelty", "q_llm_readability",
 })
 
 
