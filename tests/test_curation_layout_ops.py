@@ -281,3 +281,48 @@ def test_readability_matches_python_formula(spark, sf_dir):
             - 84.6 * (len(sylls) / len(words))
         )
         assert math.isclose(r.flesch, want, abs_tol=5e-4)
+
+
+def test_token_budget_bin_trick_random_differential(spark, tmp_path):
+    """The bin-ledger decomposition must equal pure greedy take-while
+    on ADVERSARIAL data: random token counts, ratio collisions, and
+    docs far larger than the budget remainder. Random but seeded
+    corpora are written to parquet and run through the real operator."""
+    import random
+
+    import pandas as pd
+
+    from weather_etl_spark.operators.llm_prep import _BUDGET_TOKENS
+
+    rng = random.Random(42)
+    for trial in range(3):
+        words = [f"w{i}" for i in range(40)]
+        rows = []
+        for doc_id in range(400):
+            n = rng.randint(1, 120)
+            # force ratio collisions: half the docs reuse few words
+            pool = words[:4] if rng.random() < 0.5 else words
+            text = " ".join(rng.choice(pool) for _ in range(n))
+            rows.append((doc_id, text, "en", "s", len(text)))
+        pdf = pd.DataFrame(
+            rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+        )
+        d = tmp_path / f"budget{trial}"
+        d.mkdir()
+        pdf.to_parquet(d / "documents.parquet")
+        got = {
+            r.doc_id
+            for r in SPECS["q_llm_token_budget"].fn(spark, str(d)).collect()
+        }
+        stats = []
+        for doc_id, text, *_ in rows:
+            toks = text.split(" ")
+            stats.append((doc_id, len(toks), len(set(toks)) / len(toks)))
+        order = sorted(stats, key=lambda t: (-t[2], t[0]))
+        want, cum = set(), 0
+        for doc_id, n_tok, _ in order:
+            if cum + n_tok > _BUDGET_TOKENS:
+                break
+            cum += n_tok
+            want.add(doc_id)
+        assert got == want, f"trial {trial}: bin trick != greedy prefix"
