@@ -326,3 +326,35 @@ def test_token_budget_bin_trick_random_differential(spark, tmp_path):
             cum += n_tok
             want.add(doc_id)
         assert got == want, f"trial {trial}: bin trick != greedy prefix"
+
+
+def test_spatial_grid_matches_python_all_pairs(spark, sf_dir):
+    from weather_etl_spark.operators.layout import _SPATIAL_EPS
+
+    rows = SPECS["q_join_spatial_grid"].fn(spark, sf_dir).collect()
+    pts = duckdb.sql(
+        f"SELECT vec_id, CAST(embedding[1] AS DOUBLE), "
+        f"CAST(embedding[2] AS DOUBLE) "
+        f"FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchall()
+    want = {}
+    for i, (ida, xa, ya) in enumerate(pts):
+        for idb, xb, yb in pts[i + 1 :]:
+            d2 = (xa - xb) ** 2 + (ya - yb) ** 2
+            if d2 <= _SPATIAL_EPS * _SPATIAL_EPS:
+                a, b = min(ida, idb), max(ida, idb)
+                want[(a, b)] = math.sqrt(d2)
+    got = {(r.id_a, r.id_b): r.dist for r in rows}
+    assert set(got) == set(want), (
+        f"grid join missed {len(set(want) - set(got))} pairs, "
+        f"invented {len(set(got) - set(want))}"
+    )
+    for k, d in got.items():
+        assert r_close(d, want[k])
+        assert k[0] < k[1]
+    assert len(got) == len(rows), "pair emitted more than once"
+    assert got, "eps produced no pairs — fixture no longer exercises this"
+
+
+def r_close(a, b):
+    return math.isclose(a, round(b, 4), abs_tol=1e-3)

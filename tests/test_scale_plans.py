@@ -647,3 +647,16 @@ def test_rfm_anchor_is_broadcast_single_row(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
         "the 1-row ts anchor must broadcast (q_filter_ts_cursor pattern)"
     )
+
+
+def test_spatial_grid_is_equi_join_with_bounded_replication(spark, sf_dir):
+    """The eps-join must plan as a hash-partitionable equi join on the
+    cell key — a BNL or CartesianProduct means the distance predicate
+    leaked into the join condition. The 9x neighbor replication is a
+    map-side Generate (explode), not a join."""
+    plan = _executed_plan(SPECS["q_join_spatial_grid"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate explode" in plan or "Generate" in plan, (
+        "neighbor-cell replication must be a map-side explode"
+    )

@@ -169,3 +169,87 @@ def q_layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bytes").over(w_bin).alias("bin_bytes"),
         F.count(F.lit(1)).over(w_bin).alias("bin_files"),
     )
+
+
+#: Epsilon for the spatial distance join over the first two embedding
+#: dimensions (coordinates span ~[-0.4, 0.4]).
+_SPATIAL_EPS = 0.02
+
+
+@register(
+    "q_join_spatial_grid",
+    oracle=f"""
+WITH pts AS (
+  SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+         CAST(embedding[2] AS DOUBLE) AS y
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(sqrt((a.x - b.x) * (a.x - b.x)
+                  + (a.y - b.y) * (a.y - b.y)), 4) AS dist
+FROM pts a JOIN pts b ON a.vec_id < b.vec_id
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+      <= {_SPATIAL_EPS} * {_SPATIAL_EPS}
+""",
+    doc="Spatial epsilon-distance join over the first two embedding "
+    f"dimensions: all point pairs within eps={_SPATIAL_EPS} "
+    "(Euclidean), each pair once (id_a < id_b). The Spark side is "
+    "grid-bucketed — each point lands in its eps-sized cell, one "
+    "side replicates into the 3x3 neighbor cells, and the join is a "
+    "pure EQUI-join on the cell key with the exact distance as a "
+    "post-filter — provably identical output to the naive all-pairs "
+    "oracle because any pair within eps differs by at most one cell "
+    "per axis.",
+    scale_notes="The quadratic all-pairs comparison exists only in "
+    "the DuckDB oracle. Spark compares ~9 x cell-occupancy "
+    "candidates per point via one hash shuffle on (cx, cy); the 9x "
+    "replication is map-side and constant. Skewed cells (dense "
+    "regions) salt exactly like any hot hash key; eps controls the "
+    "cell granularity. This is the standard distributed spatial-join "
+    "recipe (grid partitioning), no BNL, no cross join — "
+    "plan-asserted.",
+)
+def q_join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+    ).withColumns(
+        {
+            "cx": F.floor(F.col("x") / _SPATIAL_EPS).cast("long"),
+            "cy": F.floor(F.col("y") / _SPATIAL_EPS).cast("long"),
+        }
+    )
+    offsets = F.explode(
+        F.expr(
+            "transform(sequence(0, 8), "
+            "i -> struct(i div 3 - 1 as dx, i % 3 - 1 as dy))"
+        )
+    )
+    a = (
+        pts.withColumn("o", offsets)
+        .select(
+            F.col("vec_id").alias("id_a"),
+            F.col("x").alias("xa"),
+            F.col("y").alias("ya"),
+            (F.col("cx") + F.col("o.dx")).alias("jcx"),
+            (F.col("cy") + F.col("o.dy")).alias("jcy"),
+        )
+    )
+    b = pts.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("cx").alias("jcx"),
+        F.col("cy").alias("jcy"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        a.join(b, ["jcx", "jcy"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(d2 <= _SPATIAL_EPS * _SPATIAL_EPS)
+        .select("id_a", "id_b", F.round(F.sqrt(d2), 4).alias("dist"))
+    )
