@@ -358,3 +358,53 @@ def test_spatial_grid_matches_python_all_pairs(spark, sf_dir):
 
 def r_close(a, b):
     return math.isclose(a, round(b, 4), abs_tol=1e-3)
+
+
+def test_winsorize_bounds_and_means(spark, sf_dir):
+    rows = SPECS["q_agg_winsorize"].fn(spark, sf_dir).collect()
+    for r in rows:
+        data = [
+            v
+            for (v,) in duckdb.sql(
+                f"SELECT l_extendedprice FROM '{sf_dir}/lineitem.parquet' "
+                f"WHERE l_returnflag = '{r.l_returnflag}'"
+            ).fetchall()
+        ]
+        data.sort()
+        n = len(data)
+        assert r.n == n
+
+        def q(p):
+            idx = p * (n - 1)
+            lo, hi = int(math.floor(idx)), int(math.ceil(idx))
+            return data[lo] + (data[hi] - data[lo]) * (idx - lo)
+
+        p05, p95 = q(0.05), q(0.95)
+        assert r.n_clipped_low == sum(1 for v in data if v < p05)
+        assert r.n_clipped_high == sum(1 for v in data if v > p95)
+        mean_raw = sum(data) / n
+        mean_w = sum(min(max(v, p05), p95) for v in data) / n
+        assert math.isclose(r.mean_raw, mean_raw, abs_tol=1e-2)
+        assert math.isclose(r.mean_winsorized, mean_w, abs_tol=1e-2)
+        # winsorizing must pull the mean toward the median, never past
+        # the clip bounds
+        assert p05 <= r.mean_winsorized <= p95
+
+
+def test_feature_hash_conserves_tokens_and_bounds_features(spark, sf_dir):
+    from weather_etl_spark.operators.stats_ext import _FEAT_BUCKETS
+
+    rows = SPECS["q_llm_feature_hash"].fn(spark, sf_dir).collect()
+    by_doc: dict[int, int] = {}
+    for r in rows:
+        assert 0 <= r.feature < _FEAT_BUCKETS
+        assert r.weight >= 1
+        by_doc[r.doc_id] = by_doc.get(r.doc_id, 0) + r.weight
+    # total weight per doc == its token count (mass conservation)
+    truth = dict(
+        duckdb.sql(
+            f"SELECT doc_id, len(list_filter(string_split(text, ' '), "
+            f"x -> x <> '')) FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    )
+    assert by_doc == {d: n for d, n in truth.items() if n > 0}

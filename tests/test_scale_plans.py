@@ -660,3 +660,22 @@ def test_spatial_grid_is_equi_join_with_bounded_replication(spark, sf_dir):
     assert "Generate explode" in plan or "Generate" in plan, (
         "neighbor-cell replication must be a map-side explode"
     )
+
+
+def test_winsorize_bounds_ledger_broadcasts_unhinted(spark, sf_dir):
+    """The 3-row percentile ledger must come back as a broadcast join
+    chosen by the size estimator (no F.broadcast hint in the code —
+    the q_llm_perplexity lesson), so a giant ledger would degrade to
+    a shuffle join instead of OOMing the driver."""
+    plan = _executed_plan(SPECS["q_agg_winsorize"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_" in plan, "clip aggregate must map-side combine"
+
+
+def test_feature_hash_shuffle_bounded_by_buckets(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_llm_feature_hash"].fn(spark, sf_dir))
+    assert "partial_count" in plan, (
+        "per-(doc, feature) counts must map-side combine so the "
+        "shuffle is bounded by docs x buckets, not tokens"
+    )
+    assert "EvalPython" not in plan

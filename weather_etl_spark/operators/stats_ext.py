@@ -283,3 +283,120 @@ def q_event_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.asc("monetary_cents"), F.asc("user_id")))
         .alias("m_score"),
     )
+
+
+@register(
+    "q_agg_winsorize",
+    oracle="""
+WITH bounds AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.05) AS p05,
+         quantile_cont(l_extendedprice, 0.95) AS p95
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       COUNT(*) AS n,
+       CAST(COUNT(CASE WHEN l_extendedprice < p05 THEN 1 END) AS BIGINT)
+         AS n_clipped_low,
+       CAST(COUNT(CASE WHEN l_extendedprice > p95 THEN 1 END) AS BIGINT)
+         AS n_clipped_high,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 4) AS mean_raw,
+       ROUND(CAST(SUM(CAST(LEAST(GREATEST(l_extendedprice, p05), p95)
+                           AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 4) AS mean_winsorized
+FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag
+GROUP BY l.l_returnflag
+""",
+    doc="Winsorized (clipped) robust statistics: per return flag the "
+    "5th/95th interpolated percentiles of the extended price bound "
+    "every value, and the raw vs winsorized means are compared along "
+    "with how many rows each tail clipped — the outlier-robust "
+    "preprocessing step for price-sensitive models. DECIMAL(18,6) "
+    "sums keep both means association-order-exact.",
+    scale_notes="Pass 1 computes the bounded per-group percentile "
+    "ledger (3 rows); pass 2 re-scans with the ledger joined back — "
+    "AQE broadcasts it unhinted, so the clip is a map-side "
+    "expression and the final aggregate map-side combines. At "
+    "100 TB swap the exact percentile for percentile_approx and the "
+    "shape is unchanged.",
+)
+def q_agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.05)").alias("p05"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+    )
+    clipped = F.least(
+        F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95")
+    )
+    return (
+        li.join(bounds, "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("l_extendedprice") < F.col("p05"), 1))
+            .cast("bigint")
+            .alias("n_clipped_low"),
+            F.count(F.when(F.col("l_extendedprice") > F.col("p95"), 1))
+            .cast("bigint")
+            .alias("n_clipped_high"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mean_raw"),
+            F.round(
+                F.sum(clipped.cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mean_winsorized"),
+        )
+    )
+
+
+#: Hashed feature space size for the hashing-trick vectorizer.
+_FEAT_BUCKETS = 64
+
+
+@register(
+    "q_llm_feature_hash",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+)
+SELECT doc_id,
+       CAST(('0x' || substr(md5(token), 1, 4)) AS INT) % {_FEAT_BUCKETS}
+         AS feature,
+       COUNT(*) AS weight
+FROM tok WHERE token <> ''
+GROUP BY doc_id, feature
+""",
+    doc="Hashing-trick feature vectorization (the vocabulary-free "
+    "text featurizer): every token maps to one of "
+    f"{_FEAT_BUCKETS} feature slots by an md5-derived bucket — "
+    "identical across engines, unlike murmur-based hashingTF — and "
+    "each document emits its sparse (feature, count) vector rows. "
+    "No vocabulary table, no fitting pass: the property that makes "
+    "feature hashing THE vectorizer for unbounded streams.",
+    scale_notes="One map-side-combined shuffle on (doc_id, feature) "
+    "— at most {_FEAT_BUCKETS} rows survive per document regardless "
+    "of document length, so shuffle volume is bounded by docs x "
+    "buckets, never tokens. Zero global state is the point: "
+    "scaling the corpus touches nothing.",
+)
+def q_llm_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    feature = (
+        F.conv(F.substring(F.md5("token"), 1, 4), 16, 10).cast("int")
+        % _FEAT_BUCKETS
+    )
+    return tok.groupBy("doc_id", feature.alias("feature")).agg(
+        F.count(F.lit(1)).alias("weight")
+    )

@@ -299,6 +299,7 @@ DRIVER_DEFERRED: frozenset[str] = frozenset({
     "q_event_attribution", "q_llm_domain_cap", "q_agg_corr_matrix",
     "q_agg_weighted_median", "q_agg_entropy", "q_event_rfm",
     "q_llm_gram_novelty", "q_llm_readability", "q_join_spatial_grid",
+    "q_agg_winsorize", "q_llm_feature_hash",
 })
 
 
