@@ -237,3 +237,114 @@ def test_rfm_scores_are_balanced_quintiles(spark, sf_dir):
         f"WHERE event_type = 'purchase'"
     ).fetchone()[0]
     assert sum(r.frequency for r in rows) == n_purchases
+
+
+def test_gini_matches_python_and_bounds(spark, sf_dir):
+    rows = SPECS["q_agg_gini"].fn(spark, sf_dir).collect()
+    for r in rows:
+        xs = sorted(
+            round(v * 100)
+            for (v,) in duckdb.sql(
+                f"SELECT o_totalprice FROM '{sf_dir}/orders.parquet' "
+                f"WHERE o_orderpriority = '{r.o_orderpriority}'"
+            ).fetchall()
+        )
+        n, tot = len(xs), sum(xs)
+        want = 2 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * tot) - (
+            n + 1
+        ) / n
+        assert math.isclose(r.gini, want, abs_tol=5e-4)
+        assert (r.n, r.total_cents) == (n, tot)
+        assert 0.0 <= r.gini < 1.0
+
+
+def test_ks_statistic_matches_python_ecdf(spark, sf_dir):
+    row = SPECS["q_agg_ks_test"].fn(spark, sf_dir).collect()[0]
+    va = [v for (v,) in duckdb.sql(
+        f"SELECT value FROM '{sf_dir}/events.parquet' "
+        f"WHERE event_type = 'view'").fetchall()]
+    vb = [v for (v,) in duckdb.sql(
+        f"SELECT value FROM '{sf_dir}/events.parquet' "
+        f"WHERE event_type = 'purchase'").fetchall()]
+    va.sort(); vb.sort()
+    import bisect
+
+    d = max(
+        abs(
+            bisect.bisect_right(va, x) / len(va)
+            - bisect.bisect_right(vb, x) / len(vb)
+        )
+        for x in va + vb
+    )
+    assert math.isclose(row.ks_d, d, abs_tol=5e-4)
+    assert (row.n_a, row.n_b) == (len(va), len(vb))
+    thresh = 1.358 * math.sqrt(
+        (len(va) + len(vb)) / (len(va) * len(vb))
+    )
+    assert row.reject_05 == (d > thresh)
+
+
+def test_ohlc_endpoints_are_temporal_extremes(spark, sf_dir):
+    rows = SPECS["q_time_resample_ohlc"].fn(spark, sf_dir).collect()
+    ev = _events_sorted(
+        sf_dir,
+        "event_type, CAST(date_trunc('hour', ts) AS DATE) AS day, "
+        "hour(ts) AS hr, value, ts, event_id",
+        "event_type, ts, event_id",
+    )
+    buckets: dict[tuple, list] = {}
+    for etype, day, hr, val, ts, eid in ev:
+        buckets.setdefault((etype, day, hr), []).append(val)
+    assert len(rows) == len(buckets)
+    for r in rows:
+        vals = buckets[(r.event_type, r.day, r.hr)]
+        assert math.isclose(r.open, round(vals[0], 4), abs_tol=1e-3)
+        assert math.isclose(r.close, round(vals[-1], 4), abs_tol=1e-3)
+        assert math.isclose(r.high, round(max(vals), 4), abs_tol=1e-3)
+        assert math.isclose(r.low, round(min(vals), 4), abs_tol=1e-3)
+        assert r.volume == len(vals)
+        assert r.low <= r.open <= r.high and r.low <= r.close <= r.high
+
+
+def test_cooccurrence_pmi_matches_python(spark, sf_dir):
+    rows = SPECS["q_event_cooccurrence"].fn(spark, sf_dir).collect()
+    pres = duckdb.sql(
+        f"SELECT DISTINCT user_id, event_type FROM "
+        f"'{sf_dir}/events.parquet'"
+    ).fetchall()
+    users: dict[int, set] = {}
+    for uid, t in pres:
+        users.setdefault(uid, set()).add(t)
+    n_users = len(users)
+    for r in rows:
+        n_a = sum(1 for s in users.values() if r.type_a in s)
+        n_b = sum(1 for s in users.values() if r.type_b in s)
+        n_both = sum(
+            1 for s in users.values() if r.type_a in s and r.type_b in s
+        )
+        assert (r.n_a, r.n_b, r.n_both) == (n_a, n_b, n_both)
+        assert r.type_a < r.type_b
+        want = math.log(n_both * n_users / (n_a * n_b))
+        assert math.isclose(r.pmi, want, abs_tol=5e-4)
+
+
+def test_autocorr_matches_python_lag_pairs(spark, sf_dir):
+    import statistics
+
+    rows = SPECS["q_agg_autocorr"].fn(spark, sf_dir).collect()
+    ev = _events_sorted(
+        sf_dir, "event_type, value", "event_type, ts, event_id"
+    )
+    series: dict[str, list[float]] = {}
+    for etype, val in ev:
+        series.setdefault(etype, []).append(val)
+    assert len(rows) == len(series)
+    for r in rows:
+        s = series[r.event_type]
+        pairs = list(zip(s[1:], s[:-1]))
+        assert r.n_pairs == len(pairs)
+        want = statistics.correlation(
+            [a for a, _ in pairs], [b for _, b in pairs]
+        )
+        assert math.isclose(r.autocorr_lag1, want, abs_tol=5e-4)
+        assert -1.0 <= r.autocorr_lag1 <= 1.0

@@ -679,3 +679,25 @@ def test_feature_hash_shuffle_bounded_by_buckets(spark, sf_dir):
         "shuffle is bounded by docs x buckets, not tokens"
     )
     assert "EvalPython" not in plan
+
+
+def test_ohlc_is_single_two_phase_aggregate(spark, sf_dir):
+    """min_by/max_by over the (ts, event_id) struct must compile as
+    one partial-aggregated exchange — no Window, no sort."""
+    plan = _executed_plan(SPECS["q_time_resample_ohlc"].fn(spark, sf_dir))
+    assert "Window" not in plan, "OHLC must not fall back to a window"
+    assert plan.count("Exchange") == 1
+    assert "partial_" in plan
+
+
+def test_autocorr_shares_the_type_shuffle(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_agg_autocorr"].fn(spark, sf_dir))
+    n = plan.count("Exchange hashpartitioning(event_type")
+    assert n == 1, f"lag window and corr agg must share 1 exchange, saw {n}"
+
+
+def test_cooccurrence_self_join_bounded_by_types(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_event_cooccurrence"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the 1-row user-count broadcast is the only BNL
+    assert plan.count("BroadcastNestedLoopJoin") <= 1

@@ -1,0 +1,343 @@
+"""Distributional diagnostics and resampling (SURVEY.md §2 B.12,
+round 6 third batch): concentration, drift, co-occurrence, temporal
+structure, and OHLC downsampling — the monitoring layer a production
+pipeline runs over the reference's landed observations
+(lambda_function.py:151-175) to notice when the data changes shape.
+
+- q_agg_gini: Gini concentration coefficient of order revenue per
+  priority class (the inequality metric, exact integer-cents form);
+- q_agg_ks_test: two-sample Kolmogorov-Smirnov statistic between the
+  view and purchase value distributions — the standard drift detector;
+- q_time_resample_ohlc: open/high/low/close + volume per
+  (event_type, hour) — candlestick downsampling with deterministic
+  struct-ordered endpoints;
+- q_event_cooccurrence: PMI of event-type pairs over per-user
+  presence sets (order-free complement of q_event_transitions);
+- q_agg_autocorr: lag-1 autocorrelation of the value series per
+  event type — the "is this a random walk" diagnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from weather_etl_spark.io import read_table
+from weather_etl_spark.registry import register
+
+
+@register(
+    "q_agg_gini",
+    oracle="""
+WITH cents AS (
+  SELECT o_orderpriority,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x,
+         o_orderkey
+  FROM orders
+), ranked AS (
+  SELECT o_orderpriority, x,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY x, o_orderkey) AS i
+  FROM cents
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(x) AS BIGINT) AS total_cents,
+       ROUND(2.0 * SUM(CAST(i AS HUGEINT) * x)
+               / (COUNT(*) * CAST(SUM(x) AS HUGEINT))
+             - (COUNT(*) + 1.0) / COUNT(*), 4) AS gini
+FROM ranked GROUP BY o_orderpriority
+""",
+    doc="Gini coefficient of revenue concentration per order "
+    "priority: G = 2 sum(i * x_i) / (n * sum x) - (n+1)/n over the "
+    "ascending-sorted integer-cent totals (rank ties broken by "
+    "orderkey — equal values contribute identically under any tie "
+    "order, so the statistic is deterministic). 0 = perfectly even "
+    "revenue, 1 = one order carries everything.",
+    scale_notes="One shuffle on the priority key, per-partition sort "
+    "for the rank, integer-exact accumulators (int128 for i*x). At "
+    "100 TB per-group sorts salt into value-range buckets with "
+    "rank offsets from the bounded bucket ledger — the "
+    "q_llm_token_budget decomposition, since rank is just a prefix "
+    "count.",
+)
+def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = read_table(spark, sf_dir, "orders")
+    cents = od.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("x"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("x", "o_orderkey")
+    ranked = cents.withColumn("i", F.row_number().over(w))
+    n = F.count(F.lit(1))
+    tot = F.sum("x")
+    return ranked.groupBy("o_orderpriority").agg(
+        n.alias("n"),
+        tot.cast("bigint").alias("total_cents"),
+        F.round(
+            2.0
+            * F.sum(F.col("i").cast("decimal(38,0)") * F.col("x")).cast(
+                "double"
+            )
+            / (n * tot.cast("double"))
+            - (n + F.lit(1.0)) / n,
+            4,
+        ).alias("gini"),
+    )
+
+
+#: KS rejection threshold coefficient for alpha = 0.05.
+_KS_C_ALPHA = 1.358
+
+
+@register(
+    "q_agg_ks_test",
+    oracle=f"""
+WITH tagged AS (
+  SELECT value, CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS a,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b
+  FROM events WHERE event_type IN ('view', 'purchase')
+), cum AS (
+  SELECT value,
+         SUM(a) OVER (ORDER BY value
+           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+         SUM(b) OVER (ORDER BY value
+           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+         SUM(a) OVER () AS na, SUM(b) OVER () AS nb
+  FROM tagged
+)
+SELECT CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+       ROUND(MAX(abs(CAST(ca AS DOUBLE) / na
+                     - CAST(cb AS DOUBLE) / nb)), 4) AS ks_d,
+       MAX(abs(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb))
+         > {_KS_C_ALPHA} * sqrt((MAX(na) + MAX(nb))
+                                / (CAST(MAX(na) AS DOUBLE) * MAX(nb)))
+         AS reject_05
+FROM cum
+""",
+    doc="Two-sample Kolmogorov-Smirnov drift test between the view "
+    "and purchase value distributions: D = max |F_view(x) - "
+    "F_purchase(x)| over the pooled values, ECDFs evaluated "
+    "peers-inclusively (RANGE frames) so ties are handled "
+    f"identically in both engines; reject_05 applies the classic "
+    f"{_KS_C_ALPHA} sqrt((m+n)/mn) large-sample threshold. THE "
+    "standard detector for 'did this feature's distribution move "
+    "between snapshots'.",
+    scale_notes="The ECDF prefix sums use one value-ordered window; "
+    "at 100 TB bin values into the bounded-ledger form (ECDF at bin "
+    "edges bounds D within one bin mass) exactly like "
+    "q_llm_token_budget — the exact form here is that rewrite's "
+    "oracle. Integer counts, one final 1-row reduce.",
+)
+def q_agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    tagged = ev.filter(
+        F.col("event_type").isin("view", "purchase")
+    ).select(
+        "value",
+        (F.col("event_type") == "view").cast("int").alias("a"),
+        (F.col("event_type") == "purchase").cast("int").alias("b"),
+    )
+    w_cum = Window.orderBy("value").rangeBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    cum = tagged.select(
+        F.sum("a").over(w_cum).alias("ca"),
+        F.sum("b").over(w_cum).alias("cb"),
+        F.sum("a").over(w_all).alias("na"),
+        F.sum("b").over(w_all).alias("nb"),
+    )
+    diff = F.abs(
+        F.col("ca").cast("double") / F.col("na")
+        - F.col("cb").cast("double") / F.col("nb")
+    )
+    return cum.agg(
+        F.max("na").cast("bigint").alias("n_a"),
+        F.max("nb").cast("bigint").alias("n_b"),
+        F.round(F.max(diff), 4).alias("ks_d"),
+        (
+            F.max(diff)
+            > _KS_C_ALPHA
+            * F.sqrt(
+                (F.max("na") + F.max("nb"))
+                / (F.max("na").cast("double") * F.max("nb"))
+            )
+        ).alias("reject_05"),
+    )
+
+
+@register(
+    "q_time_resample_ohlc",
+    oracle="""
+SELECT event_type,
+       CAST(date_trunc('hour', ts) AS DATE) AS day,
+       hour(ts) AS hr,
+       ROUND(arg_min(value, CAST(epoch_us(ts) AS HUGEINT)
+                            * 18446744073709551616 + event_id), 4) AS open,
+       ROUND(MAX(value), 4) AS high,
+       ROUND(MIN(value), 4) AS low,
+       ROUND(arg_max(value, CAST(epoch_us(ts) AS HUGEINT)
+                            * 18446744073709551616 + event_id), 4) AS close,
+       COUNT(*) AS volume
+FROM events
+GROUP BY event_type, CAST(date_trunc('hour', ts) AS DATE), hour(ts)
+""",
+    doc="OHLC (candlestick) resampling: per event type and hour "
+    "bucket the first observed value (open), extremes (high/low), "
+    "last value (close), and observation count (volume) — the "
+    "canonical time-series downsample for dashboards and feature "
+    "windows. Endpoints are argmin/argmax over (timestamp, event_id) "
+    "so bucket boundaries are deterministic; Spark orders by struct, "
+    "the oracle by the equivalent int128 encoding "
+    "(the q_agg_minmax_by pattern).",
+    scale_notes="Single two-phase aggregate: partials carry one "
+    "(open, high, low, close, count) tuple per bucket per mapper — "
+    "the same shuffle shape as MAX, no window, no sort. Bucket "
+    "count, not event count, bounds everything after the scan.",
+)
+def q_time_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    key = F.struct(
+        F.unix_micros("ts").alias("us"), F.col("event_id").alias("id")
+    )
+    return (
+        ev.groupBy(
+            "event_type",
+            F.to_date(F.date_trunc("hour", "ts")).alias("day"),
+            F.hour("ts").alias("hr"),
+        )
+        .agg(
+            F.round(F.min_by("value", key), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", key), 4).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+    )
+
+
+@register(
+    "q_event_cooccurrence",
+    oracle="""
+WITH pres AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), totals AS (
+  SELECT event_type, COUNT(*) AS n_t FROM pres GROUP BY event_type
+), universe AS (
+  SELECT COUNT(DISTINCT user_id) AS n_users FROM pres
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         COUNT(*) AS n_both
+  FROM pres a JOIN pres b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT type_a, type_b, n_both, ta.n_t AS n_a, tb.n_t AS n_b,
+       ROUND(ln(CAST(n_both AS DOUBLE) * n_users
+                / (CAST(ta.n_t AS HUGEINT) * tb.n_t)), 4) + 0.0 AS pmi
+FROM pairs
+JOIN totals ta ON ta.event_type = type_a
+JOIN totals tb ON tb.event_type = type_b
+CROSS JOIN universe
+""",
+    doc="Pointwise mutual information of event-type pairs over "
+    "per-user presence sets: PMI = ln(p(a,b) / (p(a) p(b))) with "
+    "probabilities over users — positive when two behaviors attract "
+    "(users who do one do the other), negative when they repel. The "
+    "order-free complement of q_event_transitions, and the core "
+    "statistic of co-occurrence embedding methods.",
+    scale_notes="The presence-set distinct is the only event-scale "
+    "shuffle; the self-join then touches <=|types| rows per user "
+    "(bounded fan-out, not a pair explosion) and the pair/total "
+    "ledgers are |types|-sized. The 1-row user count broadcasts via "
+    "the q_filter_ts_cursor pattern.",
+)
+def q_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    pres = ev.select("user_id", "event_type").distinct()
+    totals = pres.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    universe = pres.agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    a = pres.select("user_id", F.col("event_type").alias("type_a"))
+    b = pres.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ta = totals.select(
+        F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a")
+    )
+    tb = totals.select(
+        F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b")
+    )
+    return (
+        pairs.join(ta, "type_a")
+        .join(tb, "type_b")
+        .crossJoin(F.broadcast(universe))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (
+                F.round(
+                    F.log(
+                        F.col("n_both").cast("double")
+                        * F.col("n_users")
+                        / (
+                            F.col("n_a").cast("double")
+                            * F.col("n_b").cast("double")
+                        )
+                    ),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("pmi"),
+        )
+    )
+
+
+@register(
+    "q_agg_autocorr",
+    oracle="""
+WITH lagged AS (
+  SELECT event_type, value,
+         lag(value) OVER (PARTITION BY event_type
+                          ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT event_type,
+       COUNT(prev) AS n_pairs,
+       ROUND(corr(value, prev), 4) + 0.0 AS autocorr_lag1
+FROM lagged WHERE prev IS NOT NULL
+GROUP BY event_type
+""",
+    doc="Lag-1 autocorrelation of the value series per event type: "
+    "Pearson correlation between consecutive observations in time "
+    "order — near 0 for independent draws (this fixture), near 1 "
+    "for a random walk; the first diagnostic before fitting any "
+    "time-series model, and the memo for why q_time_anomaly may "
+    "assume exchangeable history.",
+    scale_notes="One event_type shuffle serves both the lag window "
+    "and the corr aggregate (corr is algebraic, map-side "
+    "combinable). Identical salting recipe to q_time_anomaly for "
+    "the low-cardinality key.",
+)
+def q_agg_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "event_type", "value", F.lag("value").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    return lagged.groupBy("event_type").agg(
+        F.count("prev").alias("n_pairs"),
+        (F.round(F.corr("value", "prev"), 4) + F.lit(0.0)).alias(
+            "autocorr_lag1"
+        ),
+    )

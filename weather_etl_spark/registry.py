@@ -300,6 +300,8 @@ DRIVER_DEFERRED: frozenset[str] = frozenset({
     "q_agg_weighted_median", "q_agg_entropy", "q_event_rfm",
     "q_llm_gram_novelty", "q_llm_readability", "q_join_spatial_grid",
     "q_agg_winsorize", "q_llm_feature_hash",
+    "q_agg_gini", "q_agg_ks_test", "q_time_resample_ohlc",
+    "q_event_cooccurrence", "q_agg_autocorr",
 })
 
 
