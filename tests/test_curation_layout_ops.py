@@ -408,3 +408,30 @@ def test_feature_hash_conserves_tokens_and_bounds_features(spark, sf_dir):
         ).fetchall()
     )
     assert by_doc == {d: n for d, n in truth.items() if n > 0}
+
+
+def test_prefix_dup_finds_exactly_the_salted_extensions(spark, sf_dir):
+    from weather_etl_spark.operators.llm_prep import _PREFIX_EXT_MOD
+
+    rows = SPECS["q_llm_prefix_dup"].fn(spark, sf_dir).collect()
+    texts = dict(_docs(sf_dir))
+    # python ground truth over the same salted corpus
+    corpus = dict(texts)
+    for doc_id, text in texts.items():
+        if doc_id % _PREFIX_EXT_MOD == 0:
+            corpus[doc_id + 1000000] = text + " extended suffix content"
+    want = set()
+    items = sorted(corpus.items())
+    for ida, ta in items:
+        for idb, tb in items:
+            if ida != idb and len(ta) < len(tb) and tb.startswith(ta):
+                want.add((ida, idb))
+    got = {(r.short_id, r.long_id) for r in rows}
+    assert got == want
+    assert len(rows) == len(got), "pair emitted more than once"
+    # every salted twin is found
+    for doc_id in texts:
+        if doc_id % _PREFIX_EXT_MOD == 0:
+            assert (doc_id, doc_id + 1000000) in got
+    for r in rows:
+        assert r.short_len < r.long_len

@@ -348,3 +348,75 @@ def test_autocorr_matches_python_lag_pairs(spark, sf_dir):
         )
         assert math.isclose(r.autocorr_lag1, want, abs_tol=5e-4)
         assert -1.0 <= r.autocorr_lag1 <= 1.0
+
+
+def test_pareto_is_minimal_covering_prefix(spark, sf_dir):
+    rows = sorted(
+        SPECS["q_agg_pareto"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.rk,
+    )
+    rev = duckdb.sql(
+        f"SELECT o_custkey, CAST(SUM(ROUND(o_totalprice * 100)) AS BIGINT) "
+        f"FROM '{sf_dir}/orders.parquet' GROUP BY o_custkey"
+    ).fetchall()
+    order = sorted(rev, key=lambda t: (-t[1], t[0]))
+    total = sum(c for _, c in order)
+    want, cum = [], 0
+    for k, c in order:
+        if 5 * cum >= 4 * total:
+            break
+        cum += c
+        want.append(k)
+    assert [r.o_custkey for r in rows] == want
+    sel = sum(r.cents for r in rows)
+    # covers >= 80%, and dropping the last selected row would not
+    assert 5 * sel >= 4 * total
+    assert 5 * (sel - rows[-1].cents) < 4 * total
+    assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_bursts_match_python_bucket_walk(spark, sf_dir):
+    out = {
+        (r.event_type, r.bucket_id): (r.n_events, r.burst_ratio, r.is_burst)
+        for r in SPECS["q_event_bursts"].fn(spark, sf_dir).collect()
+    }
+    buckets = duckdb.sql(
+        f"SELECT event_type, "
+        f"CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS BIGINT), "
+        f"COUNT(*) FROM '{sf_dir}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    hist: dict[str, list[int]] = {}
+    n_checked = 0
+    for etype, bid, c in buckets:
+        h = hist.setdefault(etype, [])
+        frame = h[-24:]
+        h.append(c)
+        if len(frame) < 6:
+            assert (etype, bid) not in out
+            continue
+        baseline = sum(frame) / len(frame)
+        got = out[(etype, bid)]
+        assert got[0] == c
+        assert math.isclose(got[1], c / baseline, abs_tol=5e-4)
+        assert got[2] == (c > 3.0 * baseline)
+        n_checked += 1
+    assert n_checked == len(out) and n_checked > 0
+
+
+def test_benford_chi2_terms_and_totals(spark, sf_dir):
+    rows = SPECS["q_agg_benford"].fn(spark, sf_dir).collect()
+    digits = [
+        int(str(int(v))[0])
+        for (v,) in duckdb.sql(
+            f"SELECT FLOOR(o_totalprice) FROM '{sf_dir}/orders.parquet' "
+            f"WHERE o_totalprice >= 1"
+        ).fetchall()
+    ]
+    n = len(digits)
+    assert sum(r.n_obs for r in rows) == n
+    for r in rows:
+        obs = sum(1 for d in digits if d == r.digit)
+        exp = math.log10(1 + 1 / r.digit) * n
+        assert r.n_obs == obs
+        assert math.isclose(r.expected, exp, abs_tol=5e-3)
+        assert math.isclose(r.chi2_term, (obs - exp) ** 2 / exp, abs_tol=5e-3)

@@ -701,3 +701,30 @@ def test_cooccurrence_self_join_bounded_by_types(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # the 1-row user-count broadcast is the only BNL
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_pareto_ranks_the_customer_ledger_not_orders(spark, sf_dir):
+    """Revenue must reduce per customer BEFORE the ranking window —
+    the single-partition sort sees the dim-scale ledger only."""
+    plan = _executed_plan(SPECS["q_agg_pareto"].fn(spark, sf_dir))
+    assert "partial_sum" in plan
+    assert plan.index("partial_sum") > plan.index("Window"), (
+        "the window must consume the reduced ledger, not raw orders"
+    )
+
+
+def test_bursts_window_runs_on_bucket_ledger(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_event_bursts"].fn(spark, sf_dir))
+    assert "partial_count" in plan, (
+        "hourly counts must map-side combine before the window"
+    )
+    assert plan.index("partial_count") > plan.index("Window")
+
+
+def test_prefix_dup_is_block_key_hash_join(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_llm_prefix_dup"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        "prefix check must be a post-join filter on the block-key "
+        "equi-join, never part of the join condition"
+    )

@@ -341,3 +341,187 @@ def q_agg_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "autocorr_lag1"
         ),
     )
+
+
+@register(
+    "q_agg_pareto",
+    oracle="""
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT o_custkey, cents,
+         SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(cents) OVER () AS total,
+         row_number() OVER (ORDER BY cents DESC, o_custkey) AS rk
+  FROM rev
+)
+SELECT o_custkey, cents, CAST(cum AS BIGINT) AS cum_cents, rk
+FROM ranked WHERE 5 * (cum - cents) < 4 * total
+""",
+    doc="Pareto (80/20) coverage set: the minimal prefix of customers "
+    "— ranked by revenue, custkey tie-break — whose cumulative "
+    "revenue reaches 80% of the total; the crossing customer is "
+    "included (selection rule 5*(cum - own) < 4*total is "
+    "integer-exact in cents, so no float boundary can flip a row). "
+    "The ABC-analysis primitive behind every concentration report.",
+    scale_notes="Events reduce to the customer-dim revenue ledger "
+    "first (map-side combined), so the ranking window runs at "
+    "dim scale. At 1e9 customers the identical bin-ledger rewrite "
+    "as q_llm_token_budget applies: revenue bins are monotone in "
+    "rank, per-bin prefix sums run partition-parallel.",
+)
+def q_agg_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = read_table(spark, sf_dir, "orders")
+    rev = od.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
+    w_cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    ranked = rev.select(
+        "o_custkey",
+        "cents",
+        F.sum("cents").over(w_cum).alias("cum"),
+        F.sum("cents").over(Window.partitionBy()).alias("total"),
+        F.row_number().over(w).alias("rk"),
+    )
+    return ranked.filter(
+        5 * (F.col("cum") - F.col("cents")) < 4 * F.col("total")
+    ).select(
+        "o_custkey", "cents", F.col("cum").cast("bigint").alias("cum_cents"),
+        "rk",
+    )
+
+
+_BURST_FACTOR = 3.0
+_BURST_MIN_HIST = 6
+
+
+@register(
+    "q_event_bursts",
+    oracle=f"""
+WITH buckets AS (
+  SELECT event_type,
+         CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS BIGINT)
+           AS bucket_id,
+         COUNT(*) AS c
+  FROM events GROUP BY event_type, bucket_id
+), scored AS (
+  SELECT event_type, bucket_id, c,
+         avg(c) OVER w AS baseline,
+         count(c) OVER w AS n_hist
+  FROM buckets
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_id
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, bucket_id, CAST(c AS BIGINT) AS n_events,
+       ROUND(baseline, 4) AS baseline,
+       ROUND(c / baseline, 4) AS burst_ratio,
+       c > {_BURST_FACTOR} * baseline AS is_burst
+FROM scored WHERE n_hist >= {_BURST_MIN_HIST}
+""",
+    doc="Burst detection on event RATES (the volume complement of "
+    "q_time_anomaly's value z-scores): hourly event counts per type "
+    "are compared against the mean of the trailing 24 observed "
+    "hourly buckets; a bucket running at more than "
+    f"{_BURST_FACTOR}x its baseline is flagged. Bucket identity is "
+    "the integer epoch-hour, so the output is dtype-portable and "
+    "gap-robust (the frame is the previous 24 OBSERVED buckets).",
+    scale_notes="Events compress to (type, hour) counts map-side "
+    "before any shuffle — the window then runs over the bounded "
+    "bucket ledger (8,760 rows per type per year), never raw "
+    "events. Monitoring at 100 TB is exactly this: aggregate first, "
+    "window the ledger.",
+)
+def q_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    buckets = ev.groupBy(
+        "event_type",
+        (F.unix_micros(F.date_trunc("hour", "ts")) / 3600000000)
+        .cast("bigint")
+        .alias("bucket_id"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_id")
+        .rowsBetween(-24, -1)
+    )
+    scored = buckets.select(
+        "event_type",
+        "bucket_id",
+        "c",
+        F.avg("c").over(w).alias("baseline"),
+        F.count("c").over(w).alias("n_hist"),
+    )
+    return scored.filter(F.col("n_hist") >= _BURST_MIN_HIST).select(
+        "event_type",
+        "bucket_id",
+        F.col("c").cast("bigint").alias("n_events"),
+        F.round("baseline", 4).alias("baseline"),
+        F.round(F.col("c") / F.col("baseline"), 4).alias("burst_ratio"),
+        (F.col("c") > _BURST_FACTOR * F.col("baseline")).alias("is_burst"),
+    )
+
+
+@register(
+    "q_agg_benford",
+    oracle="""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+              1, 1) AS INT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+), counted AS (
+  SELECT digit, COUNT(*) AS n_obs FROM digits GROUP BY digit
+), tot AS (
+  SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM counted
+)
+SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+       ROUND(log10(1.0 + 1.0 / digit) * n, 4) AS expected,
+       ROUND((n_obs - log10(1.0 + 1.0 / digit) * n)
+             * (n_obs - log10(1.0 + 1.0 / digit) * n)
+             / (log10(1.0 + 1.0 / digit) * n), 4) AS chi2_term
+FROM counted CROSS JOIN tot
+""",
+    doc="Benford's-law first-digit audit of order totals (the "
+    "forensic data-quality check for fabricated or truncated "
+    "numeric columns): observed leading-digit counts against the "
+    "log10(1 + 1/d) expectation, with per-digit chi-square "
+    "contributions — large terms point at the digits where the "
+    "distribution deviates.",
+    scale_notes="The digit extraction is a zero-shuffle projection; "
+    "the aggregate is a 9-row ledger crossed with a 1-row total "
+    "(q_filter_ts_cursor broadcast pattern). Scan-bound.",
+)
+def q_agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = read_table(spark, sf_dir, "orders")
+    digit = (
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+    ).cast("int")
+    counted = (
+        od.filter(F.col("o_totalprice") >= 1)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    tot = counted.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    expected = F.log10(1.0 + 1.0 / F.col("digit")) * F.col("n")
+    return (
+        counted.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.col("n_obs").cast("bigint").alias("n_obs"),
+            F.round(expected, 4).alias("expected"),
+            F.round(
+                (F.col("n_obs") - expected)
+                * (F.col("n_obs") - expected)
+                / expected,
+                4,
+            ).alias("chi2_term"),
+        )
+    )

@@ -1104,3 +1104,77 @@ def q_llm_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: Blocking-prefix width for prefix-duplicate candidate generation.
+#: Complete because every fixture document has >= 48 chars, so any
+#: true (prefix, extension) pair shares its first 32 characters.
+_PREFIX_BLOCK = 32
+_PREFIX_EXT_MOD = 17
+
+
+@register(
+    "q_llm_prefix_dup",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         text || ' extended suffix content' AS text
+  FROM documents WHERE doc_id % {_PREFIX_EXT_MOD} = 0
+)
+SELECT a.doc_id AS short_id, b.doc_id AS long_id,
+       length(a.text) AS short_len, length(b.text) AS long_len
+FROM corpus a JOIN corpus b
+  ON substr(a.text, 1, {_PREFIX_BLOCK}) = substr(b.text, 1, {_PREFIX_BLOCK})
+ AND a.doc_id <> b.doc_id
+WHERE length(a.text) < length(b.text)
+  AND substr(b.text, 1, length(a.text)) = a.text
+""",
+    doc="Prefix-duplication detection (truncation dups: the crawl "
+    "artifact where one copy of a page is a cut-off prefix of "
+    "another): pairs where one document's ENTIRE text is a strict "
+    "prefix of another's. Candidates block on the first "
+    f"{_PREFIX_BLOCK}-char key — provably complete since every "
+    "document exceeds the block width, so a true pair always "
+    "collides — then the exact prefix check filters. The fixture "
+    f"is salted with '-extended' twins for every 0-mod-"
+    f"{_PREFIX_EXT_MOD} document so the detector has true positives "
+    "to find.",
+    scale_notes="No all-pairs comparison anywhere: one hash shuffle "
+    "on the 32-char block key, candidates bounded by per-block "
+    "occupancy (near-dup clusters), and the exact check is a "
+    "per-candidate substr. The asymmetric (containment) cousin of "
+    "q_llm_exact_dedup's symmetric hash equality.",
+)
+def q_llm_prefix_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    ext = docs.filter(F.col("doc_id") % _PREFIX_EXT_MOD == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extended suffix content")).alias(
+            "text"
+        ),
+    )
+    corpus = docs.select("doc_id", "text").unionAll(ext)
+    a = corpus.select(
+        F.col("doc_id").alias("short_id"),
+        F.col("text").alias("ta"),
+        F.substring("text", 1, _PREFIX_BLOCK).alias("blk"),
+    )
+    b = corpus.select(
+        F.col("doc_id").alias("long_id"),
+        F.col("text").alias("tb"),
+        F.substring("text", 1, _PREFIX_BLOCK).alias("blk"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("short_id") != F.col("long_id"))
+        .filter(F.length("ta") < F.length("tb"))
+        .filter(F.col("tb").startswith(F.col("ta")))
+        .select(
+            "short_id",
+            "long_id",
+            F.length("ta").alias("short_len"),
+            F.length("tb").alias("long_len"),
+        )
+    )

@@ -302,6 +302,8 @@ DRIVER_DEFERRED: frozenset[str] = frozenset({
     "q_agg_winsorize", "q_llm_feature_hash",
     "q_agg_gini", "q_agg_ks_test", "q_time_resample_ohlc",
     "q_event_cooccurrence", "q_agg_autocorr",
+    "q_agg_pareto", "q_event_bursts", "q_agg_benford",
+    "q_llm_prefix_dup",
 })
 
 
