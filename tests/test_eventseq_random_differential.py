@@ -1,0 +1,141 @@
+"""Random-stream differentials for the event-sequence batch: the
+operators run on ADVERSARIAL synthetic streams (timestamp collisions,
+purchase-before-click users, empty types, bursty buckets) that the
+fixture's clean generator never produces, and must match a pure-python
+evaluation of the same definition.
+
+Timestamp ties are generated ON PURPOSE: every op orders by
+(ts, event_id), so the python walk uses the same composite key — a
+divergence here means the tie-break contract is broken somewhere.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import random
+
+from weather_etl_spark.registry import load_all
+
+SPECS = load_all()
+
+
+def _random_events(spark, tmp_path, name, n=700, users=18, minutes=300):
+    """Dense random stream: heavy (user, ts) and (type, ts) collisions."""
+    rng = random.Random(hash(name) % (2**31))
+    types = ["view", "click", "purchase", "error", "signup"]
+    t0 = datetime.datetime(2024, 5, 1)
+    rows = [
+        (
+            eid,
+            t0 + datetime.timedelta(minutes=rng.randint(0, minutes)),
+            rng.randint(1, users),
+            rng.choice(types),
+            float(rng.randint(1, 500)) / 7.0,
+        )
+        for eid in range(n)
+    ]
+    d = tmp_path / name
+    d.mkdir()
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    ).write.parquet(str(d / "events.parquet"))
+    return str(d), rows
+
+
+def test_attribution_random_differential(spark, tmp_path):
+    sf, rows = _random_events(spark, tmp_path, "attr")
+    got = {
+        r.event_id: (r.first_click_id, r.last_click_id, r.attributed)
+        for r in SPECS["q_event_attribution"].fn(spark, sf).collect()
+    }
+    ordered = sorted(rows, key=lambda t: (t[2], t[1], t[0]))
+    first_click: dict[int, int] = {}
+    last_click: dict[int, int] = {}
+    n_purchases = 0
+    for eid, ts, uid, etype, val in ordered:
+        if etype == "purchase":
+            n_purchases += 1
+            want = (
+                first_click.get(uid),
+                last_click.get(uid),
+                uid in last_click,
+            )
+            assert got[eid] == want, f"purchase {eid}"
+        if etype == "click":
+            first_click.setdefault(uid, eid)
+            last_click[uid] = eid
+    assert n_purchases == len(got)
+
+
+def test_transitions_random_differential(spark, tmp_path):
+    sf, rows = _random_events(spark, tmp_path, "trans")
+    got = {
+        (r.prev_type, r.next_type): r.n
+        for r in SPECS["q_event_transitions"].fn(spark, sf).collect()
+    }
+    ordered = sorted(rows, key=lambda t: (t[2], t[1], t[0]))
+    want: dict[tuple, int] = {}
+    prev_by_user: dict[int, str] = {}
+    for eid, ts, uid, etype, val in ordered:
+        if uid in prev_by_user:
+            k = (prev_by_user[uid], etype)
+            want[k] = want.get(k, 0) + 1
+        prev_by_user[uid] = etype
+    assert got == want
+
+
+def test_ohlc_random_differential(spark, tmp_path):
+    sf, rows = _random_events(spark, tmp_path, "ohlc")
+    got = {
+        (r.event_type, r.day, r.hr): (r.open, r.high, r.low, r.close,
+                                      r.volume)
+        for r in SPECS["q_time_resample_ohlc"].fn(spark, sf).collect()
+    }
+    buckets: dict[tuple, list] = {}
+    for eid, ts, uid, etype, val in sorted(
+        rows, key=lambda t: (t[3], t[1], t[0])
+    ):
+        key = (etype, ts.date(), ts.hour)
+        buckets.setdefault(key, []).append(val)
+    assert set(got) == set(buckets)
+    for k, vals in buckets.items():
+        o, h, lo, c, vol = got[k]
+        assert math.isclose(o, round(vals[0], 4), abs_tol=1e-3)
+        assert math.isclose(c, round(vals[-1], 4), abs_tol=1e-3)
+        assert math.isclose(h, round(max(vals), 4), abs_tol=1e-3)
+        assert math.isclose(lo, round(min(vals), 4), abs_tol=1e-3)
+        assert vol == len(vals)
+
+
+def test_bursts_random_differential(spark, tmp_path):
+    # compress time so buckets are dense and bursts actually fire
+    sf, rows = _random_events(
+        spark, tmp_path, "burst", n=900, users=10, minutes=3000
+    )
+    got = {
+        (r.event_type, r.bucket_id): (r.n_events, r.is_burst)
+        for r in SPECS["q_event_bursts"].fn(spark, sf).collect()
+    }
+    buckets: dict[str, dict[int, int]] = {}
+    epoch = datetime.datetime(1970, 1, 1)
+    for eid, ts, uid, etype, val in rows:
+        bid = int((ts - epoch).total_seconds() // 3600)
+        buckets.setdefault(etype, {})
+        buckets[etype][bid] = buckets[etype].get(bid, 0) + 1
+    n_checked = 0
+    for etype, bd in buckets.items():
+        hist: list[int] = []
+        for bid in sorted(bd):
+            frame = hist[-24:]
+            c = bd[bid]
+            hist.append(c)
+            if len(frame) < 6:
+                assert (etype, bid) not in got
+                continue
+            baseline = sum(frame) / len(frame)
+            assert got[(etype, bid)] == (c, c > 3.0 * baseline)
+            n_checked += 1
+    assert n_checked == len(got)
