@@ -1,0 +1,195 @@
+"""Semantic tests for the round-6 third late batch (beyond oracle
+parity, which tests/test_oracle_parity.py already enforces for every
+registered row): invariants that pin the MEANING of each operator, so
+a refactor that stays hash-stable by accident still can't change
+semantics silently."""
+
+from __future__ import annotations
+
+import pytest
+
+from weather_etl_spark.registry import load_all
+
+from tests.conftest import SMOKE_SF_DIR
+
+SPECS = load_all()
+SF = "/root/testdata/sf0.01"
+
+_ASOF_TOL_US = 7_200_000_000
+
+
+def test_asof_tol_is_filtered_asof(spark):
+    """q_join_asof_tol == q_join_asof with matches beyond 2 h nulled:
+    same rows, and view_ts_us agrees wherever the plain as-of match is
+    within tolerance."""
+    plain = {
+        r["purchase_id"]: r["view_ts_us"]
+        for r in SPECS["q_join_asof"].fn(spark, SF).collect()
+    }
+    tol = {
+        r["purchase_id"]: r["view_ts_us"]
+        for r in SPECS["q_join_asof_tol"].fn(spark, SF).collect()
+    }
+    assert set(plain) == set(tol)
+    ts_us = {
+        r["purchase_id"]: r["ts_us"]
+        for r in SPECS["q_join_asof"].fn(spark, SF).collect()
+    }
+    for pid, v in plain.items():
+        want = v if v is not None and ts_us[pid] - v <= _ASOF_TOL_US else None
+        assert tol[pid] == want, pid
+
+
+def test_asof_tol_never_exceeds_tolerance(spark):
+    rows = SPECS["q_join_asof_tol"].fn(spark, SF).collect()
+    assert any(r["view_ts_us"] is not None for r in rows)
+    assert any(r["view_ts_us"] is None for r in rows), (
+        "fixture should exercise the tolerance null path"
+    )
+    for r in rows:
+        if r["view_ts_us"] is not None:
+            assert 0 <= r["ts_us"] - r["view_ts_us"] <= _ASOF_TOL_US
+
+
+def test_event_trigrams_support_bounds(spark):
+    rows = SPECS["q_event_trigrams"].fn(spark, SF).collect()
+    assert 0 < len(rows) <= 20
+    types = {"click", "signup", "error", "view", "purchase"}
+    for r in rows:
+        parts = r["trigram"].split(">")
+        assert len(parts) == 3 and set(parts) <= types
+        assert 1 <= r["support"] <= r["n_occ"]
+    # ranked by support desc, then n_occ desc
+    keys = [(-r["support"], -r["n_occ"], r["trigram"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_event_trigrams_matches_python(spark):
+    """Differential vs a pure-python recount at the smoke SF."""
+    import collections
+
+    ev = sorted(
+        SPECS["q_scan_count"]
+        .fn(spark, SMOKE_SF_DIR)  # just to reuse the session
+        .sparkSession.read.parquet(SMOKE_SF_DIR + "/events.parquet")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    per_user: dict[int, list[str]] = collections.defaultdict(list)
+    for r in ev:
+        per_user[r["user_id"]].append(r["event_type"])
+    occ = collections.Counter()
+    sup = collections.defaultdict(set)
+    for uid, seq in per_user.items():
+        for i in range(len(seq) - 2):
+            tg = ">".join(seq[i : i + 3])
+            occ[tg] += 1
+            sup[tg].add(uid)
+    want = sorted(
+        ((tg, n, len(sup[tg])) for tg, n in occ.items()),
+        key=lambda t: (-t[2], -t[1], t[0]),
+    )[:20]
+    got = [
+        (r["trigram"], r["n_occ"], r["support"])
+        for r in SPECS["q_event_trigrams"].fn(spark, SMOKE_SF_DIR).collect()
+    ]
+    assert got == want
+
+
+def test_win_peaks_plateaus_not_counted(spark):
+    """Strict comparisons: a constant series has zero peaks/valleys.
+    Verified per event_type against a pure-python scan at smoke SF."""
+    rows = SPECS["q_win_peaks"].fn(spark, SMOKE_SF_DIR).collect()
+    ev = sorted(
+        spark.read.parquet(SMOKE_SF_DIR + "/events.parquet")
+        .select("event_type", "ts", "event_id", "value")
+        .collect(),
+        key=lambda r: (r["event_type"], r["ts"], r["event_id"]),
+    )
+    import collections
+
+    series = collections.defaultdict(list)
+    for r in ev:
+        series[r["event_type"]].append(r["value"])
+    for r in rows:
+        vs = series[r["event_type"]]
+        peaks = [
+            vs[i]
+            for i in range(1, len(vs) - 1)
+            if vs[i] > vs[i - 1] and vs[i] > vs[i + 1]
+        ]
+        valleys = [
+            vs[i]
+            for i in range(1, len(vs) - 1)
+            if vs[i] < vs[i - 1] and vs[i] < vs[i + 1]
+        ]
+        assert r["n_peaks"] == len(peaks)
+        assert r["n_valleys"] == len(valleys)
+        assert r["max_peak"] == pytest.approx(round(max(peaks), 4))
+
+
+def test_tpch_q10_ranking_and_money(spark):
+    rows = SPECS["q_tpch_q10"].fn(spark, SF).collect()
+    assert len(rows) == 20
+    revs = [r["revenue"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    assert all(r["revenue"] > 0 for r in rows)
+    # revenue is an exact DECIMAL(·,8) emitted as double (cents x
+    # 6-decimal discount): x*1e8 integral up to double representation
+    for r in rows:
+        scaled = r["revenue"] * 1e8
+        assert abs(scaled - round(scaled)) < 0.1
+
+
+def test_sql_subqueries_semantics(spark):
+    rows = SPECS["q_sql_subqueries"].fn(spark, SF).collect()
+    assert rows, "thresholds must keep the result non-empty"
+    orders = spark.read.parquet(SF + "/orders.parquet").collect()
+    import collections
+
+    by_cust = collections.defaultdict(list)
+    for o in orders:
+        by_cust[o["o_custkey"]].append(o)
+    for r in rows:
+        os_ = by_cust[r["c_custkey"]]
+        assert r["n_orders"] == len(os_)
+        assert r["max_price"] == pytest.approx(
+            round(max(o["o_totalprice"] for o in os_), 4)
+        )
+        assert any(o["o_totalprice"] > 400000 for o in os_)
+        assert not any(o["o_orderstatus"] == "F" for o in os_)
+
+
+def test_ppl_bucket_is_ordered_tercile(spark):
+    """head mean <= middle mean <= tail mean per language; bucket
+    sizes differ by at most 1 (NTILE contract); doc accounting matches
+    the perplexity-eligible population."""
+    rows = SPECS["q_llm_ppl_bucket"].fn(spark, SF).collect()
+    langs = {}
+    for r in rows:
+        langs.setdefault(r["lang"], {})[r["bucket"]] = r
+    n_eligible = (
+        SPECS["q_llm_perplexity"]
+        .fn(spark, SF)
+        .join(
+            spark.read.parquet(SF + "/documents.parquet").select(
+                "doc_id", "lang"
+            ),
+            "doc_id",
+        )
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    want_n = {r["lang"]: r["count"] for r in n_eligible}
+    for lang, buckets in langs.items():
+        assert set(buckets) == {"head", "middle", "tail"}
+        assert (
+            buckets["head"]["mean_nll"]
+            <= buckets["middle"]["mean_nll"]
+            <= buckets["tail"]["mean_nll"]
+        )
+        sizes = sorted(b["n_docs"] for b in buckets.values())
+        assert sizes[-1] - sizes[0] <= 1
+        assert sum(sizes) == want_n[lang]

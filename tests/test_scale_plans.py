@@ -728,3 +728,61 @@ def test_prefix_dup_is_block_key_hash_join(spark, sf_dir):
         "prefix check must be a post-join filter on the block-key "
         "equi-join, never part of the join condition"
     )
+
+
+# -- round-6 third late batch --------------------------------------------
+
+
+def test_asof_tol_single_user_shuffle(spark, sf_dir):
+    """Tolerance must add zero physical cost over the plain as-of:
+    one hashpartitioning exchange on user_id, one Window, no join."""
+    plan = _executed_plan(SPECS["q_join_asof_tol"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "user_id" in plan[plan.index("Exchange") :][:200]
+    assert "Join" not in plan
+
+
+def test_event_trigrams_one_window_pass(spark, sf_dir):
+    """Both lead() frames evaluate in a single WindowExec over one
+    user_id shuffle; the trigram agg is map-combined (partial_count)."""
+    plan = _executed_plan(SPECS["q_event_trigrams"].fn(spark, sf_dir))
+    assert plan.count("Window") == 1
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan  # top-20, no global sort
+
+
+def test_win_peaks_shares_lag_lead_window(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_win_peaks"].fn(spark, sf_dir))
+    assert plan.count("Window") == 1, "lag+lead must share one WindowExec"
+    assert "partial_count" in plan  # map-side combine of the census
+
+
+def test_tpch_q10_prunes_and_take_ordered(spark, sf_dir):
+    df = SPECS["q_tpch_q10"].fn(spark, sf_dir)
+    scan = _optimized_scan_info(df)
+    assert "EqualTo(l_returnflag,R)" in scan, "returnflag not pushed"
+    assert "GreaterThanOrEqual(o_orderdate" in scan, "quarter not pushed"
+    plan = _executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan  # nation (and small dims) broadcast
+
+
+def test_sql_subqueries_decorrelate_to_joins(spark, sf_dir):
+    """Catalyst must rewrite all four correlated subqueries into
+    aggregate + join shapes — no per-row re-execution survives."""
+    plan = _executed_plan(SPECS["q_sql_subqueries"].fn(spark, sf_dir))
+    assert "Subquery" not in plan, "correlated subquery not decorrelated"
+    assert "Join" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ppl_bucket_no_unconditional_vocab_broadcast(spark, sf_dir):
+    """Inherits the q_llm_perplexity contract: the vocabulary-sized
+    count tables must not be hint-broadcast (AQE may still pick
+    broadcast at bench SF — the assertion is on the *logical* plan
+    carrying no ResolvedHint)."""
+    df = SPECS["q_llm_ppl_bucket"].fn(spark, sf_dir)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in logical
+    plan = _executed_plan(df)
+    assert plan.count("Window") >= 1  # the lang-partitioned NTILE

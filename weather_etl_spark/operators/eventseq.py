@@ -419,3 +419,61 @@ def q_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("event_type")
         .withColumn("attributed", F.col("last_click_id").isNotNull())
     )
+
+
+@register(
+    "q_event_trigrams",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT e1 || '>' || e2 || '>' || e3 AS trigram,
+       COUNT(*) AS n_occ,
+       COUNT(DISTINCT user_id) AS support
+FROM seq
+WHERE e3 IS NOT NULL
+GROUP BY 1
+ORDER BY support DESC, n_occ DESC, trigram ASC
+LIMIT 20
+""",
+    doc="Sequential-pattern support counting: consecutive event-type "
+    "trigrams per user's time-ordered stream (ties broken by "
+    "event_id), ranked by user support then total occurrences — the "
+    "length-3 instance of the classic frequent-sequence mining "
+    "(GSP/PrefixSpan support metric) over clickstreams.",
+    scale_notes="One shuffle on user_id shared by the two lead() "
+    "frames, then a map-combined aggregation whose key space is "
+    "|event_type|^3 (bounded vocabulary, 125 here) — the shuffled "
+    "aggregate carries (trigram, partial count, partial user set "
+    "via per-user pre-distinct) pairs, never raw events. Hot users "
+    "are bounded by their own event count; no all-pairs anywhere.",
+)
+def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "e1", "e2", "e3").alias("trigram"), "user_id"
+        )
+        .groupBy("trigram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.count_distinct("user_id").alias("support"),
+        )
+        .orderBy(
+            F.col("support").desc(),
+            F.col("n_occ").desc(),
+            F.col("trigram").asc(),
+        )
+        .limit(20)
+    )

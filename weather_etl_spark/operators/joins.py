@@ -904,3 +904,58 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_false_pos"))
     )
     return n_pass.crossJoin(n_true).crossJoin(n_fp)
+
+
+#: As-of tolerance: a view older than this (µs) is no match.
+_ASOF_TOL_US = 7_200_000_000  # 2 h
+
+
+@register(
+    "q_join_asof_tol",
+    oracle=f"""
+SELECT p.event_id AS purchase_id, p.user_id,
+       epoch_us(p.ts) AS ts_us,
+       CASE WHEN epoch_us(p.ts) - epoch_us(v.ts) <= {_ASOF_TOL_US}
+            THEN epoch_us(v.ts) END AS view_ts_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+""",
+    doc="As-of join with a match tolerance (pandas merge_asof "
+    "`tolerance` / kdb wj semantics): each purchase matched to the "
+    "user's latest view at or before it, but only if that view is "
+    "within 2 h — staler matches are nulled out rather than joined. "
+    "Same tag+union+last(ignorenulls) build as q_join_asof; the "
+    "tolerance is a post-filter on the matched timestamp, so the "
+    "physical plan is identical to the untolerated as-of.",
+    scale_notes="One shuffle of the unioned stream on user_id, same "
+    "as q_join_asof. The tolerance predicate is a codegen'd "
+    "projection — no extra shuffle, join, or state; at 100 TB the "
+    "user_id partitioning (salted for hot users) carries it "
+    "unchanged.",
+)
+def q_join_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    is_probe = (F.col("event_type") == "purchase").cast("int")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), is_probe, F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    view_ts = F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+    matched = F.last(view_ts, ignorenulls=True).over(w)
+    return (
+        ev.withColumn("raw_view_us", matched)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.when(
+                F.unix_micros("ts") - F.col("raw_view_us") <= _ASOF_TOL_US,
+                F.col("raw_view_us"),
+            ).alias("view_ts_us"),
+        )
+    )

@@ -803,3 +803,79 @@ def q_llm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_nll"
         ),
     )
+
+
+@register(
+    "q_llm_ppl_bucket",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t
+  FROM documents WHERE len(string_split(text, ' ')) >= 2
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i + 1])) AS bigram
+  FROM toks
+), c2 AS (
+  SELECT bigram, COUNT(*) AS n2 FROM bg GROUP BY bigram
+), c1 AS (
+  SELECT split_part(bigram, ' ', 1) AS w1, COUNT(*) AS n1
+  FROM bg GROUP BY w1
+), nll AS (
+  SELECT bg.doc_id,
+         CAST(ROUND(-ln(CAST(n2 AS DOUBLE) / n1), 6) AS DECIMAL(18,6))
+           AS nll
+  FROM bg
+  JOIN c2 USING (bigram)
+  JOIN c1 ON split_part(bg.bigram, ' ', 1) = c1.w1
+), ppl AS (
+  SELECT doc_id,
+         ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 4) AS avg_nll
+  FROM nll GROUP BY doc_id
+), b AS (
+  SELECT d.lang, p.avg_nll,
+         NTILE(3) OVER (PARTITION BY d.lang
+                        ORDER BY p.avg_nll, p.doc_id) AS b3
+  FROM ppl p JOIN documents d USING (doc_id)
+)
+SELECT lang,
+       CASE b3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+               ELSE 'tail' END AS bucket,
+       COUNT(*) AS n_docs,
+       ROUND(CAST(SUM(CAST(avg_nll AS DECIMAL(18,4))) AS DOUBLE)
+             / COUNT(*), 4) AS mean_nll
+FROM b GROUP BY lang, b3
+""",
+    doc="CCNet-style perplexity bucketing: per-language head / "
+    "middle / tail terciles of the q_llm_perplexity score (the "
+    "published CCNet pipeline splits each language's corpus into "
+    "three quality buckets by LM perplexity and trains "
+    "preferentially on the head). NTILE over (avg_nll, doc_id) is "
+    "fully deterministic; per-bucket mean sums the already-rounded "
+    "scores DECIMAL-exact.",
+    scale_notes="Reuses the perplexity pipeline (bigram-key "
+    "shuffles, unhinted count-table joins that AQE downgrades from "
+    "broadcast at corpus scale), then one lang-partitioned NTILE "
+    "window — per-language sort, no global order. At 100 TB the "
+    "tercile split becomes two approx-quantile cut points per "
+    "language (bounded ledger) instead of a full sort; the exact "
+    "NTILE here is the oracle-checkable form of the same contract.",
+)
+def q_llm_ppl_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ppl = q_llm_perplexity(spark, sf_dir).select("doc_id", "avg_nll")
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy("avg_nll", "doc_id")
+    b = ppl.join(docs, "doc_id").withColumn("b3", F.ntile(3).over(w))
+    bucket = (
+        F.when(F.col("b3") == 1, "head")
+        .when(F.col("b3") == 2, "middle")
+        .otherwise("tail")
+    )
+    return b.groupBy("lang", "b3").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum(F.col("avg_nll").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("mean_nll"),
+    ).select("lang", bucket.alias("bucket"), "n_docs", "mean_nll")

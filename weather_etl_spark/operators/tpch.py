@@ -350,3 +350,131 @@ FROM wes_gball_orders
 GROUP BY ALL
 """
     )
+
+
+@register(
+    "q_tpch_q10",
+    oracle="""
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,6))) AS DOUBLE)
+         AS revenue,
+       ROUND(c_acctbal, 4) AS acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+    doc="TPC-H Q10 (returned-item reporting): revenue lost to "
+    "returned lineitems per customer over one quarter, customer "
+    "joined to nation, top 20 by lost revenue (exact-cents DECIMAL "
+    "money discipline; c_custkey tie-break). Columns adapted to the "
+    "synthetic schema (no address/phone/comment).",
+    scale_notes="nation is a fixed 25-row dim — hint-broadcast "
+    "safely at any scale. customer grows with SF so it carries NO "
+    "hint (AQE broadcasts while small, shuffles at 100x). The "
+    "orders quarter filter prunes the fact scan before the one big "
+    "lineitem<->orders shuffle; top-20 compiles to "
+    "TakeOrderedAndProject.",
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    revenue = F.sum(
+        dec2("l_extendedprice") * dec6(F.lit(1) - F.col("l_discount"))
+    ).cast("double")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 4).alias("acctbal"),
+            "n_name",
+        )
+    )
+
+
+@register(
+    "q_sql_subqueries",
+    oracle="""
+SELECT c.c_custkey, c.c_name,
+       (SELECT COUNT(*) FROM orders o
+         WHERE o.o_custkey = c.c_custkey) AS n_orders,
+       (SELECT ROUND(MAX(o.o_totalprice), 4) FROM orders o
+         WHERE o.o_custkey = c.c_custkey) AS max_price
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+               WHERE o.o_custkey = c.c_custkey
+                 AND o.o_totalprice > 400000)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                   WHERE o.o_custkey = c.c_custkey
+                     AND o.o_orderstatus = 'F')
+ORDER BY max_price DESC, c.c_custkey ASC
+LIMIT 25
+""",
+    doc="SQL subquery surface in one declared query: two correlated "
+    "scalar aggregate subqueries, a correlated EXISTS, and a "
+    "correlated NOT EXISTS (used instead of NOT IN for NULL-safe "
+    "semantics) — Catalyst decorrelates all four into aggregate + "
+    "semi/anti joins; identical text runs on DuckDB.",
+    scale_notes="Catalyst rewrites each correlated subquery to a "
+    "join on o_custkey: the two scalar aggregates share one "
+    "pre-aggregated orders pass, EXISTS/NOT EXISTS become "
+    "semi/anti hash joins — so the plan is a handful of same-key "
+    "shuffles over dim-scale rows, never per-row re-execution. "
+    "Top-25 is TakeOrderedAndProject.",
+)
+def q_sql_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "wes_subq_orders"
+    )
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "wes_subq_customer"
+    )
+    return spark.sql(
+        """
+SELECT c.c_custkey, c.c_name,
+       (SELECT COUNT(*) FROM wes_subq_orders o
+         WHERE o.o_custkey = c.c_custkey) AS n_orders,
+       (SELECT ROUND(MAX(o.o_totalprice), 4) FROM wes_subq_orders o
+         WHERE o.o_custkey = c.c_custkey) AS max_price
+FROM wes_subq_customer c
+WHERE EXISTS (SELECT 1 FROM wes_subq_orders o
+               WHERE o.o_custkey = c.c_custkey
+                 AND o.o_totalprice > 400000)
+  AND NOT EXISTS (SELECT 1 FROM wes_subq_orders o
+                   WHERE o.o_custkey = c.c_custkey
+                     AND o.o_orderstatus = 'F')
+ORDER BY max_price DESC, c.c_custkey ASC
+LIMIT 25
+"""
+    )

@@ -557,3 +557,67 @@ def q_win_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_win_peaks",
+    oracle="""
+WITH s AS (
+  SELECT event_type, value,
+         lag(value)  OVER w AS pv,
+         lead(value) OVER w AS nv
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+)
+SELECT event_type,
+       COUNT(*) FILTER (WHERE value > pv AND value > nv) AS n_peaks,
+       COUNT(*) FILTER (WHERE value < pv AND value < nv) AS n_valleys,
+       ROUND(MAX(CASE WHEN value > pv AND value > nv THEN value END), 4)
+         AS max_peak,
+       ROUND(CAST(SUM(CASE WHEN value > pv AND value > nv
+                           THEN CAST(value AS DECIMAL(18,6)) END)
+                  AS DOUBLE)
+             / COUNT(*) FILTER (WHERE value > pv AND value > nv), 4)
+         AS avg_peak
+FROM s
+GROUP BY event_type
+""",
+    doc="Local-extrema detection: a row is a peak (valley) when its "
+    "value is strictly greater (less) than both time-order neighbors "
+    "within its event type — the turning-point census used for "
+    "signal morphology / changepoint pre-screens. Strict "
+    "comparisons make plateau edges non-extrema, so the result is "
+    "independent of how equal values are ordered; the peak mean "
+    "sums DECIMAL-exact before one final rounding.",
+    scale_notes="One shuffle on event_type shared by the lag and "
+    "lead frames (a single WindowExec evaluates both), then a "
+    "type-sized aggregate ledger. Skewed types pre-bucket by time "
+    "range with boundary rows replicated once per edge — peak "
+    "predicates only ever look one row left and right.",
+)
+def q_win_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type",
+        "value",
+        F.lag("value").over(w).alias("pv"),
+        F.lead("value").over(w).alias("nv"),
+    )
+    is_peak = (F.col("value") > F.col("pv")) & (F.col("value") > F.col("nv"))
+    is_valley = (F.col("value") < F.col("pv")) & (
+        F.col("value") < F.col("nv")
+    )
+    peak_val = F.when(is_peak, F.col("value"))
+    n_peaks = F.count(peak_val)
+    return s.groupBy("event_type").agg(
+        n_peaks.alias("n_peaks"),
+        F.count(F.when(is_valley, F.lit(1))).alias("n_valleys"),
+        F.round(F.max(peak_val), 4).alias("max_peak"),
+        F.round(
+            F.sum(F.when(is_peak, F.col("value").cast("decimal(18,6)")))
+            .cast("double")
+            / n_peaks,
+            4,
+        ).alias("avg_peak"),
+    )

@@ -304,6 +304,10 @@ DRIVER_DEFERRED: frozenset[str] = frozenset({
     "q_event_cooccurrence", "q_agg_autocorr",
     "q_agg_pareto", "q_event_bursts", "q_agg_benford",
     "q_llm_prefix_dup",
+    # third late batch (sequence mining / composite SQL / tolerance
+    # as-of / CCNet bucketing)
+    "q_join_asof_tol", "q_event_trigrams", "q_win_peaks",
+    "q_tpch_q10", "q_sql_subqueries", "q_llm_ppl_bucket",
 })
 
 
