@@ -786,3 +786,47 @@ def test_ppl_bucket_no_unconditional_vocab_broadcast(spark, sf_dir):
     assert "ResolvedHint" not in logical
     plan = _executed_plan(df)
     assert plan.count("Window") >= 1  # the lang-partitioned NTILE
+
+
+def test_holt_buckets_before_python(spark, sf_dir):
+    """The sequential Python pass must see the BUCKETED ledger, not
+    raw events: the plan aggregates (partial_sum) below FlatMapGroups,
+    and rounding happens in engine expressions above it."""
+    plan = _executed_plan(SPECS["q_time_holt"].fn(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "partial_sum" in plan, "bucket means must pre-aggregate"
+    assert plan.index("partial_sum") > plan.index(
+        "FlatMapGroupsInPandas"
+    ), "aggregation must run below the pandas stage"
+
+
+def test_scd2_lookup_has_no_range_join(spark, sf_dir):
+    """The as-of formulation must plan as window-over-union: no join
+    node at all, one user_id shuffle feeding the windows."""
+    plan = _executed_plan(SPECS["q_join_scd2_lookup"].fn(spark, sf_dir))
+    assert "Join" not in plan
+    assert "Union" in plan and "Window" in plan
+
+
+def test_srm_single_distinct_shuffle(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_agg_ab_srm"].fn(spark, sf_dir))
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "Join" not in plan
+
+
+def test_adamic_adar_is_equi_wedge_join(spark, sf_dir):
+    """Wedge generation must be a hash join on dst (equi), never a
+    cartesian/BNL: the x<y predicate rides as a join condition."""
+    plan = _executed_plan(SPECS["q_graph_adamic_adar"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_column_stats_single_scan(spark, sf_dir):
+    """All six columns profile in ONE pass over orders: exactly one
+    parquet scan node in the plan (the oracle's 6-scan UNION is for
+    readability, not the physical shape)."""
+    plan = _executed_plan(SPECS["q_scan_column_stats"].fn(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan  # multi-distinct lowers through Expand

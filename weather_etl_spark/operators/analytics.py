@@ -743,3 +743,173 @@ def q_time_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("user_id", "bucket", "ts_us", "value_cents")
     )
+
+
+@register(
+    "q_join_scd2_lookup",
+    oracle="""
+WITH ch AS (
+  SELECT user_id, ts, event_id, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev
+  FROM events WHERE event_type = 'view'
+), changes AS (
+  SELECT user_id, ts, event_id, value FROM ch
+  WHERE prev IS NULL OR value <> prev
+), scd AS (
+  SELECT user_id, ts, value,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS INT)
+           AS version,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS eff_to
+  FROM changes
+)
+SELECT p.event_id AS purchase_id, p.user_id,
+       epoch_us(p.ts) AS ts_us,
+       s.version AS version,
+       ROUND(s.value, 4) AS dim_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN scd s
+  ON s.user_id = p.user_id AND s.ts <= p.ts
+ AND (s.eff_to IS NULL OR p.ts < s.eff_to)
+""",
+    doc="Temporal dimension lookup against an SCD Type-2 build (the "
+    "warehouse point-in-time join): every purchase resolves the "
+    "dimension VERSION valid at its timestamp — eff_from <= ts < "
+    "eff_to over the q_scd2_intervals change stream. The oracle is "
+    "the literal interval-containment join; the Spark side is the "
+    "scalable as-of formulation (tag + union + last-ignorenulls "
+    "window over one user_id shuffle), which is provably the same "
+    "relation because SCD2 intervals tile each user's timeline "
+    "disjointly.",
+    scale_notes="No interval join executes on the Spark side at all: "
+    "the union + window form is one user_id shuffle over "
+    "(changes + probes), immune to the range-join blowup a naive "
+    "BETWEEN join has. This is the pattern a 100 TB SCD2 lookup "
+    "should compile to; hot keys salt exactly as q_join_asof.",
+)
+def q_join_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w_ev = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.filter(F.col("event_type") == "view")
+        .withColumn("prev", F.lag("value").over(w_ev))
+        .filter(F.col("prev").isNull() | (F.col("value") != F.col("prev")))
+        .select("user_id", "ts", "event_id", "value")
+    )
+    scd = changes.withColumn(
+        "version", F.row_number().over(w_ev).cast("int")
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    tagged = scd.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_probe"),
+        "event_id",
+        "version",
+        "value",
+    ).unionByName(
+        probes.select(
+            "user_id",
+            "ts",
+            F.lit(1).alias("is_probe"),
+            "event_id",
+            F.lit(None).cast("int").alias("version"),
+            F.lit(None).cast("double").alias("value"),
+        )
+    )
+    # At equal ts a change row sorts before the probe (is_probe), and
+    # among equal-ts changes the later event_id wins — exactly the
+    # non-empty interval under the oracle's [eff_from, eff_to) tiling.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_probe", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn(
+            "v", F.last("version", ignorenulls=True).over(w)
+        )
+        .withColumn("dv", F.last("value", ignorenulls=True).over(w))
+        .filter(F.col("is_probe") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.col("v").alias("version"),
+            F.round("dv", 4).alias("dim_value"),
+        )
+    )
+
+
+#: Chi-square rejection threshold, 1 dof, alpha = 0.05 — the standard
+#: sample-ratio-mismatch alarm level.
+_SRM_CHI2_CRIT = 3.841
+
+
+@register(
+    "q_agg_ab_srm",
+    oracle=f"""
+WITH units AS (
+  SELECT DISTINCT user_id,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                        1, 4)) AS INT) % 2 = 0
+              THEN 'A' ELSE 'B' END AS arm
+  FROM events
+), counts AS (
+  SELECT COUNT(*) FILTER (WHERE arm = 'A') AS n_a,
+         COUNT(*) FILTER (WHERE arm = 'B') AS n_b
+  FROM units
+)
+SELECT n_a, n_b,
+       ROUND(POW(n_a - (n_a + n_b) / 2.0, 2) / ((n_a + n_b) / 2.0)
+             + POW(n_b - (n_a + n_b) / 2.0, 2) / ((n_a + n_b) / 2.0), 4)
+         AS chi2,
+       (POW(n_a - (n_a + n_b) / 2.0, 2) / ((n_a + n_b) / 2.0)
+        + POW(n_b - (n_a + n_b) / 2.0, 2) / ((n_a + n_b) / 2.0))
+         > {_SRM_CHI2_CRIT} AS srm_flag
+FROM counts
+""",
+    doc="Sample-ratio-mismatch check (the Kohavi experimentation "
+    "guardrail): units are distinct users deterministically hashed "
+    "into arms A/B by md5 parity (the same engine-stable bucketing "
+    "as q_sample_hash), the chi-square statistic against the "
+    "declared 50/50 split is tested at alpha = 0.05 / 1 dof. A "
+    "flagged SRM means the assignment pipeline is broken and every "
+    "downstream metric (q_ab_metrics) is untrustworthy.",
+    scale_notes="One distinct on user_id (the only shuffle) then a "
+    "two-cell ledger; the chi-square is driver-free scalar algebra "
+    "on one row. At 100 TB the distinct pre-aggregates map-side; "
+    "assignment hashing is codegen'd and scan-parallel.",
+)
+def q_agg_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 4),
+            16,
+            10,
+        ).cast("int")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    units = ev.select("user_id").distinct().select(arm.alias("arm"))
+    counts = units.agg(
+        F.count(F.when(F.col("arm") == "A", F.lit(1))).alias("n_a"),
+        F.count(F.when(F.col("arm") == "B", F.lit(1))).alias("n_b"),
+    )
+    exp = (F.col("n_a") + F.col("n_b")) / 2.0
+    chi2 = (
+        F.pow(F.col("n_a") - exp, 2) / exp
+        + F.pow(F.col("n_b") - exp, 2) / exp
+    )
+    return counts.select(
+        "n_a",
+        "n_b",
+        F.round(chi2, 4).alias("chi2"),
+        (chi2 > _SRM_CHI2_CRIT).alias("srm_flag"),
+    )

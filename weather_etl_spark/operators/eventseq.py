@@ -477,3 +477,121 @@ def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+#: Holt double-exponential smoothing factors (level, trend).  repr()'d
+#: literals are embedded verbatim in both engines so the sequential
+#: recursion is bit-identical before the final ROUND.
+_HOLT_A = 0.5
+_HOLT_B = 0.3
+
+
+@register(
+    "q_time_holt",
+    oracle=f"""
+WITH RECURSIVE s AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY date_trunc('hour', ts))
+              AS BIGINT) AS idx,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS y
+  FROM events
+  GROUP BY event_type, date_trunc('hour', ts)
+), rec AS (
+  SELECT event_type, idx, y, y AS l, CAST(0.0 AS DOUBLE) AS b
+  FROM s WHERE idx = 1
+  UNION ALL
+  SELECT s.event_type, s.idx, s.y,
+         {_HOLT_A} * s.y + {1.0 - _HOLT_A} * (rec.l + rec.b) AS l,
+         {_HOLT_B} * (({_HOLT_A} * s.y + {1.0 - _HOLT_A} * (rec.l + rec.b))
+                      - rec.l)
+           + {1.0 - _HOLT_B} * rec.b AS b
+  FROM rec JOIN s ON s.event_type = rec.event_type
+                 AND s.idx = rec.idx + 1
+)
+SELECT r.event_type, epoch_us(s.h) AS h_us,
+       ROUND(r.y, 4) AS y_r,
+       ROUND(r.l, 4) AS level,
+       ROUND(r.b, 4) AS trend,
+       ROUND(r.l + r.b, 4) AS forecast
+FROM rec r JOIN s ON s.event_type = r.event_type AND s.idx = r.idx
+""",
+    doc="Holt double-exponential smoothing (level + linear trend) of "
+    "each event type's hourly mean-value series — the classic "
+    "short-horizon forecaster one step up from q_time_ewma's "
+    "level-only kernel. l_t = a*y_t + (1-a)(l+b), "
+    "b_t = B*(l_t - l) + (1-B)*b, initialized (l_1, b_1) = (y_1, 0); "
+    "`forecast` is the one-step-ahead l_t + b_t. The recursion is "
+    "inherently sequential per series, so it runs as an "
+    "applyInPandas loop per event type, oracled by a DuckDB "
+    "recursive CTE evaluating the identical IEEE expression tree "
+    "(bucket means are DECIMAL-exact before the double recursion).",
+    scale_notes="One shuffle to bucket (map-combined: the hourly "
+    "ledger is |types| x hours, tiny), one to group series. The "
+    "sequential pass is O(series length) per key with Arrow-batched "
+    "transfer — the standard distributed-stateful shape: per-key "
+    "recurrences parallelize ACROSS keys, and a 100 TB deployment "
+    "carries (level, trend) checkpoints per key so each time chunk "
+    "resumes from saved state instead of rescanning history "
+    "(exactly the reference's cursor pattern, A8, applied to model "
+    "state).",
+)
+def q_time_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = read_table(spark, sf_dir, "events")
+    buck = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("y")
+    ).select(
+        "event_type", F.unix_micros("h").alias("h_us"), "y"
+    )
+
+    schema = (
+        "event_type string, h_us long, y double, l double, b double"
+    )
+
+    def holt(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("h_us").reset_index(drop=True)
+        levels: list[float] = []
+        trends: list[float] = []
+        l = b = 0.0
+        for i, y in enumerate(pdf["y"]):
+            y = float(y)
+            if i == 0:
+                l, b = y, 0.0
+            else:
+                l_new = _HOLT_A * y + (1.0 - _HOLT_A) * (l + b)
+                b = _HOLT_B * (l_new - l) + (1.0 - _HOLT_B) * b
+                l = l_new
+            levels.append(l)
+            trends.append(b)
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"],
+                "h_us": pdf["h_us"],
+                "y": pdf["y"],
+                "l": levels,
+                "b": trends,
+            }
+        )
+
+    # The UDF emits RAW doubles; rounding happens in the engine
+    # expression layer (F.round matches DuckDB ROUND half-away
+    # semantics — python round() is banker's and would drift).
+    return (
+        buck.groupBy("event_type")
+        .applyInPandas(holt, schema)
+        .select(
+            "event_type",
+            "h_us",
+            F.round("y", 4).alias("y_r"),
+            F.round("l", 4).alias("level"),
+            F.round("b", 4).alias("trend"),
+            F.round(F.col("l") + F.col("b"), 4).alias("forecast"),
+        )
+    )

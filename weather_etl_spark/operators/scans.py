@@ -358,3 +358,90 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("event_id").cast("bigint").alias("id_sum"),
         )
     )
+
+
+#: (column, kind) profile plan for the orders table — kind picks the
+#: cross-engine stringification of min/max (printf-style formats are
+#: identical in Spark's format_string and DuckDB's printf).
+_PROFILE_COLS: list[tuple[str, str]] = [
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, kind in _PROFILE_COLS:
+        if kind == "int":
+            mn, mx = f"printf('%d', MIN({c}))", f"printf('%d', MAX({c}))"
+        elif kind == "num":
+            mn, mx = f"printf('%.4f', MIN({c}))", f"printf('%.4f', MAX({c}))"
+        elif kind == "ts":
+            mn = f"strftime(MIN({c}), '%Y-%m-%d %H:%M:%S')"
+            mx = f"strftime(MAX({c}), '%Y-%m-%d %H:%M:%S')"
+        else:
+            mn, mx = f"MIN({c})", f"MAX({c})"
+        parts.append(
+            f"SELECT '{c}' AS col, COUNT(*) AS n,\n"
+            f"       COUNT(*) - COUNT({c}) AS n_null,\n"
+            f"       COUNT(DISTINCT {c}) AS n_distinct,\n"
+            f"       {mn} AS min_s, {mx} AS max_s\nFROM orders"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@register(
+    "q_scan_column_stats",
+    oracle=_profile_oracle(),
+    doc="Column profiler (the ANALYZE / data-catalog statistics "
+    "collection pass): per column of orders — row count, null "
+    "count, exact distinct count, and stringified min/max (printf "
+    "formats and strftime patterns chosen to render identically in "
+    "both engines). The oracle is a per-column UNION for clarity; "
+    "the Spark side computes every statistic in ONE scan via a "
+    "single multi-aggregate and unpivots the wide row.",
+    scale_notes="One scan + one aggregation: the multiple "
+    "COUNT(DISTINCT) columns plan through Spark's Expand (one "
+    "shuffle carrying 6x keys of the distinct columns, each "
+    "map-side pre-deduped). At 100 TB exact distincts swap for the "
+    "portable HLL sketch (q_agg_hll_portable) column-wise; min/max/"
+    "null-count come free from parquet footer stats via the scan.",
+)
+def q_scan_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = read_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c, _ in _PROFILE_COLS:
+        aggs.append(F.count(F.col(c)).alias(f"nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"nd_{c}"))
+        aggs.append(F.min(F.col(c)).alias(f"mn_{c}"))
+        aggs.append(F.max(F.col(c)).alias(f"mx_{c}"))
+    wide = od.agg(*aggs)
+
+    def fmt(kind: str, col: str):
+        x = F.col(col)
+        if kind == "int":
+            return F.format_string("%d", x)
+        if kind == "num":
+            return F.format_string("%.4f", x)
+        if kind == "ts":
+            return F.date_format(x, "yyyy-MM-dd HH:mm:ss")
+        return x
+
+    structs = [
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col("n").alias("n"),
+            (F.col("n") - F.col(f"nn_{c}")).alias("n_null"),
+            F.col(f"nd_{c}").alias("n_distinct"),
+            fmt(kind, f"mn_{c}").alias("min_s"),
+            fmt(kind, f"mx_{c}").alias("max_s"),
+        )
+        for c, kind in _PROFILE_COLS
+    ]
+    return wide.select(
+        F.explode(F.array(*structs)).alias("s")
+    ).select("s.col", "s.n", "s.n_null", "s.n_distinct", "s.min_s", "s.max_s")

@@ -308,6 +308,8 @@ DRIVER_DEFERRED: frozenset[str] = frozenset({
     # as-of / CCNet bucketing)
     "q_join_asof_tol", "q_event_trigrams", "q_win_peaks",
     "q_tpch_q10", "q_sql_subqueries", "q_llm_ppl_bucket",
+    "q_time_holt", "q_join_scd2_lookup", "q_agg_ab_srm",
+    "q_graph_adamic_adar", "q_scan_column_stats",
 })
 
 
