@@ -322,3 +322,92 @@ def test_column_stats_match_table(spark):
             1 if r["n_null"] else 0
         )
     assert rows["o_orderkey"]["n_distinct"] == n  # PK is unique
+
+
+# -- batch 5 (perceptual hash / seasonal / malformed CSV) ----------------
+
+
+def test_phash_banding_is_complete(spark):
+    """The banded candidate path must find EXACTLY the pairs a naive
+    all-pairs Hamming scan finds (pigeonhole completeness), recomputed
+    in pure python from the registered hash function."""
+    from weather_etl_spark.operators.multimodal import (
+        _ahash16,
+        _doc_pixels,
+        decode_image,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    docs = (
+        spark.read.parquet(SF + "/documents.parquet")
+        .filter("doc_id <= 200")
+        .select("doc_id", "text")
+        .collect()
+    )
+    hashes = {}
+    for r in docs:
+        tb = r["text"].encode("utf-8")
+        w, h = len(tb) % 31 + 1, (len(tb) * 7) % 17 + 1
+        if w < 4 or h < 4:
+            continue
+        enc = encode_ppm if r["doc_id"] % 2 == 0 else encode_bmp
+        _fmt, dw, dh, pix = decode_image(enc(w, h, _doc_pixels(tb, w, h)))
+        assert (dw, dh) == (w, h)
+        hashes[r["doc_id"]] = _ahash16(dw, dh, pix)
+    ids = sorted(hashes)
+    want = [
+        (a, b, bin(hashes[a] ^ hashes[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(hashes[a] ^ hashes[b]).count("1") <= 3
+    ]
+    got = [
+        (r["doc_a"], r["doc_b"], r["dist"])
+        for r in SPECS["llm_mm_phash_dedup"].fn(spark, SF).collect()
+    ]
+    assert got == want
+    assert want, "fixture should produce at least one near-dup pair"
+
+
+def test_phash_identical_pixels_collide(spark):
+    """dist 0 pairs must include every pair with identical decoded
+    pixel content (aHash is content-determined)."""
+    rows = SPECS["llm_mm_phash_dedup"].fn(spark, SF).collect()
+    assert all(0 <= r["dist"] <= 3 for r in rows)
+
+
+def test_seasonal_profile_accounting(spark):
+    rows = SPECS["q_time_seasonal"].fn(spark, SF).collect()
+    import collections
+
+    by_type = collections.defaultdict(list)
+    for r in rows:
+        by_type[r["event_type"]].append(r)
+    ev_n = (
+        spark.read.parquet(SF + "/events.parquet")
+        .groupBy("event_type")
+        .count()
+        .collect()
+    )
+    want_n = {r["event_type"]: r["count"] for r in ev_n}
+    for typ, rs in by_type.items():
+        assert len(rs) == 24  # every hour observed at sf0.01
+        assert sum(r["n"] for r in rs) == want_n[typ]
+        # seasonal indices are deviations from the type mean: their
+        # n-weighted sum is ~0 (up to 4dp rounding per bucket)
+        wsum = sum(r["seasonal_idx"] * r["n"] for r in rs)
+        assert abs(wsum) < 0.01 * want_n[typ]
+
+
+def test_csv_malformed_triage(spark):
+    row = SPECS["src_csv_malformed"].fn(spark, SF).collect()[0]
+    nat = spark.read.parquet(SF + "/nation.parquet").collect()
+    bad = [r for r in nat if r["n_nationkey"] % 7 == 3]
+    good = [r for r in nat if r["n_nationkey"] % 7 != 3]
+    assert row["n_rows"] == len(nat)
+    assert row["n_bad"] == len(bad) and row["n_good"] == len(good)
+    assert row["bad_key_sum"] == sum(r["n_nationkey"] for r in bad)
+    assert row["good_key_sum"] == sum(r["n_nationkey"] for r in good)
+    assert row["good_region_sum"] == sum(r["n_regionkey"] for r in good)
+    assert row["first_bad_name"] == min(r["n_name"] for r in bad)

@@ -830,3 +830,31 @@ def test_column_stats_single_scan(spark, sf_dir):
     plan = _executed_plan(SPECS["q_scan_column_stats"].fn(spark, sf_dir))
     assert plan.count("Scan parquet") == 1
     assert "Expand" in plan  # multi-distinct lowers through Expand
+
+
+def test_phash_shuffles_hashes_not_payloads(spark, sf_dir):
+    """Decode + hash stay inside mapInPandas; the band join operates
+    on (doc_id, hash) rows and no all-pairs node appears."""
+    plan = _executed_plan(SPECS["llm_mm_phash_dedup"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the checkpointed hash table feeds both join sides: the
+    # encode+decode pipeline must appear ZERO times in the final plan
+    # (it ran once, at checkpoint time), only scans of the checkpoint
+    assert "MapInPandas" not in plan
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+def test_seasonal_reaggregates_the_ledger(spark, sf_dir):
+    """The type mean must derive from the 24-bucket ledger (sum of
+    sums), not a second event scan: exactly one parquet scan."""
+    plan = _executed_plan(SPECS["q_time_seasonal"].fn(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan  # totals come from a ledger window
+    assert "partial_sum" in plan
+
+
+def test_csv_malformed_reads_with_explicit_schema(spark, sf_dir):
+    plan = _executed_plan(SPECS["src_csv_malformed"].fn(spark, sf_dir))
+    assert "FileScan csv" in plan
+    assert "Join" not in plan

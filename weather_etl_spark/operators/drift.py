@@ -525,3 +525,82 @@ def q_agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2_term"),
         )
     )
+
+
+@register(
+    "q_time_seasonal",
+    oracle="""
+WITH s AS (
+  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) AS hod,
+         CAST(ROUND(value * 100) AS BIGINT) AS v2
+  FROM events
+), hodagg AS (
+  SELECT event_type, hod, COUNT(*) AS n, CAST(SUM(v2) AS BIGINT) AS sv2
+  FROM s GROUP BY event_type, hod
+), tot AS (
+  SELECT event_type, CAST(SUM(sv2) AS BIGINT) AS ts2,
+         CAST(SUM(n) AS BIGINT) AS tn
+  FROM hodagg GROUP BY event_type
+)
+SELECT h.event_type, h.hod, h.n,
+       CAST((200 * h.sv2 + h.n) // (2 * h.n) AS DOUBLE) / 10000
+         AS hod_mean,
+       CAST(CASE WHEN h.sv2 * t.tn - t.ts2 * h.n >= 0
+                 THEN (200 * (h.sv2 * t.tn - t.ts2 * h.n) + h.n * t.tn)
+                      // (2 * h.n * t.tn)
+                 ELSE -((200 * (t.ts2 * h.n - h.sv2 * t.tn) + h.n * t.tn)
+                        // (2 * h.n * t.tn)) END AS DOUBLE) / 10000
+         AS seasonal_idx
+FROM hodagg h JOIN tot t USING (event_type)
+""",
+    doc="Hour-of-day seasonal profile (the additive-decomposition "
+    "seasonal component): per (event_type, hour 0-23), the bucket "
+    "mean and its deviation from the type's overall mean — the "
+    "diurnal signature monitoring compares against q_time_ewma's "
+    "trend and q_time_anomaly's residuals. values are integer cents "
+    "by construction, so BOTH means round through exact integer "
+    "half-away arithmetic ((200*sum + n) // (2n) at 4 decimals) — "
+    "no double ROUND ever runs, eliminating the cross-engine "
+    "rounding-boundary class entirely (the q_udf_grouped_map "
+    "lesson).",
+    scale_notes="One map-combined shuffle to the (type, hod) ledger "
+    "(|types| x 24 rows); the type-level mean re-aggregates the "
+    "ledger, and the final join is ledger-sized on both sides — "
+    "nothing downstream of the first aggregation ever touches event "
+    "rows. The cents x count cross-products fit BIGINT through sf1; "
+    "beyond that they widen to DECIMAL(38,0) with identical "
+    "semantics.",
+)
+def q_time_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    hodagg = ev.select(
+        "event_type",
+        F.hour("ts").cast("int").alias("hod"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v2"),
+    ).groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v2").cast("bigint").alias("sv2"),
+    )
+    # Type totals via a window over the 24-bucket ledger — the plan
+    # reuses the SAME aggregated subtree (one scan, no join); a
+    # groupBy+join would re-derive the ledger from the source twice.
+    w = Window.partitionBy("event_type")
+    joined = hodagg.withColumn(
+        "ts2", F.sum("sv2").over(w).cast("bigint")
+    ).withColumn("tn", F.sum("n").over(w).cast("bigint"))
+    num = F.col("sv2") * F.col("tn") - F.col("ts2") * F.col("n")
+    idx4 = F.when(
+        num >= 0,
+        F.expr("(200 * (sv2 * tn - ts2 * n) + n * tn) div (2 * n * tn)"),
+    ).otherwise(
+        -F.expr("(200 * (ts2 * n - sv2 * tn) + n * tn) div (2 * n * tn)")
+    )
+    return joined.select(
+        "event_type",
+        "hod",
+        "n",
+        (
+            F.expr("(200 * sv2 + n) div (2 * n)").cast("double") / 10000
+        ).alias("hod_mean"),
+        (idx4.cast("double") / 10000).alias("seasonal_idx"),
+    )

@@ -29,6 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from weather_etl_spark.checkpoints import tracked_local_checkpoint
 from weather_etl_spark.io import read_table
 from weather_etl_spark.registry import register
 
@@ -584,4 +585,172 @@ def llm_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(
         resize_stage,
         "doc_id long, out_w long, out_h long, out_npix long, out_sum long",
+    )
+
+
+def _ahash16(width: int, height: int, pixels: bytes) -> int:
+    """16-bit average-hash over a 4x4 block grid: per-block grayscale
+    sum compared against the global mean by exact integer
+    cross-multiplication (blk_sum * tot_n > tot_sum * blk_n), so no
+    float ever enters the hash."""
+    blk_sum = [0] * 16
+    blk_n = [0] * 16
+    for p in range(width * height):
+        x, y = p % width, p // width
+        g = pixels[3 * p] + pixels[3 * p + 1] + pixels[3 * p + 2]
+        b = (y * 4 // height) * 4 + (x * 4 // width)
+        blk_sum[b] += g
+        blk_n[b] += 1
+    tot_sum, tot_n = sum(blk_sum), width * height
+    h = 0
+    for i in range(16):
+        if blk_sum[i] * tot_n > tot_sum * blk_n[i]:
+            h |= 1 << i
+    return h
+
+
+@register(
+    "llm_mm_phash_dedup",
+    oracle="""
+WITH v AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text))                AS nb,
+         octet_length(encode(text)) % 31 + 1       AS w,
+         (octet_length(encode(text)) * 7) % 17 + 1 AS h
+  FROM documents WHERE doc_id <= 200
+), vf AS (
+  SELECT * FROM v WHERE w >= 4 AND h >= 4
+), px AS (
+  SELECT doc_id, nb, hx, w, h, unnest(range(0, w * h)) AS p
+  FROM vf
+), g AS (
+  SELECT doc_id,
+         ((p // w) * 4 // h) * 4 + ((p % w) * 4 // w) AS blk,
+         (CASE WHEN 3 * p < nb
+               THEN CAST(('0x' || substr(hx, 2 * (3 * p) + 1, 2)) AS INT)
+               ELSE 0 END
+        + CASE WHEN 3 * p + 1 < nb
+               THEN CAST(('0x' || substr(hx, 2 * (3 * p + 1) + 1, 2)) AS INT)
+               ELSE 0 END
+        + CASE WHEN 3 * p + 2 < nb
+               THEN CAST(('0x' || substr(hx, 2 * (3 * p + 2) + 1, 2)) AS INT)
+               ELSE 0 END) AS gray
+  FROM px
+), blocks AS (
+  SELECT doc_id, blk, SUM(gray) AS bs, COUNT(*) AS bn
+  FROM g GROUP BY doc_id, blk
+), tot AS (
+  SELECT doc_id, SUM(bs) AS ts, SUM(bn) AS tn FROM blocks GROUP BY doc_id
+), hashes AS (
+  SELECT b.doc_id,
+         CAST(SUM(CASE WHEN b.bs * t.tn > t.ts * b.bn
+                       THEN 1 << b.blk ELSE 0 END) AS BIGINT) AS ahash
+  FROM blocks b JOIN tot t USING (doc_id)
+  GROUP BY b.doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS dist
+FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+ORDER BY doc_a, doc_b
+""",
+    doc="Perceptual-hash image near-dup: documents encode to PPM/BMP, "
+    "decode through the real codecs, and hash to a 16-bit average-"
+    "hash (4x4 block grid, integer-exact mean comparison); pairs "
+    "within Hamming distance 3 are near-duplicates. The Spark side "
+    "generates candidates by 4-band LSH over the hash (4 bits per "
+    "band: distance <= 3 pigeonholes at least one equal band, so the "
+    "banding is provably complete) and verifies with bit_count(xor). "
+    "The oracle reconstructs the identical hash arithmetically from "
+    "the text bytes and compares ALL pairs — the naive twin of the "
+    "banded path, same relation by the pigeonhole bound.",
+    scale_notes="Decode + hash run executor-side in mapInPandas; only "
+    "(doc_id, 16-bit hash) rows shuffle. The band self-join is the "
+    "classic Hamming LSH: candidates ∝ Σ bucket², tunable by band "
+    "count/width — at 100 TB widen to a 64-bit hash with 8x8-bit "
+    "bands and the same pigeonhole completeness (dist <= 7) holds. "
+    "Never an all-pairs comparison on the Spark side.",
+)
+def llm_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") <= 200)
+            & (F.octet_length("text") % 31 + 1 >= 4)
+            & ((F.octet_length("text") * 7) % 17 + 1 >= 4)
+        )
+        .select("doc_id", "text")
+    )
+
+    def encode_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                tb = text.encode("utf-8")
+                w = len(tb) % 31 + 1
+                h = (len(tb) * 7) % 17 + 1
+                pix = _doc_pixels(tb, w, h)
+                enc = encode_ppm if doc_id % 2 == 0 else encode_bmp
+                payloads.append(enc(w, h, pix))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(encode_stage, "doc_id long, payload binary")
+
+    def hash_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _fmt, w, h, pixels = decode_image(bytes(payload))
+                ids.append(doc_id)
+                hashes.append(_ahash16(w, h, pixels))
+            yield pd.DataFrame({"doc_id": ids, "ahash": hashes})
+
+    # Checkpoint the (doc_id, 16-bit hash) table: it feeds BOTH sides
+    # of the band self-join, and without pinning it the whole
+    # encode+decode mapInPandas pipeline would execute twice. The
+    # checkpointed relation is hash-sized (8 bytes/doc), never pixels.
+    hashes, _hash_ids = tracked_local_checkpoint(
+        media.mapInPandas(hash_stage, "doc_id long, ahash long")
+    )
+
+    bands = hashes.select(
+        "doc_id",
+        "ahash",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band"),
+    ).select(
+        "doc_id",
+        "ahash",
+        "band",
+        F.expr("shiftright(ahash, band * 4)").bitwiseAND(15).alias(
+            "band_val"
+        ),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("ahash").alias("hash_a"),
+        "band",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("ahash").alias("hash_b"),
+        "band",
+        "band_val",
+    )
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "hash_a", "hash_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "dist",
+            F.bit_count(
+                F.col("hash_a").bitwiseXOR(F.col("hash_b"))
+            ).cast("int"),
+        )
+        .filter(F.col("dist") <= 3)
+        .select("doc_a", "doc_b", "dist")
+        .orderBy("doc_a", "doc_b")
     )
