@@ -411,3 +411,72 @@ def test_csv_malformed_triage(spark):
     assert row["good_key_sum"] == sum(r["n_nationkey"] for r in good)
     assert row["good_region_sum"] == sum(r["n_regionkey"] for r in good)
     assert row["first_bad_name"] == min(r["n_name"] for r in bad)
+
+
+# -- batch 6 (time-window semi / rolling slope) --------------------------
+
+
+def test_time_window_semi_matches_python(spark):
+    """Differential vs a brute-force python scan at the driver SF."""
+    ev = spark.read.parquet(SF + "/events.parquet").collect()
+    import collections
+
+    errs = collections.defaultdict(list)
+    for r in ev:
+        if r["event_type"] == "error":
+            errs[r["user_id"]].append(r["ts"])
+    want = set()
+    from datetime import timedelta
+
+    tol = timedelta(hours=1)
+    for r in ev:
+        if r["event_type"] == "purchase" and any(
+            abs(r["ts"] - e) <= tol for e in errs.get(r["user_id"], [])
+        ):
+            want.add(r["event_id"])
+    got = {
+        r["purchase_id"]
+        for r in SPECS["q_join_time_window_semi"].fn(spark, SF).collect()
+    }
+    assert got == want
+    assert want, "fixture should produce matches"
+    n_purch = sum(1 for r in ev if r["event_type"] == "purchase")
+    assert len(want) < n_purch, "semi-join should actually filter"
+
+
+def test_win_slope_matches_python(spark):
+    """Differential: numpy polyfit agrees with the integer-exact
+    slope to 4 decimals on every non-degenerate frame (smoke SF)."""
+    import collections
+
+    ev = sorted(
+        spark.read.parquet(SMOKE_SF_DIR + "/events.parquet").collect(),
+        key=lambda r: (r["event_type"], r["ts"], r["event_id"]),
+    )
+    series = collections.defaultdict(list)
+    for r in ev:
+        series[r["event_type"]].append(
+            (r["event_id"], int(round(r["value"] * 100)))
+        )
+    want = {}
+    for typ, pts in series.items():
+        for i, (eid, _y) in enumerate(pts):
+            lo = max(0, i - 23)
+            xs = list(range(lo + 1, i + 2))
+            ys = [pts[j][1] for j in range(lo, i + 1)]
+            n = len(xs)
+            sx, sy = sum(xs), sum(ys)
+            sxy = sum(a * b for a, b in zip(xs, ys))
+            sx2 = sum(a * a for a in xs)
+            den = n * sx2 - sx * sx
+            if den == 0:
+                want[eid] = None
+                continue
+            num = (n * sxy - sx * sy) * 10000
+            q, sign = abs(num), 1 if num >= 0 else -1
+            want[eid] = sign * ((2 * q + den) // (2 * den)) / 10000
+    got = {
+        r["event_id"]: r["slope"]
+        for r in SPECS["q_win_slope"].fn(spark, SMOKE_SF_DIR).collect()
+    }
+    assert got == want

@@ -858,3 +858,21 @@ def test_csv_malformed_reads_with_explicit_schema(spark, sf_dir):
     plan = _executed_plan(SPECS["src_csv_malformed"].fn(spark, sf_dir))
     assert "FileScan csv" in plan
     assert "Join" not in plan
+
+
+def test_time_window_semi_is_equi_semi_join(spark, sf_dir):
+    """The +-1 h predicate must ride an equi hash semi-join on
+    (user, bucket) — never a BNL/cartesian range join."""
+    plan = _executed_plan(
+        SPECS["q_join_time_window_semi"].fn(spark, sf_dir)
+    )
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_win_slope_single_window_shuffle(spark, sf_dir):
+    """Rank + the four frame sums share the event_type partitioning:
+    exactly one hashpartitioning exchange."""
+    plan = _executed_plan(SPECS["q_win_slope"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1

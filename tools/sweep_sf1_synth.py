@@ -71,8 +71,16 @@ SWEEP = [
     "q_graph_triangles", "q_agg_cms_portable", "q_llm_dsir",
     "q_funnel", "q_agg_bitmap_portable", "q_cdc_upsert",
     "q_llm_keywords", "q_agg_hist_quantile",
+    # round-6 third/fourth batches (llm_mm_phash_dedup excluded: its
+    # doc_id <= 200 fixture cap keeps only replica 0, so the synth
+    # replication adds nothing to measure)
+    "q_tpch_q10", "q_graph_adamic_adar", "q_event_trigrams",
+    "q_time_holt", "q_join_scd2_lookup", "q_llm_ppl_bucket",
+    "q_time_seasonal",
 ]
-JOIN_COMPOSITES = {"q_join_star", "q_tpch_q3", "q_tpch_q5", "q_join_smj"}
+JOIN_COMPOSITES = {
+    "q_join_star", "q_tpch_q3", "q_tpch_q5", "q_join_smj", "q_tpch_q10",
+}
 
 
 def _pow10_unit(mx: int) -> int:

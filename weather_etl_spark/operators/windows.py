@@ -621,3 +621,101 @@ def q_win_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("avg_peak"),
     )
+
+
+@register(
+    "q_win_slope",
+    oracle="""
+WITH s AS (
+  SELECT event_type, event_id, ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS y,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY ts, event_id) AS BIGINT) AS x
+  FROM events
+), f AS (
+  SELECT event_type, event_id, ts, x,
+         COUNT(*) OVER fr AS n,
+         SUM(x)     OVER fr AS sx,
+         SUM(y)     OVER fr AS sy,
+         SUM(x * y) OVER fr AS sxy,
+         SUM(x * x) OVER fr AS sx2
+  FROM s
+  WINDOW fr AS (PARTITION BY event_type ORDER BY x
+                ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+       CASE WHEN n * sx2 - sx * sx = 0 THEN NULL
+            ELSE CAST(CASE
+              WHEN n * sxy - sx * sy >= 0
+              THEN ((n * sxy - sx * sy) * 20000 + (n * sx2 - sx * sx))
+                   // (2 * (n * sx2 - sx * sx))
+              ELSE -(((sx * sy - n * sxy) * 20000 + (n * sx2 - sx * sx))
+                     // (2 * (n * sx2 - sx * sx)))
+            END AS DOUBLE) / 10000 END AS slope
+FROM f
+""",
+    doc="Rolling regression slope (the trend detector a step past "
+    "q_time_ewma): per event type in time order, the least-squares "
+    "slope of value-cents against observation index over a trailing "
+    "24-row frame — slope = (n Sxy - Sx Sy) / (n Sx2 - Sx^2). Both "
+    "x (row index) and y (integer cents) are exact integers, every "
+    "frame sum is an exact BIGINT window aggregate, and the final "
+    "4-decimal rounding is integer half-away arithmetic — zero "
+    "float operations anywhere, so no cross-engine rounding "
+    "boundary exists. The first row of each series (degenerate "
+    "frame, zero variance in x) is NULL.",
+    scale_notes="One shuffle on event_type shared by the rank window "
+    "and the four frame sums (same partitioning + ordering -> one "
+    "WindowExec pair), O(1) state per row via running-sum frames. "
+    "The integer cross-products fit BIGINT through sf10; beyond "
+    "that the same formula widens to DECIMAL(38,0). Skewed types "
+    "pre-bucket by time with 23-row boundary overlap.",
+)
+def q_win_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w_rank = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("y"),
+        F.row_number().over(w_rank).cast("bigint").alias("x"),
+    )
+    fr = (
+        Window.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(-23, Window.currentRow)
+    )
+    f = s.select(
+        "event_type",
+        "event_id",
+        "ts",
+        "x",
+        F.count(F.lit(1)).over(fr).alias("n"),
+        F.sum("x").over(fr).alias("sx"),
+        F.sum("y").over(fr).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(fr).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(fr).alias("sx2"),
+    )
+    den = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope4 = F.when(
+        num >= 0,
+        F.expr(
+            "((n * sxy - sx * sy) * 20000 + (n * sx2 - sx * sx))"
+            " div (2 * (n * sx2 - sx * sx))"
+        ),
+    ).otherwise(
+        -F.expr(
+            "((sx * sy - n * sxy) * 20000 + (n * sx2 - sx * sx))"
+            " div (2 * (n * sx2 - sx * sx))"
+        )
+    )
+    return f.select(
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.when(den == 0, F.lit(None).cast("double")).otherwise(
+            slope4.cast("double") / 10000
+        ).alias("slope"),
+    )

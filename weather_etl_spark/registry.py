@@ -311,6 +311,7 @@ DRIVER_DEFERRED: frozenset[str] = frozenset({
     "q_time_holt", "q_join_scd2_lookup", "q_agg_ab_srm",
     "q_graph_adamic_adar", "q_scan_column_stats",
     "llm_mm_phash_dedup", "q_time_seasonal", "src_csv_malformed",
+    "q_join_time_window_semi", "q_win_slope",
 })
 
 
