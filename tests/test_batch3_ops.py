@@ -480,3 +480,84 @@ def test_win_slope_matches_python(spark):
         for r in SPECS["q_win_slope"].fn(spark, SMOKE_SF_DIR).collect()
     }
     assert got == want
+
+
+def test_time_window_anti_is_exact_complement(spark):
+    """semi ∪ anti = all purchases, disjoint."""
+    semi = {
+        r["purchase_id"]
+        for r in SPECS["q_join_time_window_semi"].fn(spark, SF).collect()
+    }
+    anti = {
+        r["purchase_id"]
+        for r in SPECS["q_join_time_window_anti"].fn(spark, SF).collect()
+    }
+    assert not (semi & anti)
+    n_purch = (
+        spark.read.parquet(SF + "/events.parquet")
+        .filter("event_type = 'purchase'")
+        .count()
+    )
+    assert len(semi) + len(anti) == n_purch
+
+
+def test_bpe_train_matches_python(spark):
+    """Differential: a pure-python BPE trainer (explicit token lists,
+    no string tricks) must produce the identical merge table at the
+    smoke SF — proving the double-space replace implements real BPE
+    merge semantics."""
+    import collections
+
+    docs = [
+        r["text"].split(" ")
+        for r in spark.read.parquet(
+            SMOKE_SF_DIR + "/documents.parquet"
+        ).collect()
+    ]
+    want = []
+    for step in range(1, 6):
+        cnt = collections.Counter()
+        for toks in docs:
+            for i in range(len(toks) - 1):
+                cnt[(toks[i], toks[i + 1])] += 1
+        if not cnt:
+            break
+        pair = min(cnt, key=lambda p: (-cnt[p], " ".join(p)))
+        merged = []
+        n_after = 0
+        for toks in docs:
+            out = []
+            i = 0
+            while i < len(toks):
+                if (
+                    i + 1 < len(toks)
+                    and (toks[i], toks[i + 1]) == pair
+                ):
+                    out.append(toks[i] + "+" + toks[i + 1])
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            merged.append(out)
+            n_after += len(out)
+        docs = merged
+        want.append((step, " ".join(pair), cnt[pair], n_after))
+    got = sorted(
+        (r["step"], r["pair"], r["cnt"], r["tokens_after"])
+        for r in SPECS["q_llm_bpe_train"].fn(spark, SMOKE_SF_DIR).collect()
+    )
+    assert got == want
+
+
+def test_bpe_train_merge_counts_monotone_context(spark):
+    rows = sorted(
+        SPECS["q_llm_bpe_train"].fn(spark, SF).collect(),
+        key=lambda r: r["step"],
+    )
+    assert [r["step"] for r in rows] == [1, 2, 3, 4, 5]
+    assert all(r["cnt"] > 0 and " " in r["pair"] for r in rows)
+    # each merge removes exactly cnt tokens from the corpus
+    toks = [r["tokens_after"] for r in rows]
+    assert toks == sorted(toks, reverse=True)
+    for a, b, r in zip(toks, toks[1:], rows[1:]):
+        assert a - b == r["cnt"]

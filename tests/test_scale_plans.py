@@ -876,3 +876,23 @@ def test_win_slope_single_window_shuffle(spark, sf_dir):
     exactly one hashpartitioning exchange."""
     plan = _executed_plan(SPECS["q_win_slope"].fn(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_time_window_anti_is_equi_anti_join(spark, sf_dir):
+    plan = _executed_plan(
+        SPECS["q_join_time_window_anti"].fn(spark, sf_dir)
+    )
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_train_argmax_travels_in_plan(spark, sf_dir):
+    """The per-round merge value must reach the rewrite as a 1-row
+    broadcast inside the plan — no driver collect: the final plan
+    contains the broadcast joins and the op function performs no
+    action until count()."""
+    df = SPECS["q_llm_bpe_train"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert plan.count("BroadcastNestedLoopJoin") >= 5  # 1-row crossJoins
+    assert "TakeOrderedAndProject" in plan  # each round's argmax

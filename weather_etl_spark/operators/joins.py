@@ -1032,3 +1032,67 @@ def q_join_time_window_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("p_us").alias("ts_us"),
     )
+
+
+@register(
+    "q_join_time_window_anti",
+    oracle="""
+SELECT p.event_id AS purchase_id, p.user_id, epoch_us(p.ts) AS ts_us
+FROM events p
+WHERE p.event_type = 'purchase'
+  AND NOT EXISTS (
+    SELECT 1 FROM events e
+    WHERE e.event_type = 'error'
+      AND e.user_id = p.user_id
+      AND e.ts BETWEEN p.ts - INTERVAL 1 HOUR
+                   AND p.ts + INTERVAL 1 HOUR)
+""",
+    doc="Windowed absence join (the complement of "
+    "q_join_time_window_semi): purchases by users with NO error "
+    "within +-1 h — the 'clean conversion' / absence-of-signal "
+    "detector. Same hour-bucket grid bounding, flipped to LEFT "
+    "ANTI: the bucket candidates are a superset of true matches, "
+    "so anti-joining against them with the exact |dt| predicate is "
+    "precisely NOT EXISTS.",
+    scale_notes="Identical physics to the semi variant: 3x "
+    "replication of the filtered error side, one (user_id, bucket) "
+    "hash shuffle, anti-join short-circuit. Absence queries at "
+    "100 TB are the same plan as presence queries — only the join "
+    "type bit differs.",
+)
+def q_join_time_window_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("p_us"),
+        F.floor(F.unix_micros("ts") / _TW_TOL_US).alias("pb"),
+    )
+    err = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.unix_micros("ts").alias("e_us"),
+        )
+        .withColumn(
+            "pb",
+            F.explode(
+                F.array(
+                    F.floor(F.col("e_us") / _TW_TOL_US) - 1,
+                    F.floor(F.col("e_us") / _TW_TOL_US),
+                    F.floor(F.col("e_us") / _TW_TOL_US) + 1,
+                )
+            ),
+        )
+    )
+    return purch.join(
+        err,
+        (purch.user_id == err.e_user)
+        & (purch.pb == err.pb)
+        & (F.abs(purch.p_us - err.e_us) <= _TW_TOL_US),
+        "left_anti",
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("p_us").alias("ts_us"),
+    )

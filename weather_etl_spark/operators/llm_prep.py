@@ -1178,3 +1178,136 @@ def q_llm_prefix_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("tb").alias("long_len"),
         )
     )
+
+
+#: BPE training rounds for q_llm_bpe_train (fixed so the oracle can
+#: unroll the identical iteration count).
+_BPE_ROUNDS = 5
+
+
+def _bpe_train_oracle(rounds: int = _BPE_ROUNDS) -> str:
+    """Unrolled DuckDB oracle for the iterative BPE trainer: each round
+    recounts adjacent pairs on the partially-merged corpus, picks the
+    (cnt DESC, pair ASC) argmax, and applies it with the double-space
+    delimiter trick (tokens get private spaces, so a literal replace
+    can never match inside a token and left-to-right non-overlap is
+    exactly BPE merge order)."""
+    parts = ["WITH d0 AS (SELECT doc_id, text AS txt FROM documents)"]
+    selects = []
+    for r in range(1, rounds + 1):
+        prev = f"d{r - 1}"
+        parts.append(f"""c{r} AS (
+  SELECT pair, COUNT(*) AS cnt FROM (
+    SELECT unnest(list_transform(range(1, len(t)),
+                                 i -> t[i] || ' ' || t[i + 1])) AS pair
+    FROM (SELECT string_split(txt, ' ') AS t FROM {prev}) s
+    WHERE len(t) >= 2
+  ) p
+  GROUP BY pair
+  ORDER BY cnt DESC, pair ASC LIMIT 1
+)""")
+        parts.append(f"""d{r} AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           replace(' ' || replace(txt, ' ', '  ') || ' ',
+                   ' ' || replace(c{r}.pair, ' ', '  ') || ' ',
+                   ' ' || replace(c{r}.pair, ' ', '+') || ' '),
+           ' +', ' ', 'g')) AS txt
+  FROM {prev} CROSS JOIN c{r}
+)""")
+        parts.append(f"""t{r} AS (
+  SELECT CAST(SUM(len(string_split(txt, ' '))) AS BIGINT) AS n
+  FROM d{r}
+)""")
+        selects.append(
+            f"SELECT {r} AS step, pair, cnt, t{r}.n AS tokens_after "
+            f"FROM c{r} CROSS JOIN t{r}"
+        )
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register(
+    "q_llm_bpe_train",
+    oracle=_bpe_train_oracle(),
+    doc="Iterative BPE tokenizer TRAINING, 5 full merge rounds, "
+    "exact-oracled: each round recounts adjacent word-pair "
+    "frequencies over the PARTIALLY-MERGED corpus (q_llm_bpe_pairs "
+    "is one round's counting step), selects the (count DESC, pair "
+    "ASC) argmax, and applies the merge corpus-wide. Merge "
+    "application uses the double-space delimiter trick — every "
+    "token gets private surrounding spaces, so a literal "
+    "left-to-right replace matches exactly BPE's non-overlapping "
+    "merge order and can never match inside a token. Output: the "
+    "learned merge table (step, pair, count at selection time, "
+    "corpus token count after the merge) — the artifact a "
+    "tokenizer trainer persists.",
+    scale_notes="Five map-combined (pair, count) shuffles + five "
+    "narrow corpus rewrites; the argmax is a 1-row "
+    "TakeOrderedAndProject crossJoin-broadcast back into the "
+    "rewrite — NO driver collect, the merge value travels inside "
+    "the plan. Real trainers run thousands of rounds on a corpus "
+    "SAMPLE (q_sample_hash) then apply the frozen merge table in "
+    "one pass; the per-round physics is identical.",
+)
+def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("txt")
+    )
+    out_steps = []
+    for step in range(1, _BPE_ROUNDS + 1):
+        toks = docs.select(F.split("txt", " ").alias("t")).filter(
+            F.size("t") >= 2
+        )
+        counted = (
+            toks.select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(t) - 1),"
+                        " i -> concat_ws(' ', element_at(t, i),"
+                        " element_at(t, i + 1)))"
+                    )
+                ).alias("pair")
+            )
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        best = (
+            counted.orderBy(F.col("cnt").desc(), F.col("pair").asc())
+            .limit(1)
+            .select("pair", "cnt")
+        )
+        spaced = F.concat(
+            F.lit(" "), F.replace(F.col("txt"), F.lit(" "), F.lit("  ")),
+            F.lit(" "),
+        )
+        pat = F.concat(
+            F.lit(" "),
+            F.replace(F.col("pair"), F.lit(" "), F.lit("  ")),
+            F.lit(" "),
+        )
+        rep = F.concat(
+            F.lit(" "),
+            F.replace(F.col("pair"), F.lit(" "), F.lit("+")),
+            F.lit(" "),
+        )
+        docs = docs.crossJoin(F.broadcast(best)).select(
+            "doc_id",
+            F.trim(
+                F.regexp_replace(F.replace(spaced, pat, rep), " +", " ")
+            ).alias("txt"),
+        )
+        tokens_after = docs.agg(
+            F.sum(F.size(F.split("txt", " "))).cast("bigint").alias("n")
+        )
+        out_steps.append(
+            best.crossJoin(tokens_after).select(
+                F.lit(step).alias("step"),
+                "pair",
+                "cnt",
+                F.col("n").alias("tokens_after"),
+            )
+        )
+    out = out_steps[0]
+    for s in out_steps[1:]:
+        out = out.unionByName(s)
+    return out

@@ -312,6 +312,7 @@ DRIVER_DEFERRED: frozenset[str] = frozenset({
     "q_graph_adamic_adar", "q_scan_column_stats",
     "llm_mm_phash_dedup", "q_time_seasonal", "src_csv_malformed",
     "q_join_time_window_semi", "q_win_slope",
+    "q_join_time_window_anti", "q_llm_bpe_train",
 })
 
 
