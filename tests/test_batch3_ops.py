@@ -561,3 +561,45 @@ def test_bpe_train_merge_counts_monotone_context(spark):
     assert toks == sorted(toks, reverse=True)
     for a, b, r in zip(toks, toks[1:], rows[1:]):
         assert a - b == r["cnt"]
+
+
+def test_tpch_q18_threshold_semantics(spark):
+    rows = SPECS["q_tpch_q18"].fn(spark, SF).collect()
+    assert 0 < len(rows) <= 25
+    assert all(r["sum_qty"] > 300 for r in rows)
+    prices = [r["total_price"] for r in rows]
+    assert prices == sorted(prices, reverse=True)
+    # every reported order's quantity re-derives from raw lineitem
+    li = (
+        spark.read.parquet(SF + "/lineitem.parquet")
+        .groupBy("l_orderkey")
+        .sum("l_quantity")
+        .collect()
+    )
+    qty = {r["l_orderkey"]: int(round(r["sum(l_quantity)"])) for r in li}
+    for r in rows:
+        assert qty[r["o_orderkey"]] == r["sum_qty"]
+
+
+def test_rolling_median_matches_python(spark):
+    import collections, statistics
+
+    ev = sorted(
+        spark.read.parquet(SMOKE_SF_DIR + "/events.parquet").collect(),
+        key=lambda r: (r["event_type"], r["ts"], r["event_id"]),
+    )
+    series = collections.defaultdict(list)
+    for r in ev:
+        series[r["event_type"]].append(
+            (r["event_id"], int(round(r["value"] * 100)))
+        )
+    want = {}
+    for typ, pts in series.items():
+        for i, (eid, _y) in enumerate(pts):
+            frame = [y for _e, y in pts[max(0, i - 23) : i + 1]]
+            want[eid] = statistics.median(frame) / 100
+    got = {
+        r["event_id"]: r["med"]
+        for r in SPECS["q_win_rolling_median"].fn(spark, SMOKE_SF_DIR).collect()
+    }
+    assert got == want

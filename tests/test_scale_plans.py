@@ -896,3 +896,18 @@ def test_bpe_train_argmax_travels_in_plan(spark, sf_dir):
     plan = _executed_plan(df)
     assert plan.count("BroadcastNestedLoopJoin") >= 5  # 1-row crossJoins
     assert "TakeOrderedAndProject" in plan  # each round's argmax
+
+
+def test_tpch_q18_reduces_before_join(spark, sf_dir):
+    """The HAVING subquery must become a pre-aggregated semi side,
+    and the top-25 a TakeOrderedAndProject."""
+    plan = _executed_plan(SPECS["q_tpch_q18"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Subquery" not in plan
+
+
+def test_rolling_median_single_shuffle(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_win_rolling_median"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1

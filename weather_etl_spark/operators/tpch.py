@@ -478,3 +478,76 @@ ORDER BY max_price DESC, c.c_custkey ASC
 LIMIT 25
 """
     )
+
+
+@register(
+    "q_tpch_q18",
+    oracle="""
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       ROUND(o_totalprice, 4) AS total_price,
+       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 300)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 25
+""",
+    doc="TPC-H Q18 (large-volume customers): orders whose total "
+    "lineitem quantity exceeds 300 units, joined back to customer, "
+    "top 25 by order value. The IN (... GROUP BY ... HAVING SUM) "
+    "subquery is the spec's shape — Catalyst rewrites it to a "
+    "semi-join against the pre-aggregated quantity table. "
+    "Quantities are integral by fixture construction and summed as "
+    "BIGINT, so the HAVING threshold has no float boundary.",
+    scale_notes="The quantity pre-aggregate shuffles lineitem once "
+    "on orderkey and reduces to qualifying keys BEFORE the 3-way "
+    "join, so the big join probes only heavy orders (a few % of "
+    "the fact). AQE broadcasts the shrunken semi side; top-25 is "
+    "TakeOrderedAndProject. Same dominant orderkey shuffle as "
+    "q_join_smj at any scale.",
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.round("l_quantity").cast("bigint").alias("qty")
+    )
+    heavy = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qty").alias("sq"))
+        .filter(F.col("sq") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(heavy, "l_orderkey", "left_semi")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_totalprice",
+        )
+        .agg(F.sum("qty").cast("bigint").alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "order_date",
+            F.round("o_totalprice", 4).alias("total_price"),
+            "sum_qty",
+        )
+    )

@@ -719,3 +719,53 @@ def q_win_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             slope4.cast("double") / 10000
         ).alias("slope"),
     )
+
+
+@register(
+    "q_win_rolling_median",
+    oracle="""
+WITH s AS (
+  SELECT event_type, event_id, ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS y
+  FROM events
+)
+SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+       CAST(median(y) OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id
+                            ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) / 100 AS med
+FROM s
+""",
+    doc="Rolling median (the robust companion to q_win_moving's "
+    "mean): exact median of value over a trailing 24-row frame per "
+    "event type. Medians run on integer CENTS: for even frames the "
+    "midpoint mean (a+b)/2 of two ints is a dyadic rational, exact "
+    "in both engines, and the final /100 is the same IEEE op — so "
+    "the output needs NO rounding discipline at all.",
+    scale_notes="One event_type shuffle, per-frame median is "
+    "O(w log w) worst case over a 24-row window — constant per row. "
+    "At 100 TB a wider frame swaps to the two-heap streaming median "
+    "per partition (mapInPandas) or the fixed-bin histogram sketch "
+    "(q_agg_hist_quantile) when approximate is acceptable.",
+)
+def q_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("y"),
+    )
+    fr = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-23, Window.currentRow)
+    )
+    return s.select(
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        (
+            F.expr("percentile(y, 0.5)").over(fr).cast("double") / 100
+        ).alias("med"),
+    )
