@@ -61,6 +61,9 @@ LLM_SECTION = [
     "llm_embed_dedup_blocked",
     "q_llm_perplexity",
     "q_agg_kmv_portable",
+    # added late-r6 (still within the section's baseline round): the
+    # iterative-training shape nothing else in either section covers
+    "q_llm_bpe_train",
 ]
 
 

@@ -603,3 +603,28 @@ def test_rolling_median_matches_python(spark):
         for r in SPECS["q_win_rolling_median"].fn(spark, SMOKE_SF_DIR).collect()
     }
     assert got == want
+
+
+def test_semdedup_keep_rule(spark):
+    """Exactly one kept member per duplicate clique side: for every
+    dropped vector there exists a same-bucket neighbor with lower
+    (c_sim, id) that is closer to the centroid — and the global
+    minimum of each bucket's duplicate set is always kept."""
+    rows = SPECS["q_llm_semdedup"].fn(spark, SF).collect()
+    assert any(not r["kept"] for r in rows), "fixture should drop some"
+    assert any(r["kept"] and r["n_dups"] > 0 for r in rows), (
+        "edge examples with duplicates should survive"
+    )
+    import collections
+
+    by_bucket = collections.defaultdict(list)
+    for r in rows:
+        by_bucket[r["bucket"]].append(r)
+    for bucket, rs in by_bucket.items():
+        dups = [r for r in rs if r["n_dups"] > 0]
+        if dups:
+            best = min(dups, key=lambda r: (r["c_sim"], r["vec_id"]))
+            assert best["kept"], (bucket, best)
+    # every vector accounted for exactly once
+    assert len(rows) == 500
+    assert len({r["vec_id"] for r in rows}) == 500

@@ -911,3 +911,11 @@ def test_rolling_median_single_shuffle(spark, sf_dir):
     plan = _executed_plan(SPECS["q_win_rolling_median"].fn(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Window") == 1
+
+
+def test_semdedup_pairs_are_bucket_scoped(spark, sf_dir):
+    """The pair scan must join on the bucket key (hash join), never
+    an unkeyed all-pairs node."""
+    plan = _executed_plan(SPECS["q_llm_semdedup"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

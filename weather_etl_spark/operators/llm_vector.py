@@ -674,3 +674,159 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_l1"),
         )
     )
+
+
+@register(
+    "q_llm_semdedup",
+    oracle="""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+        + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+        + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) AS bucket
+  FROM embeddings
+), comp AS (
+  SELECT b.bucket, ax.p,
+         CAST(SUM(CAST(ROUND(b.emb[ax.p] * 1000000) AS BIGINT))
+              AS BIGINT) AS c
+  FROM base b CROSS JOIN (SELECT unnest(range(1, 65)) AS p) ax
+  GROUP BY b.bucket, ax.p
+), cent AS (
+  SELECT bucket, list(CAST(c AS DOUBLE) ORDER BY p) AS cv FROM comp
+  GROUP BY bucket
+), scored AS (
+  SELECT b.vec_id, b.bucket, b.emb,
+         list_sum(list_transform(range(1, 65),
+                                 i -> b.emb[i] * cent.cv[i]))
+         / (sqrt(list_sum(list_transform(range(1, 65),
+                                         i -> b.emb[i] * b.emb[i])))
+            * sqrt(list_sum(list_transform(range(1, 65),
+                                           i -> cent.cv[i] * cent.cv[i]))))
+           AS c_sim
+  FROM base b JOIN cent USING (bucket)
+), nbrs AS (
+  SELECT x.vec_id,
+         COUNT(*) AS n_dups,
+         CAST(BOOL_OR(y.c_sim < x.c_sim
+                      OR (y.c_sim = x.c_sim AND y.vec_id < x.vec_id))
+              AS BOOLEAN) AS has_better
+  FROM scored x JOIN scored y
+    ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
+   AND list_cosine_similarity(x.emb, y.emb) > 0.45
+  GROUP BY x.vec_id
+)
+SELECT s.vec_id, s.bucket,
+       COALESCE(n.n_dups, 0) AS n_dups,
+       ROUND(s.c_sim, 4) AS c_sim,
+       COALESCE(NOT n.has_better, TRUE) AS kept
+FROM scored s LEFT JOIN nbrs n USING (vec_id)
+""",
+    doc="SemDeDup (Abbas et al. 2023) semantic deduplication, "
+    "bucket-scoped: vectors bucket by axis-aligned sign LSH (the "
+    "coordinate-hyperplane special case of random projection; the "
+    "paper uses k-means cells — same bucket-then-dedup structure), "
+    "pairs within a bucket at cosine > 0.45 are semantic "
+    "duplicates, and per the paper's keep rule the member with the "
+    "LOWEST similarity to the bucket centroid survives (ties to "
+    "the lower id) — keeping the 'edge' example, dropping the "
+    "redundant interior. The centroid is an exact integer-micro "
+    "sum (order-independent; cosine is scale-invariant so the "
+    "un-normalized integer vector is the centroid), and every "
+    "c_sim comparison runs on identical left-fold doubles in both "
+    "engines.",
+    scale_notes="Bucketing is a zero-shuffle projection; centroids "
+    "are a bucket x dim integer ledger (map-combined). The "
+    "in-bucket pair scan is sum(bucket^2) — at 100 TB raise the "
+    "sign-bit count (2^b buckets) so buckets stay bounded, exactly "
+    "like llm_ann_lsh's table scaling, and recurse on oversized "
+    "buckets as llm_embed_dedup_blocked documents. Keep-rule "
+    "reduction is a per-bucket aggregate, no global state.",
+)
+def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        (
+            (F.element_at("embedding", 1) >= 0).cast("int")
+            + (F.element_at("embedding", 2) >= 0).cast("int") * 2
+            + (F.element_at("embedding", 3) >= 0).cast("int") * 4
+        ).alias("bucket"),
+    )
+    comp = (
+        base.select(
+            "bucket",
+            F.posexplode(
+                F.expr(
+                    "transform(emb,"
+                    " x -> cast(round(x * 1000000) as bigint))"
+                )
+            ).alias("p0", "v"),
+        )
+        .groupBy("bucket", "p0")
+        .agg(F.sum("v").cast("bigint").alias("c"))
+    )
+    cent = comp.groupBy("bucket").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(p0, c))),"
+            " s -> cast(s.c as double))"
+        ).alias("cv")
+    )
+    fold = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        " 0D, (acc, x) -> acc + x)"
+    )
+    scored = base.join(cent, "bucket").select(
+        "vec_id",
+        "bucket",
+        "emb",
+        (
+            F.expr(fold.format(a="emb", b="cv"))
+            / (
+                F.sqrt(F.expr(fold.format(a="emb", b="emb")))
+                * F.sqrt(F.expr(fold.format(a="cv", b="cv")))
+            )
+        ).alias("c_sim"),
+    )
+    cos = _make_cosine_pandas()
+    x = scored.select(
+        F.col("vec_id").alias("x_id"),
+        F.col("bucket").alias("bk"),
+        F.col("emb").alias("x_emb"),
+        F.col("c_sim").alias("x_sim"),
+    )
+    y = scored.select(
+        F.col("vec_id").alias("y_id"),
+        F.col("bucket").alias("bk"),
+        F.col("emb").alias("y_emb"),
+        F.col("c_sim").alias("y_sim"),
+    )
+    nbrs = (
+        x.join(y, "bk")
+        .filter(F.col("x_id") != F.col("y_id"))
+        .filter(cos(F.col("x_emb"), F.col("y_emb")) > 0.45)
+        .groupBy("x_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.max(
+                (
+                    (F.col("y_sim") < F.col("x_sim"))
+                    | (
+                        (F.col("y_sim") == F.col("x_sim"))
+                        & (F.col("y_id") < F.col("x_id"))
+                    )
+                ).cast("int")
+            ).alias("hb"),
+        )
+    )
+    return scored.join(
+        nbrs, scored.vec_id == nbrs.x_id, "left"
+    ).select(
+        "vec_id",
+        "bucket",
+        F.coalesce(F.col("n_dups"), F.lit(0)).cast("bigint").alias(
+            "n_dups"
+        ),
+        F.round("c_sim", 4).alias("c_sim"),
+        F.coalesce(F.col("hb") == 0, F.lit(True)).alias("kept"),
+    )
