@@ -628,3 +628,47 @@ def test_semdedup_keep_rule(spark):
     # every vector accounted for exactly once
     assert len(rows) == 500
     assert len({r["vec_id"] for r in rows}) == 500
+
+
+def test_apply_bpe_consistent_with_train(spark):
+    """Corpus-wide n_merged must equal the train table's total merge
+    count, and every doc's token delta is non-negative."""
+    train = SPECS["q_llm_bpe_train"].fn(spark, SF).collect()
+    apply = SPECS["q_llm_apply_bpe"].fn(spark, SF).collect()
+    assert sum(r["cnt"] for r in train) == sum(
+        r["n_merged"] for r in apply
+    )
+    for r in apply:
+        assert 0 <= r["n_merged"] < r["n_before"] or (
+            r["n_merged"] == 0 and r["n_before"] == r["n_after"]
+        )
+        assert r["n_before"] - r["n_after"] == r["n_merged"]
+
+
+def test_lpa_communities_partition_nodes(spark):
+    rows = SPECS["q_graph_lpa_communities"].fn(spark, SF).collect()
+    assert 0 < len(rows) <= 25
+    sizes = [r["n_members"] for r in rows]
+    assert sizes == sorted(sizes, reverse=True)
+    for r in rows:
+        # a community's label is one of its own nodes' initial labels,
+        # so min_node <= community can only fail if the label migrated
+        # out of the community — LPA allows that, but the label must
+        # still be a real part key
+        assert r["n_members"] >= 1
+    # deterministic across re-execution
+    again = SPECS["q_graph_lpa_communities"].fn(spark, SF).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_csv_quoted_roundtrip_is_lossless(spark):
+    row = SPECS["snk_csv_quoted"].fn(spark, SF).collect()[0]
+    nat = spark.read.parquet(SF + "/nation.parquet").collect()
+    strings = ['a,"' + r["n_name"] + '"\ntail,' for r in nat]
+    assert row["n"] == len(strings)
+    assert row["total_bytes"] == sum(
+        len(s.encode("utf-8")) for s in strings
+    )
+    assert row["n_distinct"] == len(set(strings))
+    assert row["min_s"] == min(strings)
+    assert row["key_sum"] == sum(r["n_nationkey"] for r in nat)

@@ -919,3 +919,20 @@ def test_semdedup_pairs_are_bucket_scoped(spark, sf_dir):
     plan = _executed_plan(SPECS["q_llm_semdedup"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lpa_rounds_join_labels_not_edges_squared(spark, sf_dir):
+    """Each LPA round must be an equi hash join of edges to the
+    node-sized label table — no BNL/cartesian anywhere in 3 rounds."""
+    plan = _executed_plan(
+        SPECS["q_graph_lpa_communities"].fn(spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_apply_bpe_rewrite_is_narrow(spark, sf_dir):
+    """The apply pass adds no shuffle beyond training: the final
+    join back to the original corpus is the only extra exchange."""
+    plan = _executed_plan(SPECS["q_llm_apply_bpe"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan

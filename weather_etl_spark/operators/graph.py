@@ -16,7 +16,7 @@ the §7.4 exact-avg pattern applied to an iterative fixpoint.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from weather_etl_spark.checkpoints import (
@@ -477,3 +477,134 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(25)
     )
+
+
+#: Synchronous label-propagation rounds (fixed so the oracle unrolls
+#: the identical iteration count).
+_LPA_ROUNDS = 3
+
+_LPA_EDGE_CTES = """li AS (
+  SELECT DISTINCT l.l_orderkey, l.l_partkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+), edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), und AS (
+  SELECT u AS src, v AS dst FROM edges
+  UNION ALL
+  SELECT v AS src, u AS dst FROM edges
+)"""
+
+
+def _lpa_oracle(rounds: int = _LPA_ROUNDS) -> str:
+    parts = [
+        "WITH " + _LPA_EDGE_CTES,
+        "l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM und)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""r{r} AS (
+  SELECT e.src AS node, l.lbl, COUNT(*) AS c
+  FROM und e JOIN l{r - 1} l ON l.node = e.dst
+  GROUP BY e.src, l.lbl
+), l{r} AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY c DESC, lbl ASC) AS rn
+    FROM r{r}) t
+  WHERE rn = 1
+)""")
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT lbl AS community, COUNT(*) AS n_members, MIN(node) AS min_node
+FROM l{rounds}
+GROUP BY lbl
+ORDER BY n_members DESC, community ASC
+LIMIT 25
+"""
+    )
+
+
+@register(
+    "q_graph_lpa_communities",
+    oracle=_lpa_oracle(),
+    doc="Community detection by synchronous label propagation on the "
+    "quarterly part co-purchase graph: labels initialize to node "
+    "ids, and for 3 synchronous rounds every node adopts the MODE "
+    "of its neighbors' labels (ties to the smallest label — the "
+    "standard deterministic LPA tie-break); output is the top-25 "
+    "communities by size. Fixed unrolled rounds make the iteration "
+    "exactly mirrorable in SQL, the same discipline as "
+    "q_graph_pagerank's 3 damped iterations.",
+    scale_notes="Each round is one edges-to-labels hash join (labels "
+    "are node-sized, edges edge-sized) + a (node, label) "
+    "map-combined count + a per-node argmax window — the canonical "
+    "iterate-as-join-aggregate shape GraphX lowers to. Rounds are "
+    "fixed, not data-dependent; at 100 TB labels localCheckpoint "
+    "per round (the q_llm_dedup_components pattern) to cut lineage.",
+)
+def q_graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    und = edges.select("u", "v").unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).toDF("src", "dst")
+    und, und_ids = tracked_local_checkpoint(und)
+    labels = und.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("lbl").asc()
+    )
+    for _r in range(_LPA_ROUNDS):
+        counted = (
+            und.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("lbl")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            counted.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+    out = (
+        labels.groupBy(F.col("lbl").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("node").alias("min_node"),
+        )
+        .orderBy(F.col("n_members").desc(), F.col("community").asc())
+        .limit(25)
+    )
+    out = out.localCheckpoint()
+    release_rdds(spark, und_ids)
+    return out

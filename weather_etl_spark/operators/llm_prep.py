@@ -1311,3 +1311,93 @@ def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in out_steps[1:]:
         out = out.unionByName(s)
     return out
+
+
+def _bpe_apply_oracle(rounds: int = _BPE_ROUNDS) -> str:
+    """Per-doc compression stats after applying the trained merge
+    table: reuses the training unroll, then joins the final corpus
+    back to the original."""
+    train = _bpe_train_oracle(rounds)
+    # keep only the CTE chain (strip the final merge-table SELECTs)
+    ctes = train[: train.index("\nSELECT 1 AS step")]
+    return f"""{ctes}
+SELECT d0.doc_id,
+       len(string_split(d0.txt, ' ')) AS n_before,
+       len(string_split(d{rounds}.txt, ' ')) AS n_after,
+       len(string_split(d0.txt, ' '))
+         - len(string_split(d{rounds}.txt, ' ')) AS n_merged
+FROM d0 JOIN d{rounds} USING (doc_id)
+"""
+
+
+@register(
+    "q_llm_apply_bpe",
+    oracle=_bpe_apply_oracle(),
+    doc="BPE merge-table APPLICATION (the inference side of "
+    "q_llm_bpe_train): the 5 trained merges applied corpus-wide, "
+    "reported as per-document compression — tokens before, after, "
+    "and absorbed by merges. Together the train/apply pair is the "
+    "full tokenizer lifecycle: train on a sample, freeze the merge "
+    "table, apply in one distributed pass.",
+    scale_notes="Application is embarrassingly parallel: the frozen "
+    "merge list is a <=rounds-row broadcast and each document "
+    "rewrites independently (narrow, zero shuffle beyond the "
+    "training passes that produce the table). At 100 TB the merge "
+    "table is trained once on a q_sample_hash sample and the apply "
+    "pass is scan-bound.",
+)
+def q_llm_apply_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs0 = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("txt0")
+    )
+    docs = docs0.select("doc_id", F.col("txt0").alias("txt"))
+    for _step in range(_BPE_ROUNDS):
+        toks = docs.select(F.split("txt", " ").alias("t")).filter(
+            F.size("t") >= 2
+        )
+        counted = (
+            toks.select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(t) - 1),"
+                        " i -> concat_ws(' ', element_at(t, i),"
+                        " element_at(t, i + 1)))"
+                    )
+                ).alias("pair")
+            )
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        best = (
+            counted.orderBy(F.col("cnt").desc(), F.col("pair").asc())
+            .limit(1)
+            .select("pair")
+        )
+        spaced = F.concat(
+            F.lit(" "), F.replace(F.col("txt"), F.lit(" "), F.lit("  ")),
+            F.lit(" "),
+        )
+        pat = F.concat(
+            F.lit(" "),
+            F.replace(F.col("pair"), F.lit(" "), F.lit("  ")),
+            F.lit(" "),
+        )
+        rep = F.concat(
+            F.lit(" "),
+            F.replace(F.col("pair"), F.lit(" "), F.lit("+")),
+            F.lit(" "),
+        )
+        docs = docs.crossJoin(F.broadcast(best)).select(
+            "doc_id",
+            F.trim(
+                F.regexp_replace(F.replace(spaced, pat, rep), " +", " ")
+            ).alias("txt"),
+        )
+    n0 = F.size(F.split("txt0", " "))
+    n1 = F.size(F.split("txt", " "))
+    return docs0.join(docs, "doc_id").select(
+        "doc_id",
+        n0.cast("bigint").alias("n_before"),
+        n1.cast("bigint").alias("n_after"),
+        (n0 - n1).cast("bigint").alias("n_merged"),
+    )

@@ -320,3 +320,61 @@ def snk_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Materialize before any scratch cleanup.
     return out.localCheckpoint()
+
+
+@register(
+    "snk_csv_quoted",
+    oracle="""
+WITH tricky AS (
+  SELECT n_nationkey AS k,
+         'a,"' || n_name || '"' || chr(10) || 'tail,' AS s
+  FROM nation
+)
+SELECT COUNT(*) AS n,
+       CAST(SUM(octet_length(encode(s))) AS BIGINT) AS total_bytes,
+       COUNT(DISTINCT s) AS n_distinct,
+       MIN(s) AS min_s,
+       CAST(SUM(k) AS BIGINT) AS key_sum
+FROM tricky
+""",
+    doc="CSV quoting/escaping round-trip on hostile field content: "
+    "strings carrying embedded commas, double-quotes, AND a "
+    "newline are written through the CSV sink (writer quotes and "
+    "escapes them) and read back with multiLine parsing under the "
+    "explicit schema. The aggregate fingerprint (count, byte "
+    "total, distinct count, min string, key checksum) is computed "
+    "over the ROUND-TRIPPED rows on the Spark side but derived "
+    "directly from nation in the oracle — equality proves the "
+    "round-trip is byte-lossless even for the delimiter-collision "
+    "cases that break naive CSV handling.",
+    scale_notes="Same edge-format story as snk_csv_roundtrip, plus "
+    "the operational caveat multiLine implies: embedded newlines "
+    "make CSV files non-splittable per record boundary guess, so "
+    "at scale quoted-newline data belongs in Parquet immediately "
+    "after ingest; the sink demonstrates correctness of the "
+    "interchange hop, not a recommendation.",
+)
+def snk_csv_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = read_table(spark, sf_dir, "nation")
+    tricky = nat.select(
+        F.col("n_nationkey").alias("k"),
+        F.concat(
+            F.lit('a,"'), F.col("n_name"), F.lit('"'),
+            F.lit("\n"), F.lit("tail,"),
+        ).alias("s"),
+    )
+    tmp = scratch_dir("snk_csv_quoted")
+    tricky.write.mode("overwrite").option("header", "true").csv(tmp)
+    back = (
+        spark.read.schema("k long, s string")
+        .option("header", "true")
+        .option("multiLine", "true")
+        .csv(tmp)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.octet_length("s")).cast("bigint").alias("total_bytes"),
+        F.count_distinct("s").alias("n_distinct"),
+        F.min("s").alias("min_s"),
+        F.sum("k").cast("bigint").alias("key_sum"),
+    )

@@ -48,6 +48,9 @@ ALLOW_BNL: dict[str, str] = {
     "q_llm_bpe_train": "five 1-row argmax merge tables crossed back "
     "into the corpus rewrite — the q_filter_ts_cursor pattern, once "
     "per BPE round (llm_prep.py)",
+    "q_llm_apply_bpe": "same five 1-row merge broadcasts as "
+    "q_llm_bpe_train (the apply pass replays the frozen training "
+    "plan, llm_prep.py)",
     "q_agg_benford": "1-row digit-count total crossed into the 9-row "
     "ledger — the q_filter_ts_cursor pattern (drift.py)",
     "q_agg_cms_portable": "constant 4-row depth axis, 1-row state "

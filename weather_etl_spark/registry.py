@@ -315,6 +315,7 @@ DRIVER_DEFERRED: frozenset[str] = frozenset({
     "q_join_time_window_anti", "q_llm_bpe_train",
     "q_tpch_q18", "q_win_rolling_median",
     "q_llm_semdedup",
+    "q_llm_apply_bpe", "q_graph_lpa_communities", "snk_csv_quoted",
 })
 
 
