@@ -672,3 +672,26 @@ def test_csv_quoted_roundtrip_is_lossless(spark):
     assert row["n_distinct"] == len(set(strings))
     assert row["min_s"] == min(strings)
     assert row["key_sum"] == sum(r["n_nationkey"] for r in nat)
+
+
+def test_mark_join_flag_semantics(spark):
+    rows = SPECS["q_join_mark"].fn(spark, SF).collect()
+    orders = spark.read.parquet(SF + "/orders.parquet").collect()
+    big = {o["o_custkey"] for o in orders if o["o_totalprice"] > 450000}
+    n_cust = spark.read.parquet(SF + "/customer.parquet").count()
+    assert len(rows) == n_cust, "mark join must not filter rows"
+    for r in rows:
+        assert r["has_big_order"] == (r["c_custkey"] in big)
+    assert any(r["has_big_order"] for r in rows)
+    assert any(not r["has_big_order"] for r in rows)
+
+
+def test_json_malformed_triage(spark):
+    row = SPECS["src_json_malformed"].fn(spark, SF).collect()[0]
+    nat = spark.read.parquet(SF + "/nation.parquet").collect()
+    bad = [r for r in nat if r["n_nationkey"] % 5 == 2]
+    good = [r for r in nat if r["n_nationkey"] % 5 != 2]
+    assert row["n_rows"] == len(nat)
+    assert row["n_bad"] == len(bad) and row["n_good"] == len(good)
+    assert row["good_key_sum"] == sum(r["n_nationkey"] for r in good)
+    assert row["first_good_name"] == min(r["n_name"] for r in good)

@@ -936,3 +936,12 @@ def test_apply_bpe_rewrite_is_narrow(spark, sf_dir):
     join back to the original corpus is the only extra exchange."""
     plan = _executed_plan(SPECS["q_llm_apply_bpe"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_mark_join_dedupes_before_join(spark, sf_dir):
+    """The flag side must aggregate to distinct keys below the join."""
+    plan = _executed_plan(SPECS["q_join_mark"].fn(spark, sf_dir))
+    assert "HashAggregate" in plan
+    assert plan.index("HashAggregate") > plan.index("Join"), (
+        "distinct must run below (inside) the join build side"
+    )

@@ -1096,3 +1096,43 @@ def q_join_time_window_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("p_us").alias("ts_us"),
     )
+
+
+@register(
+    "q_join_mark",
+    oracle="""
+SELECT c_custkey, c_name,
+       EXISTS (SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > 450000) AS has_big_order
+FROM customer c
+""",
+    doc="Mark join (EXISTS as a projected boolean, not a filter): "
+    "every customer row survives, annotated with whether a "
+    ">450k order exists — the optimizer concept DuckDB calls a "
+    "MARK join and Spark expresses as a left join against the "
+    "pre-aggregated distinct key set with an IS NOT NULL flag. "
+    "Complements q_join_semi/q_join_anti, which FILTER on the "
+    "same predicate instead of annotating.",
+    scale_notes="The probe side reduces to distinct qualifying "
+    "keys (filter -> dedup, dim-sized) before the join, so the "
+    "flag costs one hash join against a shrunken build side — AQE "
+    "broadcasts it. Never a correlated per-row subquery.",
+)
+def q_join_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    big = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 450000)
+        .select(F.col("o_custkey").alias("bk"))
+        .distinct()
+    )
+    return cust.join(
+        big, cust.c_custkey == big.bk, "left"
+    ).select(
+        "c_custkey",
+        "c_name",
+        F.col("bk").isNotNull().alias("has_big_order"),
+    )

@@ -316,6 +316,7 @@ DRIVER_DEFERRED: frozenset[str] = frozenset({
     "q_tpch_q18", "q_win_rolling_median",
     "q_llm_semdedup",
     "q_llm_apply_bpe", "q_graph_lpa_communities", "snk_csv_quoted",
+    "q_join_mark", "src_json_malformed",
 })
 
 

@@ -101,3 +101,76 @@ def src_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("good_region_sum"),
         F.min(F.when(bad, F.col("name"))).alias("first_bad_name"),
     )
+
+
+@register(
+    "src_json_malformed",
+    oracle="""
+WITH tagged AS (
+  SELECT n_nationkey, n_name, n_regionkey,
+         n_nationkey % 5 = 2 AS is_bad
+  FROM nation
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN is_bad THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+       CAST(SUM(CASE WHEN is_bad THEN 0 ELSE 1 END) AS BIGINT) AS n_good,
+       CAST(SUM(CASE WHEN NOT is_bad THEN n_nationkey END) AS BIGINT)
+         AS good_key_sum,
+       CAST(SUM(CASE WHEN NOT is_bad THEN n_regionkey END) AS BIGINT)
+         AS good_region_sum,
+       MIN(CASE WHEN NOT is_bad THEN n_name END) AS first_good_name
+FROM tagged
+""",
+    doc="PERMISSIVE JSON-lines ingest with corrupt-record "
+    "quarantine (the JSONL twin of src_csv_malformed — a different "
+    "parser with the same error-envelope contract): every "
+    "nationkey = 2 (mod 5) line gets truncated into invalid JSON, "
+    "the shard is read back under the explicit schema + "
+    "_corrupt_record, and the triage proves bad lines are flagged "
+    "not fatal while good lines round-trip. Unlike CSV, a JSON "
+    "parse failure voids the whole row (no per-field salvage), "
+    "which is why bad_key_sum is absent from this contract.",
+    scale_notes="Same O(row) streaming-parse story as the CSV "
+    "variant; JSONL additionally pays per-row tokenization. "
+    "Corrupt rows route to a quarantine sink at scale; clean rows "
+    "land Parquet.",
+)
+def src_json_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = read_table(spark, sf_dir, "nation")
+    lines = nat.select(
+        F.when(
+            F.col("n_nationkey") % 5 == 2,
+            F.format_string('{"k": %d, "name": "%s", "region":',
+                            "n_nationkey", "n_name"),
+        )
+        .otherwise(
+            F.format_string(
+                '{"k": %d, "name": "%s", "region": %d}',
+                "n_nationkey", "n_name", "n_regionkey",
+            )
+        )
+        .alias("value")
+    )
+    tmp = scratch_dir("src_json_malformed")
+    lines.write.mode("overwrite").text(tmp)
+    back = (
+        spark.read.schema(
+            "k long, name string, region long, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(tmp)
+    )
+    bad = F.col("_corrupt_record").isNotNull()
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(bad.cast("int")).cast("bigint").alias("n_bad"),
+        F.sum((~bad).cast("int")).cast("bigint").alias("n_good"),
+        F.sum(F.when(~bad, F.col("k")))
+        .cast("bigint")
+        .alias("good_key_sum"),
+        F.sum(F.when(~bad, F.col("region")))
+        .cast("bigint")
+        .alias("good_region_sum"),
+        F.min(F.when(~bad, F.col("name"))).alias("first_good_name"),
+    )
