@@ -371,10 +371,36 @@ def test_phash_banding_is_complete(spark):
 
 
 def test_phash_identical_pixels_collide(spark):
-    """dist 0 pairs must include every pair with identical decoded
-    pixel content (aHash is content-determined)."""
+    """Every pair with identical decoded pixel content (same text
+    bytes after truncate/pad => same w, h, pixels) must appear with
+    dist 0 — aHash is a pure function of content."""
+    from weather_etl_spark.operators.multimodal import _doc_pixels
+
+    docs = (
+        spark.read.parquet(SF + "/documents.parquet")
+        .filter("doc_id <= 200")
+        .select("doc_id", "text")
+        .collect()
+    )
+    content = {}
+    for r in docs:
+        tb = r["text"].encode("utf-8")
+        w, h = len(tb) % 31 + 1, (len(tb) * 7) % 17 + 1
+        if w < 4 or h < 4:
+            continue
+        content.setdefault((w, h, _doc_pixels(tb, w, h)), []).append(
+            r["doc_id"]
+        )
+    same_pixel_pairs = {
+        (a, b)
+        for ids in content.values()
+        for i, a in enumerate(sorted(ids))
+        for b in sorted(ids)[i + 1 :]
+    }
     rows = SPECS["llm_mm_phash_dedup"].fn(spark, SF).collect()
     assert all(0 <= r["dist"] <= 3 for r in rows)
+    zero = {(r["doc_a"], r["doc_b"]) for r in rows if r["dist"] == 0}
+    assert same_pixel_pairs <= zero
 
 
 def test_seasonal_profile_accounting(spark):

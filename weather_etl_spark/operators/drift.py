@@ -543,7 +543,10 @@ WITH s AS (
   FROM hodagg GROUP BY event_type
 )
 SELECT h.event_type, h.hod, h.n,
-       CAST((200 * h.sv2 + h.n) // (2 * h.n) AS DOUBLE) / 10000
+       CAST(CASE WHEN h.sv2 >= 0
+                 THEN (200 * h.sv2 + h.n) // (2 * h.n)
+                 ELSE -((200 * -h.sv2 + h.n) // (2 * h.n)) END
+            AS DOUBLE) / 10000
          AS hod_mean,
        CAST(CASE WHEN h.sv2 * t.tn - t.ts2 * h.n >= 0
                  THEN (200 * (h.sv2 * t.tn - t.ts2 * h.n) + h.n * t.tn)
@@ -595,12 +598,14 @@ def q_time_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(
         -F.expr("(200 * (ts2 * n - sv2 * tn) + n * tn) div (2 * n * tn)")
     )
+    mean4 = F.when(
+        F.col("sv2") >= 0,
+        F.expr("(200 * sv2 + n) div (2 * n)"),
+    ).otherwise(-F.expr("(200 * -sv2 + n) div (2 * n)"))
     return joined.select(
         "event_type",
         "hod",
         "n",
-        (
-            F.expr("(200 * sv2 + n) div (2 * n)").cast("double") / 10000
-        ).alias("hod_mean"),
+        (mean4.cast("double") / 10000).alias("hod_mean"),
         (idx4.cast("double") / 10000).alias("seasonal_idx"),
     )

@@ -347,10 +347,10 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_graph_adamic_adar",
-    oracle="""
-WITH li AS (
+#: Quarterly part co-purchase subgraph (shared by q_graph_adamic_adar
+#: and q_graph_lpa_communities — ONE definition so the two ops can
+#: never silently analyze different graphs).
+_QUARTER_UND_CTES = """li AS (
   SELECT DISTINCT l.l_orderkey, l.l_partkey
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
   WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
@@ -363,7 +363,43 @@ WITH li AS (
   SELECT u AS src, v AS dst FROM edges
   UNION ALL
   SELECT v AS src, u AS dst FROM edges
-), deg AS (
+)"""
+
+
+def _quarter_copurchase_und(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected (src, dst) edge list of the quarterly co-purchase
+    graph — the DataFrame twin of ``_QUARTER_UND_CTES``."""
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    return edges.select("u", "v").unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).toDF("src", "dst")
+
+
+@register(
+    "q_graph_adamic_adar",
+    oracle=f"""
+WITH {_QUARTER_UND_CTES}, deg AS (
   SELECT src AS node, COUNT(*) AS deg FROM und GROUP BY src
 ), w AS (
   SELECT a.src AS x, b.src AS y, a.dst AS z
@@ -401,31 +437,7 @@ LIMIT 25
     "Everything else is degree-table hash joins on node ids.",
 )
 def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = read_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
-    )
-    li = (
-        read_table(spark, sf_dir, "lineitem")
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
-    )
-    und = edges.select("u", "v").unionAll(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).toDF("src", "dst")
+    und = _quarter_copurchase_und(spark, sf_dir)
     deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).toDF(
         "node", "deg"
     )
@@ -483,25 +495,11 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the identical iteration count).
 _LPA_ROUNDS = 3
 
-_LPA_EDGE_CTES = """li AS (
-  SELECT DISTINCT l.l_orderkey, l.l_partkey
-  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
-    AND o.o_orderdate <  TIMESTAMP '1996-04-01'
-), edges AS (
-  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-  FROM li a JOIN li b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-), und AS (
-  SELECT u AS src, v AS dst FROM edges
-  UNION ALL
-  SELECT v AS src, u AS dst FROM edges
-)"""
 
 
 def _lpa_oracle(rounds: int = _LPA_ROUNDS) -> str:
     parts = [
-        "WITH " + _LPA_EDGE_CTES,
+        "WITH " + _QUARTER_UND_CTES,
         "l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM und)",
     ]
     for r in range(1, rounds + 1):
@@ -548,32 +546,9 @@ LIMIT 25
     "per round (the q_llm_dedup_components pattern) to cut lineage.",
 )
 def q_graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = read_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    und, und_ids = tracked_local_checkpoint(
+        _quarter_copurchase_und(spark, sf_dir)
     )
-    li = (
-        read_table(spark, sf_dir, "lineitem")
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
-    )
-    und = edges.select("u", "v").unionAll(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).toDF("src", "dst")
-    und, und_ids = tracked_local_checkpoint(und)
     labels = und.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )

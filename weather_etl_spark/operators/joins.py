@@ -961,106 +961,21 @@ def q_join_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Time-window semi-join tolerance (µs): +-1 h, bucket = tolerance.
+#: Time-window join tolerance (µs): +-1 h, bucket = tolerance.
 _TW_TOL_US = 3_600_000_000
+_TW_TOL_SQL = f"INTERVAL {_TW_TOL_US // 1_000_000} SECOND"
 
 
-@register(
-    "q_join_time_window_semi",
-    oracle="""
-SELECT p.event_id AS purchase_id, p.user_id, epoch_us(p.ts) AS ts_us
-FROM events p
-WHERE p.event_type = 'purchase'
-  AND EXISTS (
-    SELECT 1 FROM events e
-    WHERE e.event_type = 'error'
-      AND e.user_id = p.user_id
-      AND e.ts BETWEEN p.ts - INTERVAL 1 HOUR
-                   AND p.ts + INTERVAL 1 HOUR)
-""",
-    doc="Windowed existence join: purchases by a user who ALSO hit an "
-    "error within +-1 h — the batch analogue of a stream-stream "
-    "interval join's match predicate (st_stream_stream_join), and "
-    "the classic incident-correlation query. The oracle is the "
-    "literal correlated EXISTS BETWEEN; the Spark side bounds the "
-    "range join by the grid trick: error events replicate to their "
-    "hour bucket +-1 (bucket size = tolerance, so |dt| <= 1 h "
-    "implies bucket distance <= 1 — provably complete), then ONE "
-    "(user_id, bucket) equi LEFT SEMI join with the exact |dt| "
-    "predicate riding along.",
-    scale_notes="Never a non-equi range join: 3x map-side "
-    "replication of the (smaller, filtered) error side, one hash "
-    "shuffle on (user_id, bucket), semi-join short-circuits per "
-    "probe row. The same shape as q_join_spatial_grid in one "
-    "dimension; bucket = tolerance keeps replication constant.",
-)
-def q_join_time_window_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_table(spark, sf_dir, "events")
-    purch = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id",
-        "user_id",
-        "ts",
-        F.unix_micros("ts").alias("p_us"),
-        F.floor(F.unix_micros("ts") / _TW_TOL_US).alias("pb"),
-    )
-    err = (
-        ev.filter(F.col("event_type") == "error")
-        .select(
-            F.col("user_id").alias("e_user"),
-            F.unix_micros("ts").alias("e_us"),
-        )
-        .withColumn(
-            "pb",
-            F.explode(
-                F.array(
-                    F.floor(F.col("e_us") / _TW_TOL_US) - 1,
-                    F.floor(F.col("e_us") / _TW_TOL_US),
-                    F.floor(F.col("e_us") / _TW_TOL_US) + 1,
-                )
-            ),
-        )
-    )
-    matched = purch.join(
-        err,
-        (purch.user_id == err.e_user)
-        & (purch.pb == err.pb)
-        & (F.abs(purch.p_us - err.e_us) <= _TW_TOL_US),
-        "left_semi",
-    )
-    return matched.select(
-        F.col("event_id").alias("purchase_id"),
-        "user_id",
-        F.col("p_us").alias("ts_us"),
-    )
-
-
-@register(
-    "q_join_time_window_anti",
-    oracle="""
-SELECT p.event_id AS purchase_id, p.user_id, epoch_us(p.ts) AS ts_us
-FROM events p
-WHERE p.event_type = 'purchase'
-  AND NOT EXISTS (
-    SELECT 1 FROM events e
-    WHERE e.event_type = 'error'
-      AND e.user_id = p.user_id
-      AND e.ts BETWEEN p.ts - INTERVAL 1 HOUR
-                   AND p.ts + INTERVAL 1 HOUR)
-""",
-    doc="Windowed absence join (the complement of "
-    "q_join_time_window_semi): purchases by users with NO error "
-    "within +-1 h — the 'clean conversion' / absence-of-signal "
-    "detector. Same hour-bucket grid bounding, flipped to LEFT "
-    "ANTI: the bucket candidates are a superset of true matches, "
-    "so anti-joining against them with the exact |dt| predicate is "
-    "precisely NOT EXISTS.",
-    scale_notes="Identical physics to the semi variant: 3x "
-    "replication of the filtered error side, one (user_id, bucket) "
-    "hash shuffle, anti-join short-circuit. Absence queries at "
-    "100 TB are the same plan as presence queries — only the join "
-    "type bit differs.",
-)
-def q_join_time_window_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _time_window_join(
+    spark: SparkSession, sf_dir: str, how: str
+) -> DataFrame:
+    """Purchases joined (semi or anti) to same-user errors within the
+    tolerance, via the hour-bucket grid: error events replicate to
+    bucket +-1 (bucket size = tolerance, so |dt| <= tol implies bucket
+    distance <= 1 — the candidate set provably covers every true
+    match), then ONE (user_id, bucket) equi join carries the exact
+    |dt| predicate. Shared by the semi and anti variants so both
+    sides always use the identical grid."""
     ev = read_table(spark, sf_dir, "events")
     purch = ev.filter(F.col("event_type") == "purchase").select(
         "event_id",
@@ -1090,12 +1005,75 @@ def q_join_time_window_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         (purch.user_id == err.e_user)
         & (purch.pb == err.pb)
         & (F.abs(purch.p_us - err.e_us) <= _TW_TOL_US),
-        "left_anti",
+        how,
     ).select(
         F.col("event_id").alias("purchase_id"),
         "user_id",
         F.col("p_us").alias("ts_us"),
     )
+
+
+@register(
+    "q_join_time_window_semi",
+    oracle=f"""
+SELECT p.event_id AS purchase_id, p.user_id, epoch_us(p.ts) AS ts_us
+FROM events p
+WHERE p.event_type = 'purchase'
+  AND EXISTS (
+    SELECT 1 FROM events e
+    WHERE e.event_type = 'error'
+      AND e.user_id = p.user_id
+      AND e.ts BETWEEN p.ts - {_TW_TOL_SQL}
+                   AND p.ts + {_TW_TOL_SQL})
+""",
+    doc="Windowed existence join: purchases by a user who ALSO hit an "
+    "error within +-1 h — the batch analogue of a stream-stream "
+    "interval join's match predicate (st_stream_stream_join), and "
+    "the classic incident-correlation query. The oracle is the "
+    "literal correlated EXISTS BETWEEN; the Spark side bounds the "
+    "range join by the grid trick: error events replicate to their "
+    "hour bucket +-1 (bucket size = tolerance, so |dt| <= 1 h "
+    "implies bucket distance <= 1 — provably complete), then ONE "
+    "(user_id, bucket) equi LEFT SEMI join with the exact |dt| "
+    "predicate riding along.",
+    scale_notes="Never a non-equi range join: 3x map-side "
+    "replication of the (smaller, filtered) error side, one hash "
+    "shuffle on (user_id, bucket), semi-join short-circuits per "
+    "probe row. The same shape as q_join_spatial_grid in one "
+    "dimension; bucket = tolerance keeps replication constant.",
+)
+def q_join_time_window_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _time_window_join(spark, sf_dir, "left_semi")
+
+
+@register(
+    "q_join_time_window_anti",
+    oracle=f"""
+SELECT p.event_id AS purchase_id, p.user_id, epoch_us(p.ts) AS ts_us
+FROM events p
+WHERE p.event_type = 'purchase'
+  AND NOT EXISTS (
+    SELECT 1 FROM events e
+    WHERE e.event_type = 'error'
+      AND e.user_id = p.user_id
+      AND e.ts BETWEEN p.ts - {_TW_TOL_SQL}
+                   AND p.ts + {_TW_TOL_SQL})
+""",
+    doc="Windowed absence join (the complement of "
+    "q_join_time_window_semi): purchases by users with NO error "
+    "within +-1 h — the 'clean conversion' / absence-of-signal "
+    "detector. Same hour-bucket grid bounding, flipped to LEFT "
+    "ANTI: the bucket candidates are a superset of true matches, "
+    "so anti-joining against them with the exact |dt| predicate is "
+    "precisely NOT EXISTS.",
+    scale_notes="Identical physics to the semi variant: 3x "
+    "replication of the filtered error side, one (user_id, bucket) "
+    "hash shuffle, anti-join short-circuit. Absence queries at "
+    "100 TB are the same plan as presence queries — only the join "
+    "type bit differs.",
+)
+def q_join_time_window_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _time_window_join(spark, sf_dir, "left_anti")
 
 
 @register(

@@ -1185,13 +1185,15 @@ def q_llm_prefix_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 5
 
 
-def _bpe_train_oracle(rounds: int = _BPE_ROUNDS) -> str:
-    """Unrolled DuckDB oracle for the iterative BPE trainer: each round
-    recounts adjacent pairs on the partially-merged corpus, picks the
-    (cnt DESC, pair ASC) argmax, and applies it with the double-space
-    delimiter trick (tokens get private spaces, so a literal replace
-    can never match inside a token and left-to-right non-overlap is
-    exactly BPE merge order)."""
+def _bpe_oracle_parts(rounds: int = _BPE_ROUNDS) -> tuple[str, list[str]]:
+    """Unrolled DuckDB CTE chain for the iterative BPE trainer: each
+    round recounts adjacent pairs on the partially-merged corpus, picks
+    the (cnt DESC, pair ASC) argmax, and applies it with the
+    double-space delimiter trick (tokens get private spaces, so a
+    literal replace can never match inside a token and left-to-right
+    non-overlap is exactly BPE merge order). Returns (cte_chain,
+    per-round merge-table SELECTs) so both the train and apply oracles
+    compose from the same parts."""
     parts = ["WITH d0 AS (SELECT doc_id, text AS txt FROM documents)"]
     selects = []
     for r in range(1, rounds + 1):
@@ -1223,7 +1225,61 @@ def _bpe_train_oracle(rounds: int = _BPE_ROUNDS) -> str:
             f"SELECT {r} AS step, pair, cnt, t{r}.n AS tokens_after "
             f"FROM c{r} CROSS JOIN t{r}"
         )
-    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+    return ",\n".join(parts), selects
+
+
+def _bpe_train_oracle(rounds: int = _BPE_ROUNDS) -> str:
+    ctes, selects = _bpe_oracle_parts(rounds)
+    return ctes + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def _bpe_round(docs: DataFrame, keep_cnt: bool) -> tuple[DataFrame, DataFrame]:
+    """One BPE merge round on a (doc_id, txt) corpus: count adjacent
+    pairs, pick the (cnt DESC, pair ASC) argmax, rewrite the corpus
+    with the double-space delimiter trick. Returns (rewritten docs,
+    the 1-row merge table). Shared by q_llm_bpe_train and
+    q_llm_apply_bpe so train and apply can never desynchronize."""
+    toks = docs.select(F.split("txt", " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    counted = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> concat_ws(' ', element_at(t, i),"
+                    " element_at(t, i + 1)))"
+                )
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    best = counted.orderBy(
+        F.col("cnt").desc(), F.col("pair").asc()
+    ).limit(1)
+    best = best.select("pair", "cnt") if keep_cnt else best.select("pair")
+    spaced = F.concat(
+        F.lit(" "), F.replace(F.col("txt"), F.lit(" "), F.lit("  ")),
+        F.lit(" "),
+    )
+    pat = F.concat(
+        F.lit(" "),
+        F.replace(F.col("pair"), F.lit(" "), F.lit("  ")),
+        F.lit(" "),
+    )
+    rep = F.concat(
+        F.lit(" "),
+        F.replace(F.col("pair"), F.lit(" "), F.lit("+")),
+        F.lit(" "),
+    )
+    rewritten = docs.crossJoin(F.broadcast(best)).select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(F.replace(spaced, pat, rep), " +", " ")
+        ).alias("txt"),
+    )
+    return rewritten, best
 
 
 @register(
@@ -1255,47 +1311,7 @@ def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out_steps = []
     for step in range(1, _BPE_ROUNDS + 1):
-        toks = docs.select(F.split("txt", " ").alias("t")).filter(
-            F.size("t") >= 2
-        )
-        counted = (
-            toks.select(
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(t) - 1),"
-                        " i -> concat_ws(' ', element_at(t, i),"
-                        " element_at(t, i + 1)))"
-                    )
-                ).alias("pair")
-            )
-            .groupBy("pair")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        best = (
-            counted.orderBy(F.col("cnt").desc(), F.col("pair").asc())
-            .limit(1)
-            .select("pair", "cnt")
-        )
-        spaced = F.concat(
-            F.lit(" "), F.replace(F.col("txt"), F.lit(" "), F.lit("  ")),
-            F.lit(" "),
-        )
-        pat = F.concat(
-            F.lit(" "),
-            F.replace(F.col("pair"), F.lit(" "), F.lit("  ")),
-            F.lit(" "),
-        )
-        rep = F.concat(
-            F.lit(" "),
-            F.replace(F.col("pair"), F.lit(" "), F.lit("+")),
-            F.lit(" "),
-        )
-        docs = docs.crossJoin(F.broadcast(best)).select(
-            "doc_id",
-            F.trim(
-                F.regexp_replace(F.replace(spaced, pat, rep), " +", " ")
-            ).alias("txt"),
-        )
+        docs, best = _bpe_round(docs, keep_cnt=True)
         tokens_after = docs.agg(
             F.sum(F.size(F.split("txt", " "))).cast("bigint").alias("n")
         )
@@ -1315,11 +1331,9 @@ def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bpe_apply_oracle(rounds: int = _BPE_ROUNDS) -> str:
     """Per-doc compression stats after applying the trained merge
-    table: reuses the training unroll, then joins the final corpus
-    back to the original."""
-    train = _bpe_train_oracle(rounds)
-    # keep only the CTE chain (strip the final merge-table SELECTs)
-    ctes = train[: train.index("\nSELECT 1 AS step")]
+    table: the same CTE chain as training, joined back to the
+    original corpus."""
+    ctes, _selects = _bpe_oracle_parts(rounds)
     return f"""{ctes}
 SELECT d0.doc_id,
        len(string_split(d0.txt, ' ')) AS n_before,
@@ -1352,47 +1366,7 @@ def q_llm_apply_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = docs0.select("doc_id", F.col("txt0").alias("txt"))
     for _step in range(_BPE_ROUNDS):
-        toks = docs.select(F.split("txt", " ").alias("t")).filter(
-            F.size("t") >= 2
-        )
-        counted = (
-            toks.select(
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(t) - 1),"
-                        " i -> concat_ws(' ', element_at(t, i),"
-                        " element_at(t, i + 1)))"
-                    )
-                ).alias("pair")
-            )
-            .groupBy("pair")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        best = (
-            counted.orderBy(F.col("cnt").desc(), F.col("pair").asc())
-            .limit(1)
-            .select("pair")
-        )
-        spaced = F.concat(
-            F.lit(" "), F.replace(F.col("txt"), F.lit(" "), F.lit("  ")),
-            F.lit(" "),
-        )
-        pat = F.concat(
-            F.lit(" "),
-            F.replace(F.col("pair"), F.lit(" "), F.lit("  ")),
-            F.lit(" "),
-        )
-        rep = F.concat(
-            F.lit(" "),
-            F.replace(F.col("pair"), F.lit(" "), F.lit("+")),
-            F.lit(" "),
-        )
-        docs = docs.crossJoin(F.broadcast(best)).select(
-            "doc_id",
-            F.trim(
-                F.regexp_replace(F.replace(spaced, pat, rep), " +", " ")
-            ).alias("txt"),
-        )
+        docs, _best = _bpe_round(docs, keep_cnt=False)
     n0 = F.size(F.split("txt0", " "))
     n1 = F.size(F.split("txt", " "))
     return docs0.join(docs, "doc_id").select(

@@ -676,9 +676,14 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: SemDeDup duplicate threshold — interpolated into BOTH the oracle
+#: and the Spark filter so the two sides cannot drift.
+_SEMDEDUP_TAU = 0.45
+
+
 @register(
     "q_llm_semdedup",
-    oracle="""
+    oracle=f"""
 WITH base AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
          (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
@@ -712,7 +717,7 @@ WITH base AS (
               AS BOOLEAN) AS has_better
   FROM scored x JOIN scored y
     ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
-   AND list_cosine_similarity(x.emb, y.emb) > 0.45
+   AND list_cosine_similarity(x.emb, y.emb) > {_SEMDEDUP_TAU}
   GROUP BY x.vec_id
 )
 SELECT s.vec_id, s.bucket,
@@ -804,7 +809,7 @@ def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     nbrs = (
         x.join(y, "bk")
         .filter(F.col("x_id") != F.col("y_id"))
-        .filter(cos(F.col("x_emb"), F.col("y_emb")) > 0.45)
+        .filter(cos(F.col("x_emb"), F.col("y_emb")) > _SEMDEDUP_TAU)
         .groupBy("x_id")
         .agg(
             F.count(F.lit(1)).alias("n_dups"),

@@ -361,8 +361,12 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: (column, kind) profile plan for the orders table — kind picks the
-#: cross-engine stringification of min/max (printf-style formats are
-#: identical in Spark's format_string and DuckDB's printf).
+#: cross-engine stringification of min/max. CAVEAT for 'num': Java
+#: String.format rounds HALF_UP while DuckDB printf rounds half-even,
+#: so %.4f agrees only while the profiled values carry <= 4 exact
+#: decimal digits (true for the cents-valued fixtures; a new 'num'
+#: column with finer precision needs the integer-cents formatting
+#: discipline instead).
 _PROFILE_COLS: list[tuple[str, str]] = [
     ("o_orderkey", "int"),
     ("o_custkey", "int"),
