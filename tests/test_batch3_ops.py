@@ -721,3 +721,72 @@ def test_json_malformed_triage(spark):
     assert row["n_bad"] == len(bad) and row["n_good"] == len(good)
     assert row["good_key_sum"] == sum(r["n_nationkey"] for r in good)
     assert row["first_good_name"] == min(r["n_name"] for r in good)
+
+
+def test_ttest_matches_scipy_formula(spark):
+    """Differential vs a pure-python Welch computation from raw
+    events (no scipy in the container; the closed form IS the test)."""
+    import math
+
+    ev = spark.read.parquet(SF + "/events.parquet").collect()
+    xs = [
+        int(round(r["value"] * 100))
+        for r in ev
+        if r["event_type"] == "view"
+    ]
+    ys = [
+        int(round(r["value"] * 100))
+        for r in ev
+        if r["event_type"] == "purchase"
+    ]
+
+    def moments(v):
+        n = len(v)
+        s = float(sum(v))
+        ss = float(sum(x * x for x in v))
+        return n, s / n, (ss - s * s / n) / (n - 1)
+
+    nx, mx, vx = moments(xs)
+    ny, my, vy = moments(ys)
+    ax, ay = vx / nx, vy / ny
+    t = (mx - my) / math.sqrt(ax + ay)
+    dof = (ax + ay) ** 2 / (ax**2 / (nx - 1) + ay**2 / (ny - 1))
+    row = SPECS["q_agg_ttest"].fn(spark, SF).collect()[0]
+    assert row["nx"] == nx and row["ny"] == ny
+    assert row["t_stat"] == pytest.approx(round(t, 4), abs=1e-4)
+    assert row["dof"] == pytest.approx(round(dof, 2), abs=1e-2)
+    assert row["significant"] == (abs(t) > 1.96)
+
+
+def test_cusum_matches_python_recursion(spark):
+    import collections
+    from decimal import Decimal
+
+    ev = spark.read.parquet(SMOKE_SF_DIR + "/events.parquet").collect()
+    buckets = collections.defaultdict(list)
+    totals = collections.defaultdict(list)
+    for r in ev:
+        h = r["ts"].replace(minute=0, second=0, microsecond=0)
+        buckets[(r["event_type"], h)].append(r["value"])
+        totals[r["event_type"]].append(r["value"])
+    mu = {
+        t: float(sum(Decimal(str(round(v, 6))) for v in vs)) / len(vs)
+        for t, vs in totals.items()
+    }
+    series = collections.defaultdict(list)
+    for (t, h), vs in buckets.items():
+        y = float(sum(Decimal(str(round(v, 6))) for v in vs)) / len(vs)
+        series[t].append((h, y))
+    want = {}
+    for t, pts in series.items():
+        pts.sort()
+        s = 0.0
+        for h, y in pts:
+            s = max(0.0, s + (y - mu[t] - 0.5))
+            want[(t, int(h.timestamp() * 1_000_000))] = s
+    got = SPECS["q_time_cusum"].fn(spark, SMOKE_SF_DIR).collect()
+    assert len(got) == len(want)
+    for r in got:
+        w = want[(r["event_type"], r["h_us"])]
+        assert r["cusum"] == pytest.approx(round(w, 4), abs=1e-3)
+        assert r["alarm"] == (w > 50.0)

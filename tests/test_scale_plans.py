@@ -945,3 +945,17 @@ def test_mark_join_dedupes_before_join(spark, sf_dir):
     assert plan.index("HashAggregate") > plan.index("Join"), (
         "distinct must run below (inside) the join build side"
     )
+
+
+def test_ttest_is_single_grouped_pass(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_agg_ttest"].fn(spark, sf_dir))
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cusum_buckets_before_python(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_time_cusum"].fn(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.index("partial_sum") > plan.index(
+        "FlatMapGroupsInPandas"
+    ), "bucket/mu ledgers must aggregate below the pandas stage"

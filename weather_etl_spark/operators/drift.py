@@ -609,3 +609,115 @@ def q_time_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         (mean4.cast("double") / 10000).alias("hod_mean"),
         (idx4.cast("double") / 10000).alias("seasonal_idx"),
     )
+
+
+#: Welch t-test two-sided 5% critical value (normal approximation —
+#: both sample sizes are >> 30 at every fixture SF).
+_TT_CRIT = 1.96
+
+
+@register(
+    "q_agg_ttest",
+    oracle=f"""
+WITH s AS (
+  SELECT event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS v2
+  FROM events WHERE event_type IN ('view', 'purchase')
+), agg AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(v2) AS DOUBLE) AS sx,
+         CAST(SUM(v2 * v2) AS DOUBLE) AS sxx
+  FROM s GROUP BY event_type
+), m AS (
+  SELECT
+    (SELECT n FROM agg WHERE event_type = 'view') AS nx,
+    (SELECT sx FROM agg WHERE event_type = 'view') AS sxv,
+    (SELECT sxx FROM agg WHERE event_type = 'view') AS sxxv,
+    (SELECT n FROM agg WHERE event_type = 'purchase') AS ny,
+    (SELECT sx FROM agg WHERE event_type = 'purchase') AS sxp,
+    (SELECT sxx FROM agg WHERE event_type = 'purchase') AS sxxp
+), f AS (
+  SELECT nx, ny,
+         (sxv / nx - sxp / ny) AS md,
+         ((sxxv - sxv * sxv / nx) / (nx - 1)) / nx AS ax,
+         ((sxxp - sxp * sxp / ny) / (ny - 1)) / ny AS ay
+  FROM m
+)
+SELECT nx, ny,
+       ROUND(md / sqrt(ax + ay), 4) AS t_stat,
+       ROUND((ax + ay) * (ax + ay)
+             / (ax * ax / (nx - 1) + ay * ay / (ny - 1)), 2) AS dof,
+       abs(md / sqrt(ax + ay)) > {_TT_CRIT} AS significant
+FROM f
+""",
+    doc="Welch's unequal-variance t-test between the view and "
+    "purchase value distributions — the parametric companion to "
+    "q_agg_ks_test's nonparametric drift check, with the "
+    "Welch-Satterthwaite degrees of freedom. All moments come from "
+    "exact integer-cents sums (count, sum, sum of squares), so the "
+    "double formula evaluates the identical IEEE tree in both "
+    "engines (the statistic is scale-invariant, so the cents "
+    "scaling cancels); only the final display values are rounded.",
+    scale_notes="One map-combined two-group aggregate (3 scalars "
+    "per group) then scalar algebra on a 1-row frame — the "
+    "canonical algebraic-aggregate shape; nothing downstream of "
+    "the first reduction touches event rows. Sum-of-squares fits "
+    "BIGINT through sf1 and widens to DECIMAL(38,0) beyond.",
+)
+def q_agg_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    s = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("v2"),
+    )
+    agg = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v2").cast("double").alias("sx"),
+        F.sum(F.col("v2") * F.col("v2")).cast("double").alias("sxx"),
+    )
+    v = agg.filter(F.col("event_type") == "view").select(
+        F.col("n").alias("nx"),
+        F.col("sx").alias("sxv"),
+        F.col("sxx").alias("sxxv"),
+    )
+    pch = agg.filter(F.col("event_type") == "purchase").select(
+        F.col("n").alias("ny"),
+        F.col("sx").alias("sxp"),
+        F.col("sxx").alias("sxxp"),
+    )
+    f = v.crossJoin(pch).select(
+        "nx",
+        "ny",
+        (F.col("sxv") / F.col("nx") - F.col("sxp") / F.col("ny")).alias(
+            "md"
+        ),
+        (
+            (F.col("sxxv") - F.col("sxv") * F.col("sxv") / F.col("nx"))
+            / (F.col("nx") - 1)
+            / F.col("nx")
+        ).alias("ax"),
+        (
+            (F.col("sxxp") - F.col("sxp") * F.col("sxp") / F.col("ny"))
+            / (F.col("ny") - 1)
+            / F.col("ny")
+        ).alias("ay"),
+    )
+    t_expr = F.col("md") / F.sqrt(F.col("ax") + F.col("ay"))
+    return f.select(
+        "nx",
+        "ny",
+        F.round(t_expr, 4).alias("t_stat"),
+        F.round(
+            (F.col("ax") + F.col("ay"))
+            * (F.col("ax") + F.col("ay"))
+            / (
+                F.col("ax") * F.col("ax") / (F.col("nx") - 1)
+                + F.col("ay") * F.col("ay") / (F.col("ny") - 1)
+            ),
+            2,
+        ).alias("dof"),
+        (F.abs(t_expr) > _TT_CRIT).alias("significant"),
+    )

@@ -595,3 +595,112 @@ def q_time_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("l") + F.col("b"), 4).alias("forecast"),
         )
     )
+
+
+#: CUSUM slack (k, in value units) and alarm threshold (h) — Page's
+#: one-sided upper CUSUM; repr()'d literals embed identically in both
+#: engines.
+_CUSUM_K = 0.5
+_CUSUM_H = 50.0
+
+
+@register(
+    "q_time_cusum",
+    oracle=f"""
+WITH RECURSIVE s AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY date_trunc('hour', ts))
+              AS BIGINT) AS idx,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS y
+  FROM events
+  GROUP BY event_type, date_trunc('hour', ts)
+), mu AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+           AS mu
+  FROM events GROUP BY event_type
+), rec AS (
+  SELECT s.event_type, s.idx,
+         greatest(CAST(0.0 AS DOUBLE),
+                  s.y - mu.mu - {_CUSUM_K}) AS cusum
+  FROM s JOIN mu USING (event_type) WHERE s.idx = 1
+  UNION ALL
+  SELECT s.event_type, s.idx,
+         greatest(CAST(0.0 AS DOUBLE),
+                  rec.cusum + (s.y - mu.mu - {_CUSUM_K})) AS cusum
+  FROM rec
+  JOIN s ON s.event_type = rec.event_type AND s.idx = rec.idx + 1
+  JOIN mu ON mu.event_type = rec.event_type
+)
+SELECT r.event_type, epoch_us(s.h) AS h_us,
+       ROUND(r.cusum, 4) AS cusum,
+       r.cusum > {_CUSUM_H} AS alarm
+FROM rec r JOIN s ON s.event_type = r.event_type AND s.idx = r.idx
+""",
+    doc="Page's one-sided CUSUM changepoint detector over each event "
+    "type's hourly mean series: S_t = max(0, S_t-1 + (y_t - mu - k)) "
+    "with the in-control mean mu estimated from the full series, "
+    "slack k = 0.5, alarm at S > 50 — the classic sequential "
+    "upward-shift detector that q_time_anomaly's windowed z-score "
+    "cannot replicate (CUSUM accumulates small persistent shifts). "
+    "Same sequential-recursion discipline as q_time_holt: "
+    "applyInPandas per key, oracled by a recursive CTE evaluating "
+    "the identical IEEE expression tree on DECIMAL-exact bucket "
+    "means.",
+    scale_notes="One bucket shuffle (map-combined hourly ledger), "
+    "one mu ledger reusing the same scan shape, then O(series) "
+    "sequential state per key parallel across keys. At 100 TB the "
+    "(S, mu) pair checkpoints per key per time chunk — the "
+    "reference's cursor pattern (A8) applied to detector state, "
+    "identical to q_time_holt's deployment story.",
+)
+def q_time_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = read_table(spark, sf_dir, "events")
+    buck = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("y")
+    ).select("event_type", F.unix_micros("h").alias("h_us"), "y")
+    mu = ev.groupBy("event_type").agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu")
+    )
+    joined = buck.join(mu, "event_type")
+
+    schema = "event_type string, h_us long, cusum double"
+
+    def cusum(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("h_us").reset_index(drop=True)
+        out: list[float] = []
+        s = 0.0
+        for i, (y, m) in enumerate(zip(pdf["y"], pdf["mu"])):
+            step = float(y) - float(m) - _CUSUM_K
+            s = max(0.0, (s + step) if i else step)
+            out.append(s)
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"],
+                "h_us": pdf["h_us"],
+                "cusum": out,
+            }
+        )
+
+    # Rounding stays in the engine expression layer (the Holt lesson).
+    return (
+        joined.groupBy("event_type")
+        .applyInPandas(cusum, schema)
+        .select(
+            "event_type",
+            "h_us",
+            F.round("cusum", 4).alias("cusum"),
+            (F.col("cusum") > _CUSUM_H).alias("alarm"),
+        )
+    )

@@ -51,6 +51,8 @@ ALLOW_BNL: dict[str, str] = {
     "q_llm_apply_bpe": "same five 1-row merge broadcasts as "
     "q_llm_bpe_train (the apply pass replays the frozen training "
     "plan, llm_prep.py)",
+    "q_agg_ttest": "1-row x 1-row crossJoin of the two group-moment "
+    "aggregates (drift.py) — the q_filter_ts_cursor pattern",
     "q_agg_benford": "1-row digit-count total crossed into the 9-row "
     "ledger — the q_filter_ts_cursor pattern (drift.py)",
     "q_agg_cms_portable": "constant 4-row depth axis, 1-row state "
