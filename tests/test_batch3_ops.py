@@ -790,3 +790,87 @@ def test_cusum_matches_python_recursion(spark):
         w = want[(r["event_type"], r["h_us"])]
         assert r["cusum"] == pytest.approx(round(w, 4), abs=1e-3)
         assert r["alarm"] == (w > 50.0)
+
+
+def test_mannwhitney_matches_python(spark):
+    """Differential vs a pure-python midrank U computation."""
+    import math
+
+    ev = spark.read.parquet(SF + "/events.parquet").collect()
+    xs = [
+        int(round(r["value"] * 100))
+        for r in ev
+        if r["event_type"] == "view"
+    ]
+    ys = [
+        int(round(r["value"] * 100))
+        for r in ev
+        if r["event_type"] == "purchase"
+    ]
+    allv = sorted(
+        [(v, "x") for v in xs] + [(v, "y") for v in ys]
+    )
+    # midranks
+    import collections
+
+    pos = collections.defaultdict(list)
+    for i, (v, g) in enumerate(allv, start=1):
+        pos[v].append((i, g))
+    rx = 0.0
+    tie_term = 0.0
+    for v, items in pos.items():
+        ar = sum(i for i, _g in items) / len(items)
+        rx += ar * sum(1 for _i, g in items if g == "x")
+        c = len(items)
+        tie_term += c**3 - c
+    nx, ny = len(xs), len(ys)
+    u = rx - nx * (nx + 1) / 2
+    mu = nx * ny / 2
+    n = nx + ny
+    sigma = math.sqrt(
+        nx * ny / 12 * ((n + 1) - tie_term / (n * (n - 1)))
+    )
+    z = (u - mu) / sigma
+    row = SPECS["q_agg_mannwhitney"].fn(spark, SF).collect()[0]
+    assert row["nx"] == nx and row["ny"] == ny
+    assert row["u2"] == int(2 * u)
+    assert row["z"] == pytest.approx(round(z, 4), abs=1e-3)
+    assert row["significant"] == (abs(z) > 1.96)
+
+
+def test_llm_pipeline_composition_accounting(spark):
+    """The composite's per-stage numbers must re-derive from the
+    standalone semantics on raw documents."""
+    docs = spark.read.parquet(SF + "/documents.parquet").collect()
+    import collections, hashlib
+
+    per_lang_in = collections.Counter()
+    kept = collections.defaultdict(list)
+    seen = {}
+    for r in sorted(docs, key=lambda r: r["doc_id"]):
+        n_tok = len(r["text"].split(" "))
+        if not (30 <= n_tok <= 500):
+            continue
+        per_lang_in[r["lang"]] += 1
+        h = hashlib.md5(r["text"].encode()).hexdigest()
+        if h in seen:
+            continue
+        seen[h] = r["doc_id"]
+        kept[r["lang"]].append(n_tok)
+    rows = {
+        r["lang"]: r
+        for r in SPECS["pipe_llm_corpus_e2e"].fn(spark, SF).collect()
+    }
+    assert set(rows) == set(per_lang_in)
+    for lang, r in rows.items():
+        assert r["n_in"] == per_lang_in[lang]
+        assert r["n_kept"] == len(kept[lang])
+        assert r["n_dropped"] == r["n_in"] - r["n_kept"]
+        assert r["total_tokens"] == sum(kept[lang])
+        # greedy packing pack count: cum-sum prefix buckets
+        cum = 0
+        packs = set()
+        for t in kept[lang]:
+            packs.add(cum // 512)
+            cum += t
+        assert r["n_packs"] == len(packs)

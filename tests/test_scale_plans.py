@@ -959,3 +959,23 @@ def test_cusum_buckets_before_python(spark, sf_dir):
     assert plan.index("partial_sum") > plan.index(
         "FlatMapGroupsInPandas"
     ), "bucket/mu ledgers must aggregate below the pandas stage"
+
+
+def test_mannwhitney_shares_ordered_shuffle(spark, sf_dir):
+    """The global rank and the tie windows must evaluate over the
+    same ordered data — no cartesian, one rangepartitioning."""
+    plan = _executed_plan(SPECS["q_agg_mannwhitney"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the unpartitioned rank window collapses to one partition —
+    # acceptable at bench SF, documented as the prefix-count-ledger
+    # rewrite at scale (scale_notes); pin the current shape so a
+    # rewrite is a conscious decision
+    assert "Exchange SinglePartition" in plan
+
+
+def test_llm_pipeline_dedups_on_hash_keys(spark, sf_dir):
+    """The dedup window must partition on md5(text) — shuffling
+    16-byte digests, never raw documents as keys."""
+    plan = _executed_plan(SPECS["pipe_llm_corpus_e2e"].fn(spark, sf_dir))
+    assert "md5" in plan
+    assert "CartesianProduct" not in plan

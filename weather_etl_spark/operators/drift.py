@@ -721,3 +721,132 @@ def q_agg_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dof"),
         (F.abs(t_expr) > _TT_CRIT).alias("significant"),
     )
+
+
+@register(
+    "q_agg_mannwhitney",
+    oracle="""
+WITH s AS (
+  SELECT event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS v2
+  FROM events WHERE event_type IN ('view', 'purchase')
+), ranked AS (
+  SELECT event_type, v2,
+         CAST(ROW_NUMBER() OVER (ORDER BY v2) AS BIGINT) AS rn
+  FROM s
+), avg_rank AS (
+  -- average rank per tied value: exact dyadic (2*min_rn + cnt - 1)/2
+  SELECT event_type,
+         (2.0 * MIN(rn) OVER (PARTITION BY v2)
+          + COUNT(*) OVER (PARTITION BY v2) - 1) / 2 AS ar
+  FROM ranked
+), agg AS (
+  SELECT
+    (SELECT COUNT(*) FROM s WHERE event_type = 'view') AS nx,
+    (SELECT COUNT(*) FROM s WHERE event_type = 'purchase') AS ny,
+    (SELECT SUM(ar) FROM avg_rank WHERE event_type = 'view') AS rx,
+    (SELECT CAST(SUM(CAST(c AS DOUBLE) * c * c - c) AS DOUBLE)
+     FROM (SELECT COUNT(*) AS c FROM s GROUP BY v2) t) AS tie_term
+), f AS (
+  SELECT nx, ny,
+         rx - nx * (nx + 1) / 2.0 AS u,
+         nx * ny / 2.0 AS mu,
+         sqrt(CAST(nx AS DOUBLE) * ny / 12.0
+              * ((nx + ny + 1)
+                 - tie_term / (CAST(nx + ny AS DOUBLE)
+                               * (nx + ny) - (nx + ny)))) AS sigma
+  FROM agg
+)
+SELECT nx, ny,
+       CAST(2 * u AS BIGINT) AS u2,
+       ROUND((u - mu) / sigma, 4) AS z,
+       abs((u - mu) / sigma) > 1.96 AS significant
+FROM f
+""",
+    doc="Mann-Whitney U rank-sum test between the view and purchase "
+    "value distributions — the nonparametric member of the drift "
+    "battery (q_agg_ks_test detects any shape change, q_agg_ttest "
+    "mean shifts under normality, this one location shifts without "
+    "distributional assumptions). Ranks use the exact midrank "
+    "convention: average rank of a tie group is the dyadic "
+    "(2*min_rank + count - 1)/2, so every rank is a .5-exact "
+    "double, U is emitted as the exact integer 2U, and the normal "
+    "z approximation carries the standard tie correction.",
+    scale_notes="One global sort-rank over the two groups (the only "
+    "rank that needs cross-group order), tie groups via a "
+    "value-partitioned window on the same ordered shuffle, then "
+    "1-row algebra. At 100 TB the global rank becomes the "
+    "range-partitioned prefix-count (the q_agg_gini bin-ledger "
+    "rewrite) — rank is just a prefix count.",
+)
+def q_agg_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    s = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("v2"),
+    )
+    w_all = Window.orderBy("v2")
+    w_tie = Window.partitionBy("v2")
+    ranked = s.withColumn(
+        "rn", F.row_number().over(w_all).cast("bigint")
+    )
+    avg_rank = ranked.select(
+        "event_type",
+        "v2",
+        (
+            (
+                2.0 * F.min("rn").over(w_tie)
+                + F.count(F.lit(1)).over(w_tie)
+                - 1
+            )
+            / 2
+        ).alias("ar"),
+    )
+    nx = F.sum((F.col("event_type") == "view").cast("long"))
+    ny = F.sum((F.col("event_type") == "purchase").cast("long"))
+    rx = F.sum(F.when(F.col("event_type") == "view", F.col("ar")))
+    moments = avg_rank.agg(
+        nx.alias("nx"), ny.alias("ny"), rx.alias("rx")
+    )
+    ties = (
+        s.groupBy("v2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(
+                F.col("c").cast("double") * F.col("c") * F.col("c")
+                - F.col("c")
+            )
+            .cast("double")
+            .alias("tie_term")
+        )
+    )
+    f = moments.crossJoin(ties).select(
+        "nx",
+        "ny",
+        (F.col("rx") - F.col("nx") * (F.col("nx") + 1) / 2.0).alias("u"),
+        (F.col("nx") * F.col("ny") / 2.0).alias("mu"),
+        F.sqrt(
+            F.col("nx").cast("double")
+            * F.col("ny")
+            / 12.0
+            * (
+                (F.col("nx") + F.col("ny") + 1)
+                - F.col("tie_term")
+                / (
+                    (F.col("nx") + F.col("ny")).cast("double")
+                    * (F.col("nx") + F.col("ny"))
+                    - (F.col("nx") + F.col("ny"))
+                )
+            )
+        ).alias("sigma"),
+    )
+    z = (F.col("u") - F.col("mu")) / F.col("sigma")
+    return f.select(
+        "nx",
+        "ny",
+        (2 * F.col("u")).cast("bigint").alias("u2"),
+        F.round(z, 4).alias("z"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )

@@ -13,11 +13,11 @@ is exact — the reference's whole behavior, hash-verified.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from weather_etl_spark.incremental import run_incremental
-from weather_etl_spark.io import scratch_dir
+from weather_etl_spark.io import read_table, scratch_dir
 from weather_etl_spark.registry import register
 from weather_etl_spark.sources.fetch import (
     MEASURES,
@@ -88,4 +88,102 @@ def pipe_reference_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "records_fetched long, first_insert long, replay_insert long, "
         "sink_rows long, final_cursor_us long",
+    )
+
+
+@register(
+    "pipe_llm_corpus_e2e",
+    oracle="""
+WITH filtered AS (
+  SELECT doc_id, lang, source, text,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+  WHERE len(string_split(text, ' ')) BETWEEN 30 AND 500
+), deduped AS (
+  SELECT lang, source, doc_id, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY md5(text)
+                            ORDER BY doc_id) AS dup_rn
+  FROM filtered
+), kept AS (
+  SELECT lang, source, doc_id, n_tokens FROM deduped WHERE dup_rn = 1
+), packed AS (
+  SELECT lang, doc_id, n_tokens,
+         (SUM(n_tokens) OVER (PARTITION BY lang
+                              ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING)
+          - n_tokens) // 512 AS pack_id
+  FROM kept
+)
+SELECT f.lang,
+       f.n_in, k.n_kept, f.n_in - k.n_kept AS n_dropped,
+       k.total_tokens, p.n_packs
+FROM (SELECT lang, COUNT(*) AS n_in FROM filtered GROUP BY lang) f
+JOIN (SELECT lang, COUNT(*) AS n_kept,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+      FROM kept GROUP BY lang) k USING (lang)
+JOIN (SELECT lang, COUNT(DISTINCT pack_id) AS n_packs
+      FROM packed GROUP BY lang) p USING (lang)
+""",
+    doc="LLM corpus-curation pipeline composed END-TO-END as one "
+    "declared row (the training-data analogue of "
+    "pipe_reference_e2e): length filter (30-500 tokens, the "
+    "C4-style gate) -> exact-content dedup keeping the lowest "
+    "doc_id per md5(text) (the A11 keyed-dedup semantic on text "
+    "content) -> greedy 512-token sequence packing per language "
+    "(the q_llm_pack decomposition) -> per-language corpus "
+    "accounting: docs in, kept, dropped, surviving tokens, packs. "
+    "Proves the individually-verified operators compose without "
+    "semantic drift.",
+    scale_notes="Filter is a pushed scan predicate; dedup shuffles "
+    "16-byte md5 keys (never documents); packing is one "
+    "lang-partitioned running-sum window; the three summary "
+    "ledgers re-aggregate lang-sized frames. Each stage is the "
+    "exact plan its standalone operator pins — composition adds "
+    "no new shuffle class.",
+)
+def pipe_llm_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    filtered = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    ).filter(F.col("n_tokens").between(30, 500))
+    w_dup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept = (
+        filtered.withColumn("dup_rn", F.row_number().over(w_dup))
+        .filter(F.col("dup_rn") == 1)
+        .select("lang", "source", "doc_id", "n_tokens")
+    )
+    w_pack = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = kept.withColumn(
+        "pack_id",
+        F.floor(
+            (F.sum("n_tokens").over(w_pack) - F.col("n_tokens")) / 512
+        ),
+    )
+    n_in = filtered.groupBy("lang").agg(F.count(F.lit(1)).alias("n_in"))
+    k = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+    p = packed.groupBy("lang").agg(
+        F.count_distinct("pack_id").alias("n_packs")
+    )
+    return (
+        n_in.join(k, "lang")
+        .join(p, "lang")
+        .select(
+            "lang",
+            "n_in",
+            "n_kept",
+            (F.col("n_in") - F.col("n_kept")).alias("n_dropped"),
+            "total_tokens",
+            "n_packs",
+        )
     )

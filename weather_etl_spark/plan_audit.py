@@ -53,6 +53,9 @@ ALLOW_BNL: dict[str, str] = {
     "plan, llm_prep.py)",
     "q_agg_ttest": "1-row x 1-row crossJoin of the two group-moment "
     "aggregates (drift.py) — the q_filter_ts_cursor pattern",
+    "q_agg_mannwhitney": "1-row x 1-row crossJoin of the rank moments "
+    "and the tie-term aggregate (drift.py) — the q_filter_ts_cursor "
+    "pattern",
     "q_agg_benford": "1-row digit-count total crossed into the 9-row "
     "ledger — the q_filter_ts_cursor pattern (drift.py)",
     "q_agg_cms_portable": "constant 4-row depth axis, 1-row state "

@@ -318,6 +318,7 @@ DRIVER_DEFERRED: frozenset[str] = frozenset({
     "q_llm_apply_bpe", "q_graph_lpa_communities", "snk_csv_quoted",
     "q_join_mark", "src_json_malformed",
     "q_agg_ttest", "q_time_cusum",
+    "q_agg_mannwhitney", "pipe_llm_corpus_e2e",
 })
 
 
