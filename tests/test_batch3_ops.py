@@ -874,3 +874,20 @@ def test_llm_pipeline_composition_accounting(spark):
             packs.add(cum // 512)
             cum += t
         assert r["n_packs"] == len(packs)
+
+
+def test_hll_rollup_merge_equals_direct_sketch(spark):
+    """The merged day sketches must equal the sketch built directly
+    over the full stream (associativity), and sum-of-day estimates
+    must exceed the merged estimate whenever users span days."""
+    direct = {
+        r["event_type"]: r["hll_est"]
+        for r in SPECS["q_agg_hll_portable"].fn(spark, SF).collect()
+    }
+    rolled = SPECS["q_agg_hll_rollup"].fn(spark, SF).collect()
+    for r in rolled:
+        assert r["merged_est"] == direct[r["event_type"]]
+        assert r["sum_day_est"] > r["merged_est"], (
+            "day-active users overlap, so naive summing must inflate"
+        )
+        assert r["n_days"] == 30

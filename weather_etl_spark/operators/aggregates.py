@@ -1429,3 +1429,103 @@ def q_agg_kmv_intersect(spark, sf_dir):
             "inter_est"
         ),
     )
+
+
+@register(
+    "q_agg_hll_rollup",
+    oracle="""
+WITH h AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) AS INT)
+           AS bucket,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 2, 12)) AS BIGINT)
+           AS w
+  FROM events
+), day_regs AS (
+  SELECT event_type, day, bucket,
+         MAX(CASE WHEN w = 0 THEN 49 ELSE 49 - length(bin(w)) END) AS m_j
+  FROM h GROUP BY event_type, day, bucket
+), day_est AS (
+  SELECT event_type, day,
+         ROUND(0.673 * 256 / SUM(POWER(2.0, -m_j)), 4) AS est
+  FROM day_regs GROUP BY event_type, day
+), merged AS (
+  SELECT event_type, bucket, MAX(m_j) AS m_j
+  FROM day_regs GROUP BY event_type, bucket
+)
+SELECT m.event_type,
+       d.n_days,
+       ROUND(CAST(d.sum_day_est AS DOUBLE), 4) AS sum_day_est,
+       ROUND(0.673 * 256 / SUM(POWER(2.0, -m.m_j)), 4) AS merged_est
+FROM merged m
+JOIN (SELECT event_type, COUNT(*) AS n_days,
+             SUM(CAST(est AS DECIMAL(18,4))) AS sum_day_est
+      FROM day_est GROUP BY event_type) d USING (event_type)
+GROUP BY m.event_type, d.n_days, d.sum_day_est
+""",
+    doc="HLL sketch ROLLUP (incremental sketch maintenance): per-day "
+    "register tables are built once, then the per-type cardinality "
+    "comes from merging the persisted DAY sketches register-wise "
+    "(MAX per bucket) — the raw rows are never rescanned for the "
+    "coarser level. Output contrasts sum-of-day-estimates (wrong: "
+    "double-counts users active on many days) with the merged "
+    "estimate (right: sketch union is lossless for distinct "
+    "counting) — the property that makes sketches the standard "
+    "incremental-pipeline state (A8's cursor discipline applied to "
+    "cardinality state). Same exact-arithmetic HLL as "
+    "q_agg_hll_portable.",
+    scale_notes="The day level is (types x days x 16) rows; the "
+    "rollup re-aggregates THAT ledger, never the events — exactly "
+    "how a production pipeline stores per-partition sketches and "
+    "folds them into weekly/monthly/global counts in milliseconds. "
+    "Register merge is associative and commutative, so any rollup "
+    "tree shape gives identical results.",
+)
+def q_agg_hll_rollup(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    h = F.md5(F.col("user_id").cast("string"))
+    bucket = F.conv(F.substring(h, 1, 1), 16, 10).cast("int")
+    w = F.conv(F.substring(h, 2, 12), 16, 10).cast("bigint")
+    rho = F.when(w == 0, 49).otherwise(49 - F.length(F.bin(w)))
+    day_regs = (
+        ev.select(
+            "event_type",
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+            bucket.alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("event_type", "day", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    day_est = day_regs.groupBy("event_type", "day").agg(
+        F.round(
+            F.lit(0.673 * 256) / F.sum(F.pow(F.lit(2.0), -F.col("m_j"))),
+            4,
+        ).alias("est")
+    )
+    d = day_est.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.col("est").cast("decimal(18,4)")).alias("sum_day_est"),
+    )
+    merged = day_regs.groupBy("event_type", "bucket").agg(
+        F.max("m_j").alias("m_j")
+    )
+    return (
+        merged.join(d, "event_type")
+        .groupBy("event_type", "n_days", "sum_day_est")
+        .agg(
+            F.round(
+                F.lit(0.673 * 256)
+                / F.sum(F.pow(F.lit(2.0), -F.col("m_j"))),
+                4,
+            ).alias("merged_est")
+        )
+        .select(
+            "event_type",
+            "n_days",
+            F.round(F.col("sum_day_est").cast("double"), 4).alias(
+                "sum_day_est"
+            ),
+            "merged_est",
+        )
+    )
