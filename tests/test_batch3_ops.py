@@ -891,3 +891,30 @@ def test_hll_rollup_merge_equals_direct_sketch(spark):
             "day-active users overlap, so naive summing must inflate"
         )
         assert r["n_days"] == 30
+
+
+def test_asof_nearest_picks_the_closer_side(spark):
+    """Consistency with the directional as-ofs: nearest equals
+    whichever of backward/forward is closer, ties backward."""
+    back = {
+        r["purchase_id"]: r["view_ts_us"]
+        for r in SPECS["q_join_asof"].fn(spark, SF).collect()
+    }
+    near = SPECS["q_join_asof_nearest"].fn(spark, SF).collect()
+    assert set(back) == {r["purchase_id"] for r in near}
+    n_fwd = 0
+    for r in near:
+        b = back[r["purchase_id"]]
+        if r["direction"] == "back":
+            assert r["view_ts_us"] == b
+            if b is not None:
+                assert r["ts_us"] - b >= 0
+        elif r["direction"] == "fwd":
+            n_fwd += 1
+            assert r["view_ts_us"] > r["ts_us"]
+            if b is not None:
+                # forward won strictly (ties go backward)
+                assert (r["view_ts_us"] - r["ts_us"]) < (r["ts_us"] - b)
+        else:
+            assert r["view_ts_us"] is None and b is None
+    assert n_fwd > 0, "fixture should exercise the forward branch"

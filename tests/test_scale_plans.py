@@ -979,3 +979,10 @@ def test_llm_pipeline_dedups_on_hash_keys(spark, sf_dir):
     plan = _executed_plan(SPECS["pipe_llm_corpus_e2e"].fn(spark, sf_dir))
     assert "md5" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_asof_nearest_single_shuffle(spark, sf_dir):
+    """Both direction frames must share one user_id exchange."""
+    plan = _executed_plan(SPECS["q_join_asof_nearest"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan

@@ -1114,3 +1114,103 @@ def q_join_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_name",
         F.col("bk").isNotNull().alias("has_big_order"),
     )
+
+
+@register(
+    "q_join_asof_nearest",
+    oracle="""
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT p.event_id AS purchase_id, p.user_id, p.ts,
+         (SELECT MAX(v.ts) FROM events v
+           WHERE v.event_type = 'view' AND v.user_id = p.user_id
+             AND v.ts <= p.ts) AS bts,
+         (SELECT MIN(v.ts) FROM events v
+           WHERE v.event_type = 'view' AND v.user_id = p.user_id
+             AND v.ts > p.ts) AS fts
+  FROM p
+)
+SELECT purchase_id, user_id, epoch_us(ts) AS ts_us,
+       CASE
+         WHEN bts IS NULL AND fts IS NULL THEN NULL
+         WHEN fts IS NULL THEN epoch_us(bts)
+         WHEN bts IS NULL THEN epoch_us(fts)
+         WHEN epoch_us(ts) - epoch_us(bts)
+              <= epoch_us(fts) - epoch_us(ts)
+           THEN epoch_us(bts)
+         ELSE epoch_us(fts)
+       END AS view_ts_us,
+       CASE
+         WHEN bts IS NULL AND fts IS NULL THEN NULL
+         WHEN fts IS NULL THEN 'back'
+         WHEN bts IS NULL THEN 'fwd'
+         WHEN epoch_us(ts) - epoch_us(bts)
+              <= epoch_us(fts) - epoch_us(ts)
+           THEN 'back'
+         ELSE 'fwd'
+       END AS direction
+FROM c
+""",
+    doc="NEAREST as-of join (pandas merge_asof direction='nearest'): "
+    "each purchase matched to the closer of the user's latest view "
+    "at-or-before and earliest view strictly-after, ties to the "
+    "backward match. Completes the as-of family (backward "
+    "q_join_asof, forward q_join_asof_fwd, tolerance "
+    "q_join_asof_tol). One unioned stream, one user_id shuffle, "
+    "BOTH direction windows evaluated over the same ordering — the "
+    "oracle's correlated MAX/MIN subqueries are the declarative "
+    "spec; Catalyst never executes them per row on the Spark side.",
+    scale_notes="The two frames (last-preceding, first-following) "
+    "share one Exchange + sort: Spark plans a single window stage "
+    "pair over the same partitioning, so 'nearest' costs the same "
+    "one shuffle as either directional as-of. Hot-user salting "
+    "identical to q_join_asof.",
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    is_probe = (F.col("event_type") == "purchase").cast("int")
+    order = [F.col("ts"), is_probe, F.col("event_id")]
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    view_ts = F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+    tagged = ev.select(
+        "event_type",
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("p_us"),
+        F.last(view_ts, ignorenulls=True).over(w_back).alias("b"),
+        F.first(view_ts, ignorenulls=True).over(w_fwd).alias("f"),
+    ).filter(F.col("event_type") == "purchase")
+    back_wins = (
+        F.col("f").isNull()
+        | (
+            F.col("b").isNotNull()
+            & (
+                F.col("p_us") - F.col("b")
+                <= F.col("f") - F.col("p_us")
+            )
+        )
+    )
+    return tagged.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("p_us").alias("ts_us"),
+        F.when(F.col("b").isNull() & F.col("f").isNull(), None)
+        .when(back_wins, F.col("b"))
+        .otherwise(F.col("f"))
+        .alias("view_ts_us"),
+        F.when(F.col("b").isNull() & F.col("f").isNull(), None)
+        .when(back_wins, F.lit("back"))
+        .otherwise(F.lit("fwd"))
+        .alias("direction"),
+    )
