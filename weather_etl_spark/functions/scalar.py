@@ -652,3 +652,50 @@ def q_fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_discount") * 100,
         ).alias("qty_disc"),
     )
+
+
+@register(
+    "q_fn_math2",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(sin(l_discount), 4)                     AS disc_sin,
+       round(cos(l_discount), 4)                     AS disc_cos,
+       round(atan(l_discount), 4)                    AS disc_atan,
+       round(atan2(l_quantity, l_extendedprice), 4)  AS qp_atan2,
+       round(cbrt(l_extendedprice), 4)               AS price_cbrt,
+       round(degrees(l_discount), 4)                 AS disc_deg,
+       round(radians(l_quantity), 4)                 AS qty_rad,
+       round(log2(l_extendedprice), 4)               AS price_log2,
+       round(log10(l_extendedprice), 4)              AS price_log10,
+       CAST(sign(l_discount - 0.05) AS INT)          AS disc_sign
+FROM lineitem
+""",
+    doc="Second math surface: trig (sin/cos/atan), atan2, cbrt, "
+    "degrees/radians, log2/log10, sign — the remaining math "
+    "builtins present natively in BOTH engines (sinh/cosh/hypot "
+    "are DuckDB-absent and excluded rather than emulated by "
+    "formula, which would compare libm against a different "
+    "expression tree). Transcendentals rounded to 4 places per the "
+    "q_fn_math libm-ulp discipline; sign emits exact -1/0/1 "
+    "ints.",
+)
+def q_fn_math2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sin("l_discount"), 4).alias("disc_sin"),
+        F.round(F.cos("l_discount"), 4).alias("disc_cos"),
+        F.round(F.atan("l_discount"), 4).alias("disc_atan"),
+        F.round(
+            F.atan2(F.col("l_quantity"), F.col("l_extendedprice")), 4
+        ).alias("qp_atan2"),
+        F.round(F.cbrt("l_extendedprice"), 4).alias("price_cbrt"),
+        F.round(F.degrees("l_discount"), 4).alias("disc_deg"),
+        F.round(F.radians("l_quantity"), 4).alias("qty_rad"),
+        F.round(F.log2("l_extendedprice"), 4).alias("price_log2"),
+        F.round(F.log10("l_extendedprice"), 4).alias("price_log10"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias(
+            "disc_sign"
+        ),
+    )
