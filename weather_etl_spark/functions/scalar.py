@@ -699,3 +699,57 @@ def q_fn_math2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "disc_sign"
         ),
     )
+
+
+@register(
+    "q_fn_array_lambda",
+    oracle="""
+SELECT vec_id,
+       CAST(len(list_filter(emb, x -> x > 0)) AS BIGINT) AS n_pos,
+       len(list_filter(emb, x -> x > 0.3)) > 0           AS any_big,
+       len(list_filter(emb, x -> abs(x) >= 10)) = 0      AS all_small,
+       ROUND(list_sum(list_transform(emb, x -> abs(x))), 4) AS l1,
+       ROUND(list_sum(list_transform(range(1, len(emb) + 1),
+                                     i -> emb[i] * emb[i])), 4) AS dot_self
+FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings) t
+""",
+    doc="Higher-order array lambdas as a declared function surface: "
+    "filter (positive-component count), exists/forall (threshold "
+    "predicates, expressed as filter-length tests in DuckDB), and "
+    "left-fold aggregation (L1 norm via transform+sum, "
+    "self-dot-product via element-wise square) over the embedding "
+    "arrays. Both engines fold element order left-to-right over the "
+    "same double-cast values, so the sums are bit-identical before "
+    "the final 4-place rounding.",
+    scale_notes="Lambdas evaluate inside whole-stage codegen per row "
+    "— zero shuffle, no UDF, array-length-proportional cost. The "
+    "same constructs power the vector operators (llm_vector); this "
+    "row pins their function-surface semantics directly.",
+)
+def q_fn_array_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    return emb.select(
+        "vec_id",
+        F.size(F.expr("filter(emb, x -> x > 0)"))
+        .cast("bigint")
+        .alias("n_pos"),
+        F.expr("exists(emb, x -> x > 0.3)").alias("any_big"),
+        F.expr("forall(emb, x -> abs(x) < 10)").alias("all_small"),
+        F.round(
+            F.expr(
+                "aggregate(transform(emb, x -> abs(x)), 0D,"
+                " (acc, x) -> acc + x)"
+            ),
+            4,
+        ).alias("l1"),
+        F.round(
+            F.expr(
+                "aggregate(zip_with(emb, emb, (a, b) -> a * b), 0D,"
+                " (acc, x) -> acc + x)"
+            ),
+            4,
+        ).alias("dot_self"),
+    )
