@@ -918,3 +918,24 @@ def test_asof_nearest_picks_the_closer_side(spark):
         else:
             assert r["view_ts_us"] is None and b is None
     assert n_fwd > 0, "fixture should exercise the forward branch"
+
+
+def test_hhi_bounds_and_python_differential(spark):
+    rows = SPECS["q_agg_hhi"].fn(spark, SF).collect()
+    import collections
+
+    cust = {
+        r["c_custkey"]: r["c_mktsegment"]
+        for r in spark.read.parquet(SF + "/customer.parquet").collect()
+    }
+    rev = collections.defaultdict(lambda: collections.defaultdict(int))
+    for o in spark.read.parquet(SF + "/orders.parquet").collect():
+        seg = cust[o["o_custkey"]]
+        rev[seg][o["o_custkey"]] += int(round(o["o_totalprice"] * 100))
+    for r in rows:
+        rs = list(rev[r["c_mktsegment"]].values())
+        assert r["n_customers"] == len(rs)
+        hhi = 10000.0 * sum(x * x for x in rs) / (float(sum(rs)) * sum(rs))
+        assert r["hhi_pts"] == pytest.approx(round(hhi, 4), abs=1e-3)
+        # bounds: 10000/n (perfectly even) <= HHI <= 10000 (monopoly)
+        assert 10000.0 / len(rs) - 1e-6 <= r["hhi_pts"] <= 10000.0

@@ -850,3 +850,61 @@ def q_agg_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z"),
         (F.abs(z) > 1.96).alias("significant"),
     )
+
+
+@register(
+    "q_agg_hhi",
+    oracle="""
+WITH rev AS (
+  SELECT c_mktsegment, c_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS r2
+  FROM customer JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_mktsegment, c_custkey
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       ROUND(10000.0
+             * CAST(SUM(CAST(r2 AS HUGEINT) * r2) AS DOUBLE)
+             / (CAST(SUM(r2) AS DOUBLE) * SUM(r2)), 4) AS hhi_pts
+FROM rev
+GROUP BY c_mktsegment
+""",
+    doc="Herfindahl-Hirschman concentration index per market "
+    "segment: HHI (in the standard 0-10000 points scale) of "
+    "customer revenue shares, computed as 10000 * sum(r_i^2) / "
+    "(sum r_i)^2 over exact integer-cents revenues — the squared "
+    "sums ride int128/DECIMAL(38,0) so no float reduction exists; "
+    "the single final division is the only double op. Completes "
+    "the concentration family (q_agg_gini measures inequality, "
+    "q_agg_pareto coverage, HHI market power).",
+    scale_notes="Two-level rollup: per-(segment, customer) cents "
+    "ledger (one shuffle, map-combined), then a segment-sized "
+    "re-aggregation of squared ledger rows. int128 accumulators "
+    "hold through any realistic SF; the shape is q_agg_gini's "
+    "without the rank window.",
+)
+def q_agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("r2"),
+    )
+    rev = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.sum("r2").cast("bigint").alias("r2"))
+    )
+    sum_r = F.sum("r2")
+    sum_sq = F.sum(F.col("r2").cast("decimal(38,0)") * F.col("r2"))
+    return rev.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(
+            F.lit(10000.0)
+            * sum_sq.cast("double")
+            / (sum_r.cast("double") * sum_r),
+            4,
+        ).alias("hhi_pts"),
+    )
