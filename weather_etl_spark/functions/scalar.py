@@ -753,3 +753,36 @@ def q_fn_array_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("dot_self"),
     )
+
+
+@register(
+    "q_fn_regexp2",
+    oracle="""
+SELECT p_partkey,
+       array_to_string(regexp_extract_all(p_type, '[A-Z]+'), '|')
+         AS words,
+       CAST(len(regexp_extract_all(p_type, '[A-Z]+')) AS BIGINT)
+         AS n_words,
+       CAST(len(regexp_extract_all(p_name, 'o')) AS BIGINT) AS n_o,
+       regexp_replace(p_brand, '[0-9]+', '#', 'g') AS brand_masked
+FROM part
+""",
+    doc="Extended regexp surface: regexp_extract_all (stringified "
+    "via array_join, §7.4 rule 5), match counting via extract_all "
+    "length (regexp_count is Spark-only, so the count is expressed "
+    "portably), and global regexp_replace. Patterns are "
+    "dialect-safe character classes — identical under Java regex "
+    "and RE2.",
+)
+def q_fn_regexp2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part")
+    words = F.expr("regexp_extract_all(p_type, '[A-Z]+', 0)")
+    return p.select(
+        "p_partkey",
+        F.array_join(words, "|").alias("words"),
+        F.size(words).cast("bigint").alias("n_words"),
+        F.size(F.expr("regexp_extract_all(p_name, 'o', 0)"))
+        .cast("bigint")
+        .alias("n_o"),
+        F.regexp_replace("p_brand", "[0-9]+", "#").alias("brand_masked"),
+    )
