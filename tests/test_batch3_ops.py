@@ -939,3 +939,27 @@ def test_hhi_bounds_and_python_differential(spark):
         assert r["hhi_pts"] == pytest.approx(round(hhi, 4), abs=1e-3)
         # bounds: 10000/n (perfectly even) <= HHI <= 10000 (monopoly)
         assert 10000.0 / len(rs) - 1e-6 <= r["hhi_pts"] <= 10000.0
+
+
+def test_mutual_info_nonneg_and_python_differential(spark):
+    import collections, math
+
+    ev = spark.read.parquet(SF + "/events.parquet").collect()
+    joint = collections.Counter(
+        (r["event_type"], r["ts"].hour) for r in ev
+    )
+    n = sum(joint.values())
+    mx = collections.Counter()
+    my = collections.Counter()
+    for (t, h), c in joint.items():
+        mx[t] += c
+        my[h] += c
+    mi = sum(
+        round(c / n * math.log(c * n / (mx[t] * my[h])), 8)
+        for (t, h), c in joint.items()
+    )
+    row = SPECS["q_agg_mutual_info"].fn(spark, SF).collect()[0]
+    assert row["n_events"] == n
+    assert row["n_cells"] == len(joint)
+    assert row["mi_nats"] == pytest.approx(round(mi, 4), abs=1e-4)
+    assert row["mi_nats"] >= -1e-6  # MI is non-negative

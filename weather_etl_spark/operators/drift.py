@@ -908,3 +908,79 @@ def q_agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("hhi_pts"),
     )
+
+
+@register(
+    "q_agg_mutual_info",
+    oracle="""
+WITH joint AS (
+  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) AS hod,
+         COUNT(*) AS nxy
+  FROM events GROUP BY event_type, hod
+), mx AS (
+  SELECT event_type, CAST(SUM(nxy) AS BIGINT) AS nx FROM joint
+  GROUP BY event_type
+), my AS (
+  SELECT hod, CAST(SUM(nxy) AS BIGINT) AS ny FROM joint GROUP BY hod
+), tot AS (
+  SELECT CAST(SUM(nxy) AS BIGINT) AS n FROM joint
+)
+SELECT tot.n AS n_events,
+       COUNT(*) AS n_cells,
+       ROUND(CAST(SUM(CAST(ROUND(
+               CAST(joint.nxy AS DOUBLE) / tot.n
+               * ln(CAST(joint.nxy AS DOUBLE) * tot.n
+                    / (CAST(mx.nx AS DOUBLE) * my.ny)), 8)
+             AS DECIMAL(18,8))) AS DOUBLE), 4) AS mi_nats
+FROM joint
+JOIN mx USING (event_type)
+JOIN my USING (hod)
+CROSS JOIN tot
+GROUP BY tot.n
+""",
+    doc="Mutual information I(event_type; hour-of-day) in nats — the "
+    "aggregate companion to q_event_cooccurrence's per-pair PMI and "
+    "the standard feature-relevance screen (MI = 0 iff the type mix "
+    "is independent of the time of day). Every probability is a "
+    "ratio of exact integer counts; each cell's contribution is "
+    "rounded to 8 decimals and summed as DECIMAL so the reduction "
+    "over the (types x 24)-cell grid is order-independent.",
+    scale_notes="One map-combined shuffle to the joint ledger; "
+    "marginals re-aggregate the ledger (types + 24 rows), and the "
+    "MI sum runs over the bounded cell grid — at ANY corpus scale "
+    "the post-ledger work is constant-size. The q_time_seasonal "
+    "shape with an information-theoretic head.",
+)
+def q_agg_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    joint = ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hod")
+    ).agg(F.count(F.lit(1)).alias("nxy"))
+    mx = joint.groupBy("event_type").agg(
+        F.sum("nxy").cast("bigint").alias("nx")
+    )
+    my = joint.groupBy("hod").agg(F.sum("nxy").cast("bigint").alias("ny"))
+    tot = joint.agg(F.sum("nxy").cast("bigint").alias("n"))
+    term = F.round(
+        F.col("nxy").cast("double")
+        / F.col("n")
+        * F.log(
+            F.col("nxy").cast("double")
+            * F.col("n")
+            / (F.col("nx").cast("double") * F.col("ny"))
+        ),
+        8,
+    ).cast("decimal(18,8)")
+    return (
+        joint.join(mx, "event_type")
+        .join(my, "hod")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.round(F.sum(term).cast("double"), 4).alias("mi_nats"),
+        )
+        .select(
+            F.col("n").alias("n_events"), "n_cells", "mi_nats"
+        )
+    )
