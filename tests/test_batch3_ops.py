@@ -963,3 +963,51 @@ def test_mutual_info_nonneg_and_python_differential(spark):
     assert row["n_cells"] == len(joint)
     assert row["mi_nats"] == pytest.approx(round(mi, 4), abs=1e-4)
     assert row["mi_nats"] >= -1e-6  # MI is non-negative
+
+
+def test_interarrival_matches_python(spark):
+    import collections, statistics
+
+    ev = sorted(
+        spark.read.parquet(SF + "/events.parquet").collect(),
+        key=lambda r: (r["event_type"], r["ts"], r["event_id"]),
+    )
+    gaps = collections.defaultdict(list)
+    prev = {}
+    for r in ev:
+        us = int(
+            r["ts"].replace(tzinfo=__import__("datetime").timezone.utc)
+            .timestamp() * 1_000_000
+        )
+        if r["event_type"] in prev:
+            gaps[r["event_type"]].append(us - prev[r["event_type"]])
+        prev[r["event_type"]] = us
+    for r in SPECS["q_event_interarrival"].fn(spark, SF).collect():
+        g = gaps[r["event_type"]]
+        assert r["n_gaps"] == len(g)
+        assert r["min_us"] == min(g) and r["max_us"] == max(g)
+        assert r["total_us"] == sum(g)
+        assert r["median_us"] == statistics.median(g)
+
+
+def test_kl_divergence_nonneg_and_python(spark):
+    import collections, math
+
+    ev = spark.read.parquet(SF + "/events.parquet").collect()
+    p = collections.Counter(
+        r["ts"].hour for r in ev if r["event_type"] == "view"
+    )
+    q = collections.Counter(
+        r["ts"].hour for r in ev if r["event_type"] == "purchase"
+    )
+    tp, tq = sum(p.values()), sum(q.values())
+    kl = sum(
+        round(p[h] / tp * math.log(p[h] * tq / (q[h] * tp)), 8)
+        for h in p
+        if h in q
+    )
+    row = SPECS["q_agg_kl_divergence"].fn(spark, SF).collect()[0]
+    assert row["n_view"] == tp and row["n_purchase"] == tq
+    assert row["n_bins"] == len(set(p) & set(q)) == 24
+    assert row["kl_nats"] == pytest.approx(round(kl, 4), abs=1e-4)
+    assert row["kl_nats"] >= -1e-6

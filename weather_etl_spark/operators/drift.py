@@ -984,3 +984,82 @@ def q_agg_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_events"), "n_cells", "mi_nats"
         )
     )
+
+
+@register(
+    "q_agg_kl_divergence",
+    oracle="""
+WITH p AS (
+  SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS hod, COUNT(*) AS np
+  FROM events WHERE event_type = 'view' GROUP BY hod
+), q AS (
+  SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS hod, COUNT(*) AS nq
+  FROM events WHERE event_type = 'purchase' GROUP BY hod
+), tot AS (
+  SELECT (SELECT CAST(SUM(np) AS BIGINT) FROM p) AS tp,
+         (SELECT CAST(SUM(nq) AS BIGINT) FROM q) AS tq
+)
+SELECT tot.tp AS n_view, tot.tq AS n_purchase,
+       COUNT(*) AS n_bins,
+       ROUND(CAST(SUM(CAST(ROUND(
+               CAST(p.np AS DOUBLE) / tot.tp
+               * ln(CAST(p.np AS DOUBLE) * tot.tq
+                    / (CAST(q.nq AS DOUBLE) * tot.tp)), 8)
+             AS DECIMAL(18,8))) AS DOUBLE), 4) AS kl_nats
+FROM p JOIN q USING (hod) CROSS JOIN tot
+GROUP BY tot.tp, tot.tq
+""",
+    doc="KL divergence D(view || purchase) between the two types' "
+    "hour-of-day distributions in nats — the directed "
+    "distribution-shift measure completing the drift battery (KS "
+    "statistic, t/U tests, mutual information). Both distributions "
+    "are ratios of exact counts over the same 24-bin support "
+    "(every hour is populated at fixture SFs; bins missing from "
+    "either side would drop via the inner join, making the "
+    "estimate a support-restricted KL, which the doc declares). "
+    "Per-bin terms ROUND to 8 decimals then DECIMAL-sum — "
+    "order-independent.",
+    scale_notes="Two scan-pruned count ledgers (24 rows each) + "
+    "constant-size divergence algebra; the same ledger-bounded "
+    "shape as q_agg_mutual_info at any corpus size.",
+)
+def q_agg_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(F.hour("ts").cast("int").alias("hod"))
+        .agg(F.count(F.lit(1)).alias("np"))
+    )
+    q = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.hour("ts").cast("int").alias("hod"))
+        .agg(F.count(F.lit(1)).alias("nq"))
+    )
+    tp = p.agg(F.sum("np").cast("bigint").alias("tp"))
+    tq = q.agg(F.sum("nq").cast("bigint").alias("tq"))
+    term = F.round(
+        F.col("np").cast("double")
+        / F.col("tp")
+        * F.log(
+            F.col("np").cast("double")
+            * F.col("tq")
+            / (F.col("nq").cast("double") * F.col("tp"))
+        ),
+        8,
+    ).cast("decimal(18,8)")
+    return (
+        p.join(q, "hod")
+        .crossJoin(F.broadcast(tp))
+        .crossJoin(F.broadcast(tq))
+        .groupBy("tp", "tq")
+        .agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            F.round(F.sum(term).cast("double"), 4).alias("kl_nats"),
+        )
+        .select(
+            F.col("tp").alias("n_view"),
+            F.col("tq").alias("n_purchase"),
+            "n_bins",
+            "kl_nats",
+        )
+    )

@@ -704,3 +704,52 @@ def q_time_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cusum") > _CUSUM_H).alias("alarm"),
         )
     )
+
+
+@register(
+    "q_event_interarrival",
+    oracle="""
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT event_type,
+       COUNT(gap) AS n_gaps,
+       CAST(MIN(gap) AS BIGINT) AS min_us,
+       CAST(MAX(gap) AS BIGINT) AS max_us,
+       CAST(SUM(gap) AS BIGINT) AS total_us,
+       CAST(median(gap) AS DOUBLE) AS median_us
+FROM g
+GROUP BY event_type
+""",
+    doc="Inter-arrival gap statistics per event type (the "
+    "ops-monitoring heartbeat metric: is traffic arriving at the "
+    "expected cadence?): consecutive-event gaps in exact "
+    "microseconds — count, min, max, total (mean derives as "
+    "total/n without a rounding contract), and the exact median "
+    "(integer gaps make even-count midpoints dyadic, so the double "
+    "is bit-identical cross-engine with no rounding at all).",
+    scale_notes="One event_type shuffle for the lag window, then a "
+    "type-sized ledger; the exact median re-sorts per group at "
+    "bench SF and swaps to the fixed-bin histogram sketch "
+    "(q_agg_hist_quantile) at 100 TB. Gap integers are exact at "
+    "any scale.",
+)
+def q_event_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap"),
+    )
+    return g.groupBy("event_type").agg(
+        F.count("gap").alias("n_gaps"),
+        F.min("gap").cast("bigint").alias("min_us"),
+        F.max("gap").cast("bigint").alias("max_us"),
+        F.sum("gap").cast("bigint").alias("total_us"),
+        F.expr("percentile(gap, 0.5)").cast("double").alias("median_us"),
+    )
