@@ -1011,3 +1011,30 @@ def test_kl_divergence_nonneg_and_python(spark):
     assert row["n_bins"] == len(set(p) & set(q)) == 24
     assert row["kl_nats"] == pytest.approx(round(kl, 4), abs=1e-4)
     assert row["kl_nats"] >= -1e-6
+
+
+def test_js_divergence_bounded_and_python(spark):
+    import collections, math
+
+    ev = spark.read.parquet(SF + "/events.parquet").collect()
+    p = collections.Counter(
+        r["ts"].hour for r in ev if r["event_type"] == "view"
+    )
+    q = collections.Counter(
+        r["ts"].hour for r in ev if r["event_type"] == "purchase"
+    )
+    tp, tq = sum(p.values()), sum(q.values())
+    js = 0.0
+    for h in set(p) & set(q):
+        pp, qq = p[h] / tp, q[h] / tq
+        m = 0.5 * (pp + qq)
+        js += round(
+            0.5 * pp * math.log(pp / m) + 0.5 * qq * math.log(qq / m), 8
+        )
+    row = SPECS["q_agg_js_divergence"].fn(spark, SF).collect()[0]
+    assert row["js_nats"] == pytest.approx(round(js, 4), abs=1e-4)
+    assert -1e-6 <= row["js_nats"] <= math.log(2) + 1e-6
+    # JS (a true average of divergences to the midpoint) never
+    # exceeds the directed KL on the same support
+    kl = SPECS["q_agg_kl_divergence"].fn(spark, SF).collect()[0]
+    assert row["js_nats"] <= kl["kl_nats"] + 1e-6

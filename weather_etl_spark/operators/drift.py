@@ -1063,3 +1063,86 @@ def q_agg_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kl_nats",
         )
     )
+
+
+@register(
+    "q_agg_js_divergence",
+    oracle="""
+WITH p AS (
+  SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS hod, COUNT(*) AS np
+  FROM events WHERE event_type = 'view' GROUP BY hod
+), q AS (
+  SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS hod, COUNT(*) AS nq
+  FROM events WHERE event_type = 'purchase' GROUP BY hod
+), tot AS (
+  SELECT (SELECT CAST(SUM(np) AS BIGINT) FROM p) AS tp,
+         (SELECT CAST(SUM(nq) AS BIGINT) FROM q) AS tq
+), cells AS (
+  SELECT CAST(p.np AS DOUBLE) / tot.tp AS pp,
+         CAST(q.nq AS DOUBLE) / tot.tq AS qq,
+         tot.tp, tot.tq
+  FROM p JOIN q USING (hod) CROSS JOIN tot
+)
+SELECT tp AS n_view, tq AS n_purchase, COUNT(*) AS n_bins,
+       ROUND(CAST(SUM(CAST(ROUND(
+               0.5 * pp * ln(pp / (0.5 * (pp + qq)))
+             + 0.5 * qq * ln(qq / (0.5 * (pp + qq))), 8)
+             AS DECIMAL(18,8))) AS DOUBLE), 4) AS js_nats
+FROM cells
+GROUP BY tp, tq
+""",
+    doc="Jensen-Shannon divergence between the view and purchase "
+    "hour-of-day distributions — the bounded (<= ln 2), symmetric "
+    "member of the divergence family (q_agg_kl_divergence is the "
+    "directed form); JS is the measure distribution-shift monitors "
+    "threshold on because it never diverges on disjoint support. "
+    "Same exact-count probability construction, identical "
+    "expression tree in both engines, per-bin ROUND+DECIMAL sum.",
+    scale_notes="Identical ledger-bounded shape to the KL/MI rows: "
+    "two pruned 24-bin count ledgers + constant-size algebra, "
+    "invariant to corpus scale.",
+)
+def q_agg_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(F.hour("ts").cast("int").alias("hod"))
+        .agg(F.count(F.lit(1)).alias("np"))
+    )
+    q = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.hour("ts").cast("int").alias("hod"))
+        .agg(F.count(F.lit(1)).alias("nq"))
+    )
+    tp = p.agg(F.sum("np").cast("bigint").alias("tp"))
+    tq = q.agg(F.sum("nq").cast("bigint").alias("tq"))
+    cells = (
+        p.join(q, "hod")
+        .crossJoin(F.broadcast(tp))
+        .crossJoin(F.broadcast(tq))
+        .select(
+            (F.col("np").cast("double") / F.col("tp")).alias("pp"),
+            (F.col("nq").cast("double") / F.col("tq")).alias("qq"),
+            "tp",
+            "tq",
+        )
+    )
+    m = 0.5 * (F.col("pp") + F.col("qq"))
+    term = F.round(
+        0.5 * F.col("pp") * F.log(F.col("pp") / m)
+        + 0.5 * F.col("qq") * F.log(F.col("qq") / m),
+        8,
+    ).cast("decimal(18,8)")
+    return (
+        cells.groupBy("tp", "tq")
+        .agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            F.round(F.sum(term).cast("double"), 4).alias("js_nats"),
+        )
+        .select(
+            F.col("tp").alias("n_view"),
+            F.col("tq").alias("n_purchase"),
+            "n_bins",
+            "js_nats",
+        )
+    )

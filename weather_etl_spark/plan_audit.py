@@ -60,6 +60,8 @@ ALLOW_BNL: dict[str, str] = {
     "bounded cell grid (drift.py) — the q_filter_ts_cursor pattern",
     "q_agg_kl_divergence": "two 1-row total-count aggregates crossed "
     "into the 24-bin grid (drift.py) — the q_filter_ts_cursor pattern",
+    "q_agg_js_divergence": "two 1-row total-count aggregates crossed "
+    "into the 24-bin grid (drift.py) — the q_filter_ts_cursor pattern",
     "q_agg_benford": "1-row digit-count total crossed into the 9-row "
     "ledger — the q_filter_ts_cursor pattern (drift.py)",
     "q_agg_cms_portable": "constant 4-row depth axis, 1-row state "
