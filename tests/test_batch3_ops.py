@@ -1038,3 +1038,42 @@ def test_js_divergence_bounded_and_python(spark):
     # exceeds the directed KL on the same support
     kl = SPECS["q_agg_kl_divergence"].fn(spark, SF).collect()[0]
     assert row["js_nats"] <= kl["kl_nats"] + 1e-6
+
+
+def test_drawdown_matches_python(spark):
+    import collections
+
+    ev = sorted(
+        spark.read.parquet(SF + "/events.parquet").collect(),
+        key=lambda r: (r["event_type"], r["ts"], r["event_id"]),
+    )
+    series = collections.defaultdict(list)
+    for r in ev:
+        series[r["event_type"]].append(int(round(r["value"] * 100)))
+    for r in SPECS["q_win_drawdown"].fn(spark, SF).collect():
+        cum = peak = dd = n_at = 0
+        for v in series[r["event_type"]]:
+            cum += v
+            if cum >= peak:
+                peak = cum
+            if cum == peak:
+                n_at += 1
+            dd = max(dd, peak - cum)
+        assert r["max_drawdown_cents"] == dd
+        assert r["n_at_peak"] == n_at
+        assert r["final_peak_cents"] == peak
+
+
+def test_entropy_rate_equals_mean_perplexity_nll(spark):
+    """The corpus entropy rate must equal the bigram-weighted mean of
+    q_llm_perplexity's per-doc NLLs (same LM, same corpus) up to the
+    per-term rounding layers."""
+    ppl = SPECS["q_llm_perplexity"].fn(spark, SF).collect()
+    total_nll = sum(r["avg_nll"] * r["n_bigrams"] for r in ppl)
+    total_bg = sum(r["n_bigrams"] for r in ppl)
+    row = SPECS["q_llm_entropy_rate"].fn(spark, SF).collect()[0]
+    assert row["n_bigrams"] == total_bg
+    assert row["h_rate_nats"] == pytest.approx(
+        total_nll / total_bg, abs=1e-3
+    )
+    assert row["n_distinct_bigrams"] <= total_bg

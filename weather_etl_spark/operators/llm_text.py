@@ -879,3 +879,93 @@ def q_llm_ppl_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mean_nll"),
     ).select("lang", bucket.alias("bucket"), "n_docs", "mean_nll")
+
+
+@register(
+    "q_llm_entropy_rate",
+    oracle="""
+WITH toks AS (
+  SELECT string_split(text, ' ') AS t
+  FROM documents WHERE len(string_split(text, ' ')) >= 2
+), bg AS (
+  SELECT unnest(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i + 1])) AS bigram
+  FROM toks
+), c2 AS (
+  SELECT bigram, COUNT(*) AS n2 FROM bg GROUP BY bigram
+), c1 AS (
+  SELECT split_part(bigram, ' ', 1) AS w1, COUNT(*) AS n1
+  FROM bg GROUP BY w1
+), tot AS (
+  SELECT CAST(SUM(n2) AS BIGINT) AS n FROM c2
+)
+SELECT tot.n AS n_bigrams,
+       COUNT(*) AS n_distinct_bigrams,
+       ROUND(CAST(SUM(CAST(ROUND(
+               -(CAST(c2.n2 AS DOUBLE) / tot.n)
+               * ln(CAST(c2.n2 AS DOUBLE) / c1.n1), 8)
+             AS DECIMAL(18,8))) AS DOUBLE), 4) AS h_rate_nats
+FROM c2
+JOIN c1 ON split_part(c2.bigram, ' ', 1) = c1.w1
+CROSS JOIN tot
+GROUP BY tot.n
+""",
+    doc="Corpus bigram entropy rate H(w2 | w1) = -sum p(w1,w2) "
+    "ln p(w2|w1) in nats — the corpus-level predictability summary "
+    "whose per-document decomposition IS q_llm_perplexity's avg_nll "
+    "(a corpus scored by its own bigram LM has mean NLL equal to "
+    "this entropy rate): low entropy = repetitive/templated text, "
+    "high = diverse. All probabilities are exact count ratios from "
+    "the same c2/c1 tables perplexity uses; per-bigram terms ROUND "
+    "to 8 decimals then DECIMAL-sum, order-independent over the "
+    "vocabulary-sized grid.",
+    scale_notes="Reuses the perplexity count shape: bigram-key "
+    "map-combined shuffles, unhinted c1 join (AQE broadcasts while "
+    "small). The entropy reduction is one pass over the "
+    "distinct-bigram table — vocabulary-sized, not corpus-sized, "
+    "and it shrinks relative to the corpus as text repeats.",
+)
+def q_llm_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bg = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1)))"
+            )
+        ).alias("bigram")
+    )
+    c2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = (
+        bg.select(
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1")
+        )
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("n1"))
+    )
+    tot = c2.agg(F.sum("n2").cast("bigint").alias("n"))
+    term = F.round(
+        -(F.col("n2").cast("double") / F.col("n"))
+        * F.log(F.col("n2").cast("double") / F.col("n1")),
+        8,
+    ).cast("decimal(18,8)")
+    return (
+        c2.withColumn(
+            "w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))
+        )
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_bigrams"),
+            F.round(F.sum(term).cast("double"), 4).alias("h_rate_nats"),
+        )
+        .select(
+            F.col("n").alias("n_bigrams"),
+            "n_distinct_bigrams",
+            "h_rate_nats",
+        )
+    )

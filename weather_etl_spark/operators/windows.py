@@ -769,3 +769,73 @@ def q_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile(y, 0.5)").over(fr).cast("double") / 100
         ).alias("med"),
     )
+
+
+@register(
+    "q_win_drawdown",
+    oracle="""
+WITH s AS (
+  SELECT event_type, ts, event_id,
+         SUM(CAST(ROUND(value * 100) AS BIGINT))
+           OVER w AS cum
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)
+), d AS (
+  SELECT event_type, cum,
+         MAX(cum) OVER w AS run_peak
+  FROM s
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_type,
+       CAST(MAX(run_peak - cum) AS BIGINT) AS max_drawdown_cents,
+       CAST(SUM(CASE WHEN cum = run_peak THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_at_peak,
+       CAST(MAX(run_peak) AS BIGINT) AS final_peak_cents
+FROM d GROUP BY event_type
+""",
+    doc="Maximum drawdown of each event type's cumulative value "
+    "series (the standard risk/regression metric: largest drop "
+    "from a running peak): cumulative sums and running peaks are "
+    "exact integer cents over the (ts, event_id) order, so the "
+    "drawdown, the count of at-peak rows, and the terminal peak "
+    "are all exact BIGINTs — no float ever appears.",
+    scale_notes="One event_type shuffle shared by the cumulative "
+    "and running-max frames (same partitioning + order -> one "
+    "WindowExec pair), then a type-sized ledger. The running "
+    "structures are O(1) state per row; time-chunked deployments "
+    "checkpoint (cum, peak) per key exactly like q_time_holt's "
+    "(level, trend).",
+)
+def q_win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cums = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .over(w)
+        .alias("cum"),
+    )
+    s = cums.select(
+        "event_type",
+        "cum",
+        F.max("cum").over(w).alias("run_peak"),
+    )
+    return s.groupBy("event_type").agg(
+        F.max(F.col("run_peak") - F.col("cum"))
+        .cast("bigint")
+        .alias("max_drawdown_cents"),
+        F.sum(
+            F.when(F.col("cum") == F.col("run_peak"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_at_peak"),
+        F.max("run_peak").cast("bigint").alias("final_peak_cents"),
+    )

@@ -62,6 +62,9 @@ ALLOW_BNL: dict[str, str] = {
     "into the 24-bin grid (drift.py) — the q_filter_ts_cursor pattern",
     "q_agg_js_divergence": "two 1-row total-count aggregates crossed "
     "into the 24-bin grid (drift.py) — the q_filter_ts_cursor pattern",
+    "q_llm_entropy_rate": "1-row bigram-total aggregate crossed into "
+    "the entropy reduction (llm_text.py) — the q_filter_ts_cursor "
+    "pattern",
     "q_agg_benford": "1-row digit-count total crossed into the 9-row "
     "ledger — the q_filter_ts_cursor pattern (drift.py)",
     "q_agg_cms_portable": "constant 4-row depth axis, 1-row state "

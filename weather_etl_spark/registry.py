@@ -322,7 +322,7 @@ DRIVER_DEFERRED: frozenset[str] = frozenset({
     "q_agg_hll_rollup", "q_join_asof_nearest", "q_fn_math2",
     "q_fn_array_lambda", "q_agg_hhi", "q_fn_regexp2",
     "q_agg_mutual_info", "q_event_interarrival", "q_agg_kl_divergence",
-    "q_agg_js_divergence",
+    "q_agg_js_divergence", "q_win_drawdown", "q_llm_entropy_rate",
 })
 
 
