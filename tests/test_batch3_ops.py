@@ -1077,3 +1077,31 @@ def test_entropy_rate_equals_mean_perplexity_nll(spark):
         total_nll / total_bg, abs=1e-3
     )
     assert row["n_distinct_bigrams"] <= total_bg
+
+
+def test_runs_test_matches_python(spark):
+    import collections, math, statistics
+
+    ev = sorted(
+        spark.read.parquet(SF + "/events.parquet").collect(),
+        key=lambda r: (r["event_type"], r["ts"], r["event_id"]),
+    )
+    series = collections.defaultdict(list)
+    for r in ev:
+        series[r["event_type"]].append(int(round(r["value"] * 100)))
+    for row in SPECS["q_agg_runs_test"].fn(spark, SF).collect():
+        vs = series[row["event_type"]]
+        med2 = int(2 * statistics.median(vs))
+        flags = [1 if 2 * v > med2 else 0 for v in vs if 2 * v != med2]
+        n1, n2 = sum(flags), len(flags) - sum(flags)
+        runs = 1 + sum(
+            1 for a, b in zip(flags, flags[1:]) if a != b
+        )
+        assert row["n_above"] == n1 and row["n_below"] == n2
+        assert row["n_runs"] == runs
+        n = n1 + n2
+        mu = 1 + 2 * n1 * n2 / n
+        var = 2 * n1 * n2 * (2 * n1 * n2 - n) / (n * n * (n - 1))
+        z = (runs - mu) / math.sqrt(var)
+        assert row["z"] == pytest.approx(round(z, 4), abs=1e-3)
+        assert row["nonrandom"] == (abs(z) > 1.96)

@@ -1146,3 +1146,115 @@ def q_agg_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "js_nats",
         )
     )
+
+
+@register(
+    "q_agg_runs_test",
+    oracle="""
+WITH s AS (
+  SELECT event_type, ts, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS v2
+  FROM events
+), med AS (
+  SELECT event_type, CAST(2 * median(v2) AS BIGINT) AS med2
+  FROM s GROUP BY event_type
+), f AS (
+  SELECT s.event_type, s.ts, s.event_id,
+         CAST(2 * s.v2 > med.med2 AS INT) AS above
+  FROM s JOIN med USING (event_type)
+  WHERE 2 * s.v2 <> med.med2
+), r AS (
+  SELECT event_type, above,
+         lag(above) OVER (PARTITION BY event_type
+                          ORDER BY ts, event_id) AS pa
+  FROM f
+), agg AS (
+  SELECT event_type,
+         CAST(SUM(above) AS BIGINT) AS n1,
+         CAST(SUM(1 - above) AS BIGINT) AS n2,
+         CAST(1 + SUM(CASE WHEN pa IS NOT NULL AND above <> pa
+                           THEN 1 ELSE 0 END) AS BIGINT) AS runs
+  FROM r GROUP BY event_type
+)
+SELECT event_type, n1 AS n_above, n2 AS n_below, runs AS n_runs,
+       ROUND((runs - (1 + 2.0 * n1 * n2 / (n1 + n2)))
+             / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2))
+                    / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)
+                       * (n1 + n2 - 1))), 4) AS z,
+       abs((runs - (1 + 2.0 * n1 * n2 / (n1 + n2)))
+           / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2))
+                  / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)
+                     * (n1 + n2 - 1)))) > 1.96 AS nonrandom
+FROM agg
+""",
+    doc="Wald-Wolfowitz runs test per event type: the time-ordered "
+    "value sequence is binarized against the type's exact median "
+    "(dyadic 2x-median integer comparisons; exact-median rows are "
+    "excluded so the sequence is strictly binary), runs are "
+    "counted via one lag window, and the normal z approximation "
+    "flags non-randomness at 5% — too FEW runs = trending/sticky "
+    "values, too MANY = oscillation. The randomness-of-sequence "
+    "member of the drift battery (KS/t/U test distributions, "
+    "CUSUM/autocorr test memory; this tests run structure).",
+    scale_notes="One type shuffle shared by the median ledger "
+    "re-join and the lag window, then type-sized scalar algebra. "
+    "The exact median swaps for the histogram sketch at 100 TB "
+    "like every other exact-quantile row.",
+)
+def q_agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("v2"),
+    )
+    med = s.groupBy("event_type").agg(
+        (2 * F.expr("percentile(v2, 0.5)")).cast("bigint").alias("med2")
+    )
+    f = (
+        s.join(med, "event_type")
+        .filter(2 * F.col("v2") != F.col("med2"))
+        .select(
+            "event_type",
+            "ts",
+            "event_id",
+            (2 * F.col("v2") > F.col("med2")).cast("int").alias("above"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    r = f.withColumn("pa", F.lag("above").over(w))
+    agg = r.groupBy("event_type").agg(
+        F.sum("above").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("above")).cast("bigint").alias("n2"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("pa").isNotNull()
+                    & (F.col("above") != F.col("pa")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("bigint")
+        .alias("runs"),
+    )
+    n = F.col("n1") + F.col("n2")
+    mu = 1 + 2.0 * F.col("n1") * F.col("n2") / n
+    var = (
+        2.0
+        * F.col("n1")
+        * F.col("n2")
+        * (2.0 * F.col("n1") * F.col("n2") - n)
+        / (n.cast("double") * n * (n - 1))
+    )
+    z = (F.col("runs") - mu) / F.sqrt(var)
+    return agg.select(
+        "event_type",
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        F.col("runs").alias("n_runs"),
+        F.round(z, 4).alias("z"),
+        (F.abs(z) > 1.96).alias("nonrandom"),
+    )
