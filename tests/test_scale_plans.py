@@ -986,3 +986,22 @@ def test_asof_nearest_single_shuffle(spark, sf_dir):
     plan = _executed_plan(SPECS["q_join_asof_nearest"].fn(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_partition_prune_reaches_the_scan(spark, sf_dir):
+    """The status predicate must land in PartitionFilters (directory
+    pruning), not just PushedFilters."""
+    df = SPECS["q_scan_partition_prune"].fn(spark, sf_dir)
+    scan = _optimized_scan_info(df)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", scan)
+    assert m and "o_orderstatus" in m.group(1), (
+        "partition filter not pruned at the scan"
+    )
+
+
+def test_udf_pandas_iter_is_arrow_batched(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_udf_pandas_iter"].fn(spark, sf_dir))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan  # never row-at-a-time

@@ -20,7 +20,12 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from weather_etl_spark.io import TABLES, read_table, table_path
+from weather_etl_spark.io import (
+    TABLES,
+    read_table,
+    scratch_dir,
+    table_path,
+)
 from weather_etl_spark.registry import register
 
 
@@ -449,3 +454,48 @@ def q_scan_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(
         F.explode(F.array(*structs)).alias("s")
     ).select("s.col", "s.n", "s.n_null", "s.n_distinct", "s.min_s", "s.max_s")
+
+
+@register(
+    "q_scan_partition_prune",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM orders
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+""",
+    doc="READ-side partition pruning (the static complement of "
+    "q_join_dpp's dynamic pruning): orders land in scratch "
+    "partitioned BY o_orderstatus, and the re-read carries a "
+    "partition-column filter — the scan must touch only the 'O' "
+    "directory, which the plan shows as a populated "
+    "PartitionFilters list (asserted in tests/test_scale_plans.py). "
+    "The aggregate proves the pruned read returns exactly the "
+    "filtered relation.",
+    scale_notes="Partition pruning is THE first-order 100 TB lever: "
+    "a date/status-partitioned lake turns most predicates into "
+    "directory listings, zero data IO for excluded partitions. "
+    "Write-side layout (snk_partitioned) + this read contract are "
+    "the two halves; partition-column choice follows the dominant "
+    "filter axis (SCALE.md §1).",
+)
+def q_scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tmp = scratch_dir("scan_pprune")
+    orders = read_table(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(
+        tmp
+    )
+    # Explicit schema on the re-read (A9: no inference in production
+    # paths) — also what lets the op run on a zero-row layout, where
+    # no partition directories exist to infer from.
+    back = (
+        spark.read.schema(orders.schema)
+        .parquet(tmp)
+        .filter(F.col("o_orderstatus") == "O")
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+    )

@@ -271,3 +271,42 @@ def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.groupBy("c_mktsegment").applyInPandas(
         center, "c_custkey long, c_mktsegment string, bal_centered double"
     )
+
+
+@register(
+    "q_udf_pandas_iter",
+    oracle="""
+SELECT event_id, ROUND(ln(1 + value) * 2.0, 4) AS log_scaled
+FROM events
+""",
+    doc="Iterator-form Pandas UDF (SCALAR_ITER): the same log1p "
+    "computation as q_udf_pandas, but the UDF receives an iterator "
+    "of Arrow batches and yields per batch — the API variant for "
+    "expensive per-task initialization (load a model once, stream "
+    "batches through it), which is exactly how model-scoring stages "
+    "in a training-data pipeline amortize weight loading. Identical "
+    "oracle to the scalar form: the API changes, the relation must "
+    "not.",
+    scale_notes="Same Arrow transfer economics as SCALAR pandas "
+    "UDFs plus one-time per-task setup amortized across all "
+    "batches — the pattern that makes executor-side model scoring "
+    "viable at 100 TB (init cost / task, not / batch).",
+)
+def q_udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def log_scaled_iter(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import numpy as np
+
+        # one-time per-task "initialization" (stands in for a model
+        # load); the constant must match the oracle's * 2.0
+        scale = 2.0
+        for s in it:
+            yield pd.Series(np.log1p(s.to_numpy()) * scale)
+
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.round(log_scaled_iter(F.col("value")), 4).alias("log_scaled"),
+    )

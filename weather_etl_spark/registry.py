@@ -323,7 +323,7 @@ DRIVER_DEFERRED: frozenset[str] = frozenset({
     "q_fn_array_lambda", "q_agg_hhi", "q_fn_regexp2",
     "q_agg_mutual_info", "q_event_interarrival", "q_agg_kl_divergence",
     "q_agg_js_divergence", "q_win_drawdown", "q_llm_entropy_rate",
-    "q_agg_runs_test",
+    "q_agg_runs_test", "q_scan_partition_prune", "q_udf_pandas_iter",
 })
 
 
