@@ -1105,3 +1105,32 @@ def test_runs_test_matches_python(spark):
         z = (runs - mu) / math.sqrt(var)
         assert row["z"] == pytest.approx(round(z, 4), abs=1e-3)
         assert row["nonrandom"] == (abs(z) > 1.96)
+
+
+def test_dup_size_hist_accounts_for_corpus(spark):
+    rows = SPECS["q_llm_dup_size_hist"].fn(spark, SF).collect()
+    n_docs = spark.read.parquet(SF + "/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+        assert r["n_removable"] == (r["cluster_size"] - 1) * r["n_clusters"]
+    # consistency with the enumerating op: removable == dup rows
+    dups = SPECS["q_llm_exact_dedup"].fn(spark, SF).count()
+    assert sum(r["n_removable"] for r in rows) == dups
+
+
+def test_split3_disjoint_and_complete(spark):
+    rows = SPECS["q_sample_split3"].fn(spark, SF).collect()
+    docs = spark.read.parquet(SF + "/documents.parquet").collect()
+    import collections, hashlib
+
+    want = collections.Counter()
+    for r in docs:
+        b = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:4], 16) % 10
+        split = "train" if b <= 7 else ("val" if b == 8 else "test")
+        want[(r["lang"], split)] += 1
+    got = {(r["lang"], r["split"]): r["n_docs"] for r in rows}
+    assert got == dict(want)
+    n = sum(got.values())
+    n_train = sum(v for (l, s), v in got.items() if s == "train")
+    assert 0.7 < n_train / n < 0.9  # ~80% by construction

@@ -1157,3 +1157,45 @@ def star_contract(edges: DataFrame, max_rounds: int = 15) -> DataFrame:
             F.col("component").cast("bigint").alias("component"),
         )
     )
+
+
+@register(
+    "q_llm_dup_size_hist",
+    oracle="""
+WITH groups AS (
+  SELECT md5(text) AS h, COUNT(*) AS k
+  FROM documents GROUP BY md5(text)
+)
+SELECT CAST(k AS BIGINT) AS cluster_size,
+       COUNT(*) AS n_clusters,
+       CAST(k * COUNT(*) AS BIGINT) AS n_docs,
+       CAST((k - 1) * COUNT(*) AS BIGINT) AS n_removable
+FROM groups GROUP BY k
+""",
+    doc="Duplicate-cluster size histogram (the dedup AUDIT readout "
+    "every pipeline reports before deleting anything): exact-content "
+    "clusters by md5(text), bucketed by size — how many singletons, "
+    "how many k-way duplicate families, how many documents each "
+    "tier holds, and how many rows exact dedup would remove "
+    "(k-1 per cluster). The summary view over the same equivalence "
+    "classes q_llm_exact_dedup enumerates.",
+    scale_notes="One 16-byte-key shuffle to cluster sizes, then a "
+    "size-histogram re-aggregation of the (distinct-text)-sized "
+    "ledger — never touches document bodies after the first hash "
+    "projection.",
+)
+def q_llm_dup_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    groups = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    return groups.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    ).select(
+        F.col("k").cast("bigint").alias("cluster_size"),
+        "n_clusters",
+        (F.col("k") * F.col("n_clusters")).cast("bigint").alias("n_docs"),
+        ((F.col("k") - 1) * F.col("n_clusters"))
+        .cast("bigint")
+        .alias("n_removable"),
+    )

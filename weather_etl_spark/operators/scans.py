@@ -499,3 +499,60 @@ def q_scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("o_orderkey").cast("bigint").alias("key_sum"),
     )
+
+
+@register(
+    "q_sample_split3",
+    oracle="""
+WITH assigned AS (
+  SELECT lang,
+         len(string_split(text, ' ')) AS n_tokens,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                        1, 4)) AS INT) % 10 <= 7
+                THEN 'train'
+              WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                        1, 4)) AS INT) % 10 = 8
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT lang, split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM assigned GROUP BY lang, split
+""",
+    doc="Deterministic 3-way train/val/test split (80/10/10 by md5 "
+    "bucket of the document key — the q_sample_hash mechanism "
+    "extended to the standard ML split): per (language, split) doc "
+    "and token accounting. Disjointness and reproducibility are "
+    "structural (same key -> same bucket on any engine, any run, "
+    "any partitioning); re-running the pipeline can never leak a "
+    "test document into train.",
+    scale_notes="Zero-shuffle assignment (codegen'd md5 per row) + "
+    "one map-combined ledger aggregation. The split column doubles "
+    "as a partition key at 100 TB so downstream trainers read only "
+    "their split's directories.",
+)
+def q_sample_split3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+            16,
+            10,
+        ).cast("int")
+        % 10
+    )
+    split = (
+        F.when(bucket <= 7, "train")
+        .when(bucket == 8, "val")
+        .otherwise("test")
+    )
+    return docs.select(
+        "lang",
+        split.alias("split"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    ).groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
