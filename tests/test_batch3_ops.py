@@ -1114,9 +1114,11 @@ def test_dup_size_hist_accounts_for_corpus(spark):
     for r in rows:
         assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
         assert r["n_removable"] == (r["cluster_size"] - 1) * r["n_clusters"]
-    # consistency with the enumerating op: removable == dup rows
-    dups = SPECS["q_llm_exact_dedup"].fn(spark, SF).count()
-    assert sum(r["n_removable"] for r in rows) == dups
+    # consistency with the enumerating op: q_llm_exact_dedup emits one
+    # row per distinct text, so removable = corpus - distinct
+    n_distinct = SPECS["q_llm_exact_dedup"].fn(spark, SF).count()
+    assert sum(r["n_removable"] for r in rows) == n_docs - n_distinct
+    assert sum(r["n_clusters"] for r in rows) == n_distinct
 
 
 def test_split3_disjoint_and_complete(spark):
