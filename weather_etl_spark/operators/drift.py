@@ -986,10 +986,10 @@ def q_agg_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_agg_kl_divergence",
-    oracle="""
-WITH p AS (
+#: Shared hour-of-day distribution CTEs for the divergence pair
+#: (q_agg_kl_divergence / q_agg_js_divergence) — one definition so the
+#: two measures can never silently compare different distributions.
+_HOD_DIST_CTES = """p AS (
   SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS hod, COUNT(*) AS np
   FROM events WHERE event_type = 'view' GROUP BY hod
 ), q AS (
@@ -998,7 +998,32 @@ WITH p AS (
 ), tot AS (
   SELECT (SELECT CAST(SUM(np) AS BIGINT) FROM p) AS tp,
          (SELECT CAST(SUM(nq) AS BIGINT) FROM q) AS tq
-)
+)"""
+
+
+def _hod_dists(spark: SparkSession, sf_dir: str):
+    """(p, q, tp, tq) hour-of-day count ledgers for view/purchase —
+    the DataFrame twin of ``_HOD_DIST_CTES``."""
+    ev = read_table(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(F.hour("ts").cast("int").alias("hod"))
+        .agg(F.count(F.lit(1)).alias("np"))
+    )
+    q = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.hour("ts").cast("int").alias("hod"))
+        .agg(F.count(F.lit(1)).alias("nq"))
+    )
+    tp = p.agg(F.sum("np").cast("bigint").alias("tp"))
+    tq = q.agg(F.sum("nq").cast("bigint").alias("tq"))
+    return p, q, tp, tq
+
+
+@register(
+    "q_agg_kl_divergence",
+    oracle=f"""
+WITH {_HOD_DIST_CTES}
 SELECT tot.tp AS n_view, tot.tq AS n_purchase,
        COUNT(*) AS n_bins,
        ROUND(CAST(SUM(CAST(ROUND(
@@ -1024,19 +1049,7 @@ GROUP BY tot.tp, tot.tq
     "shape as q_agg_mutual_info at any corpus size.",
 )
 def q_agg_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_table(spark, sf_dir, "events")
-    p = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy(F.hour("ts").cast("int").alias("hod"))
-        .agg(F.count(F.lit(1)).alias("np"))
-    )
-    q = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy(F.hour("ts").cast("int").alias("hod"))
-        .agg(F.count(F.lit(1)).alias("nq"))
-    )
-    tp = p.agg(F.sum("np").cast("bigint").alias("tp"))
-    tq = q.agg(F.sum("nq").cast("bigint").alias("tq"))
+    p, q, tp, tq = _hod_dists(spark, sf_dir)
     term = F.round(
         F.col("np").cast("double")
         / F.col("tp")
@@ -1067,17 +1080,8 @@ def q_agg_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_agg_js_divergence",
-    oracle="""
-WITH p AS (
-  SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS hod, COUNT(*) AS np
-  FROM events WHERE event_type = 'view' GROUP BY hod
-), q AS (
-  SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS hod, COUNT(*) AS nq
-  FROM events WHERE event_type = 'purchase' GROUP BY hod
-), tot AS (
-  SELECT (SELECT CAST(SUM(np) AS BIGINT) FROM p) AS tp,
-         (SELECT CAST(SUM(nq) AS BIGINT) FROM q) AS tq
-), cells AS (
+    oracle=f"""
+WITH {_HOD_DIST_CTES}, cells AS (
   SELECT CAST(p.np AS DOUBLE) / tot.tp AS pp,
          CAST(q.nq AS DOUBLE) / tot.tq AS qq,
          tot.tp, tot.tq
@@ -1103,19 +1107,7 @@ GROUP BY tp, tq
     "invariant to corpus scale.",
 )
 def q_agg_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_table(spark, sf_dir, "events")
-    p = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy(F.hour("ts").cast("int").alias("hod"))
-        .agg(F.count(F.lit(1)).alias("np"))
-    )
-    q = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy(F.hour("ts").cast("int").alias("hod"))
-        .agg(F.count(F.lit(1)).alias("nq"))
-    )
-    tp = p.agg(F.sum("np").cast("bigint").alias("tp"))
-    tq = q.agg(F.sum("nq").cast("bigint").alias("tq"))
+    p, q, tp, tq = _hod_dists(spark, sf_dir)
     cells = (
         p.join(q, "hod")
         .crossJoin(F.broadcast(tp))
