@@ -1136,3 +1136,28 @@ def test_split3_disjoint_and_complete(spark):
     n = sum(got.values())
     n_train = sum(v for (l, s), v in got.items() if s == "train")
     assert 0.7 < n_train / n < 0.9  # ~80% by construction
+
+
+def test_dau_wau_matches_python(spark):
+    import collections, datetime
+
+    ev = spark.read.parquet(SF + "/events.parquet").collect()
+    ud = collections.defaultdict(set)
+    for r in ev:
+        ud[r["ts"].date()].add(r["user_id"])
+    want = {}
+    for day in ud:
+        week_users = set()
+        for back in range(7):
+            week_users |= ud.get(day - datetime.timedelta(days=back), set())
+        want[day] = (len(ud[day]), len(week_users))
+    got = {
+        r["day"]: (r["dau"], r["wau"], r["stickiness"])
+        for r in SPECS["q_event_dau_wau"].fn(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for day, (dau, wau) in want.items():
+        gd, gw, st = got[day]
+        assert (gd, gw) == (dau, wau)
+        assert st == pytest.approx(round(dau / wau, 4))
+        assert 0 < st <= 1

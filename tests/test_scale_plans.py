@@ -1005,3 +1005,11 @@ def test_udf_pandas_iter_is_arrow_batched(spark, sf_dir):
     plan = _executed_plan(SPECS["q_udf_pandas_iter"].fn(spark, sf_dir))
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan  # never row-at-a-time
+
+
+def test_dau_wau_is_equi_grid_join(spark, sf_dir):
+    """The weekly window must be the explode-to-anchor equi join —
+    no non-equi BNL between the day axis and the ledger."""
+    plan = _executed_plan(SPECS["q_event_dau_wau"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

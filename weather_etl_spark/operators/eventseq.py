@@ -753,3 +753,75 @@ def q_event_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("gap").cast("bigint").alias("total_us"),
         F.expr("percentile(gap, 0.5)").cast("double").alias("median_us"),
     )
+
+
+@register(
+    "q_event_dau_wau",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+), days AS (
+  SELECT DISTINCT day FROM ud
+), dau AS (
+  SELECT day, COUNT(*) AS dau FROM ud GROUP BY day
+), wau AS (
+  SELECT d.day, COUNT(DISTINCT u.user_id) AS wau
+  FROM days d JOIN ud u
+    ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+  GROUP BY d.day
+)
+SELECT CAST(dau.day AS DATE) AS day, dau.dau AS dau, wau.wau AS wau,
+       ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 4) AS stickiness
+FROM dau JOIN wau USING (day)
+""",
+    doc="DAU / WAU / stickiness (the product-analytics triple): "
+    "distinct active users per day, per trailing 7-day window, and "
+    "the DAU/WAU ratio (1.0 = every weekly user returns daily). "
+    "Built from the deduplicated user-day ledger, never raw "
+    "events: each user-day explodes to its <= 7 anchor days and "
+    "equi-joins the observed-day axis, so each day's weekly count "
+    "is exact with no non-equi join anywhere.",
+    scale_notes="The user-day distinct is the one event-scale "
+    "shuffle (map-combined); everything after runs on the "
+    "(users x days)-bounded ledger with <= 7x replication — the "
+    "grid-join bound, one equi hash join on the day key. At "
+    "100 TB swap exact weekly distincts for per-day HLL registers "
+    "merged over the window (q_agg_hll_rollup's machinery) and "
+    "the shape is ledger-only end-to-end.",
+)
+def q_event_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    # Each user-day contributes to <= 7 anchor days: explode to the
+    # anchors (the 1-D grid trick) and EQUI-join — never a non-equi
+    # BNL between the day axis and the ledger.
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(day, date_add(day, 6))")
+        ).alias("anchor"),
+    )
+    wau = (
+        contrib.join(
+            F.broadcast(days.select(F.col("day").alias("anchor"))),
+            "anchor",
+        )
+        .groupBy("anchor")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.day == wau.anchor)
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(
+                F.col("dau").cast("double") / F.col("wau"), 4
+            ).alias("stickiness"),
+        )
+    )

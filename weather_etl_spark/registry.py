@@ -324,7 +324,7 @@ DRIVER_DEFERRED: frozenset[str] = frozenset({
     "q_agg_mutual_info", "q_event_interarrival", "q_agg_kl_divergence",
     "q_agg_js_divergence", "q_win_drawdown", "q_llm_entropy_rate",
     "q_agg_runs_test", "q_scan_partition_prune", "q_udf_pandas_iter",
-    "q_llm_dup_size_hist", "q_sample_split3",
+    "q_llm_dup_size_hist", "q_sample_split3", "q_event_dau_wau",
 })
 
 
