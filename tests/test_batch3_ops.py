@@ -1161,3 +1161,164 @@ def test_dau_wau_matches_python(spark):
         assert (gd, gw) == (dau, wau)
         assert st == pytest.approx(round(dau / wau, 4))
         assert 0 < st <= 1
+
+
+def test_tpch_q14_share_consistent(spark):
+    row = SPECS["q_tpch_q14"].fn(spark, SF).collect()[0]
+    assert 0 < row["promo_revenue"] < row["total_revenue"]
+    assert row["promo_share_pct"] == pytest.approx(
+        round(100.0 * row["promo_revenue"] / row["total_revenue"], 4)
+    )
+    # PROMO is 1 of 6 uniform p_type values -> share in a sane band
+    assert 5 < row["promo_share_pct"] < 35
+
+
+def test_chisq_matches_python(spark):
+    import collections, math
+
+    ev = spark.read.parquet(SF + "/events.parquet").collect()
+    joint = collections.Counter(
+        (r["event_type"], r["ts"].hour) for r in ev
+    )
+    nx = collections.Counter()
+    ny = collections.Counter()
+    for (t, h), c in joint.items():
+        nx[t] += c
+        ny[h] += c
+    n = sum(joint.values())
+    chi2 = 0.0
+    for t in nx:
+        for h in ny:
+            o = joint.get((t, h), 0)
+            e = nx[t] * ny[h] / n
+            chi2 += (o - e) ** 2 / e
+    row = SPECS["q_agg_chisq"].fn(spark, SF).collect()[0]
+    assert row["n_events"] == n
+    assert row["dof"] == (len(nx) - 1) * (len(ny) - 1)
+    assert row["chi2"] == pytest.approx(chi2, abs=1e-2)
+    v = math.sqrt(chi2 / (n * min(len(nx) - 1, len(ny) - 1)))
+    assert row["cramers_v"] == pytest.approx(round(v, 4), abs=1e-3)
+    assert 0 <= row["cramers_v"] <= 1
+
+
+def test_spearman_matches_python(spark):
+    import collections
+
+    def avg_ranks(vals):
+        srt = sorted(vals)
+        first = {}
+        cnt = collections.Counter(vals)
+        pos = 0
+        for v in srt:
+            if v not in first:
+                first[v] = pos
+            pos += 1
+        return {v: first[v] + (cnt[v] + 1) / 2 for v in cnt}
+
+    li = spark.read.parquet(SF + "/lineitem.parquet").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    ).collect()
+    by_flag = collections.defaultdict(list)
+    for r in li:
+        by_flag[r["l_returnflag"]].append(
+            (r["l_quantity"], r["l_extendedprice"])
+        )
+    got = {
+        r["l_returnflag"]: (r["n"], r["rho_spearman"])
+        for r in SPECS["q_agg_spearman"].fn(spark, SF).collect()
+    }
+    assert set(got) == set(by_flag)
+    for flag, rows in by_flag.items():
+        rx = avg_ranks([q for q, _ in rows])
+        ry = avg_ranks([p for _, p in rows])
+        xs = [rx[q] for q, _ in rows]
+        ys = [ry[p] for _, p in rows]
+        n = len(rows)
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        rho = (n * sxy - sx * sy) / (
+            ((n * sxx - sx * sx) * (n * syy - sy * sy)) ** 0.5
+        )
+        assert got[flag][0] == n
+        assert got[flag][1] == pytest.approx(rho, abs=1e-3), flag
+        # quantity and price are independent in the fixture
+        assert abs(got[flag][1]) < 0.1
+
+
+def test_lifecycle_matches_python(spark):
+    import collections, datetime
+
+    ev = spark.read.parquet(SF + "/events.parquet").collect()
+    ud = collections.defaultdict(set)
+    for r in ev:
+        ud[r["ts"].date()].add(r["user_id"])
+    first = {}
+    for day in sorted(ud):
+        for u in ud[day]:
+            first.setdefault(u, day)
+    one = datetime.timedelta(days=1)
+    want = {}
+    for day, users in ud.items():
+        prev = ud.get(day - one, set())
+        new = {u for u in users if first[u] == day}
+        retained = (users - new) & prev
+        resurrected = users - new - retained
+        churned = len(prev - users) if day - one in ud else 0
+        want[day] = (len(new), len(retained), len(resurrected), churned)
+    got = {
+        r["day"]: (
+            r["n_new"], r["n_retained"], r["n_resurrected"],
+            r["n_churned"], r["quick_ratio"],
+        )
+        for r in SPECS["q_event_lifecycle"].fn(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    total_new = 0
+    for day, (nn, nr, ns, nc) in want.items():
+        gn, gr, gs, gc, qr = got[day]
+        assert (gn, gr, gs) == (nn, nr, ns), day
+        # churn on a day with an active predecessor day must match;
+        # the operator emits only observed-activity days
+        assert gc == nc, day
+        if nc > 0:
+            assert qr == pytest.approx(round((nn + ns) / nc, 4))
+        else:
+            assert qr is None
+        total_new += nn
+    assert total_new == len(first)  # every user is new exactly once
+
+
+def test_checksum_order_invariant_and_sensitive(spark):
+    from weather_etl_spark.operators.analytics import _table_checksum
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"name{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, "id bigint, name string")
+    canon = F.concat_ws("|", F.col("id"), F.col("name"))
+    base = _table_checksum(df, "t", canon).collect()[0]
+    # row order / partitioning must not change the fingerprint
+    shuffled = spark.createDataFrame(
+        list(reversed(rows)), "id bigint, name string"
+    ).repartition(7)
+    again = _table_checksum(shuffled, "t", canon).collect()[0]
+    assert (base["n_rows"], base["sum_h"], base["xor_h"]) == (
+        again["n_rows"], again["sum_h"], again["xor_h"],
+    )
+    # a single-cell mutation must move the checksum
+    mutated = spark.createDataFrame(
+        [(i, "name999" if i == 42 else f"name{i}") for i in range(100)],
+        "id bigint, name string",
+    )
+    diff = _table_checksum(mutated, "t", canon).collect()[0]
+    assert diff["n_rows"] == base["n_rows"]
+    assert (diff["sum_h"], diff["xor_h"]) != (base["sum_h"], base["xor_h"])
+
+
+def test_checksum_covers_three_tables(spark):
+    rows = SPECS["q_dq_checksum"].fn(spark, SF).collect()
+    assert [r["tbl"] for r in rows] == ["customer", "events", "orders"]
+    for r in rows:
+        assert r["n_rows"] > 0
+        assert 0 <= r["sum_h"] < 4611686018427387904

@@ -1013,3 +1013,44 @@ def test_dau_wau_is_equi_grid_join(spark, sf_dir):
     plan = _executed_plan(SPECS["q_event_dau_wau"].fn(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_q14_prunes_month_and_joins_hash(spark, sf_dir):
+    df = SPECS["q_tpch_q14"].fn(spark, sf_dir)
+    scan = _optimized_scan_info(df)
+    assert "GreaterThanOrEqual(l_shipdate" in scan, "month not pushed"
+    assert "LessThan(l_shipdate" in scan
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chisq_grid_is_ledger_bounded(spark, sf_dir):
+    """The only joins are ledger-sized grid builds + 1-row cross
+    joins — the raw event relation is aggregated exactly once."""
+    plan = _executed_plan(SPECS["q_agg_chisq"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # grid joins stay broadcast-sized
+
+
+def test_spearman_is_equi_join_only(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_agg_spearman"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lifecycle_is_equi_join_only(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_event_lifecycle"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_checksum_is_shuffle_minimal(spark, sf_dir):
+    """Three single-row aggregates unioned: no joins at all, and only
+    the three final 1-row exchanges."""
+    from weather_etl_spark.plan_audit import audit_plan
+
+    report = audit_plan(SPECS["q_dq_checksum"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in report.nodes
+    assert "BroadcastHashJoin" not in report.nodes
+    assert "CartesianProduct" not in report.nodes

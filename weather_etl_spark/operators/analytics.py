@@ -913,3 +913,122 @@ def q_agg_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 4).alias("chi2"),
         (chi2 > _SRM_CHI2_CRIT).alias("srm_flag"),
     )
+
+
+_CHECKSUM_MOD = 4611686018427387904  # 2^62: sum stays in signed-64 range
+
+
+def _table_checksum(df: DataFrame, table: str, canon) -> DataFrame:
+    """One (table, n_rows, sum_h, xor_h) fingerprint row: 60-bit
+    md5-derived row hashes reduced by order-independent SUM-mod-2^62
+    and XOR.  ``canon`` is the canonical-string Column (ints, strings
+    and epoch/cents only — never raw float/timestamp rendering)."""
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
+    return (
+        df.select(h.alias("h"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("h").cast("decimal(20,0)")).alias("sum_raw"),
+            F.expr("bit_xor(h)").alias("xor_h"),
+        )
+        .select(
+            F.lit(table).alias("tbl"),
+            "n_rows",
+            (F.col("sum_raw") % _CHECKSUM_MOD)
+            .cast("bigint")
+            .alias("sum_h"),
+            F.col("xor_h").cast("bigint").alias("xor_h"),
+        )
+    )
+
+
+@register(
+    "q_dq_checksum",
+    oracle="""
+WITH c AS (
+  SELECT CAST('0x' || substr(md5(concat_ws('|',
+           c_custkey, c_name, c_nationkey,
+           CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR),
+           c_mktsegment)), 1, 15) AS BIGINT) AS h
+  FROM customer
+), o AS (
+  SELECT CAST('0x' || substr(md5(concat_ws('|',
+           o_orderkey, o_custkey, o_orderstatus,
+           CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR),
+           CAST(epoch_us(o_orderdate) AS VARCHAR),
+           o_orderpriority)), 1, 15) AS BIGINT) AS h
+  FROM orders
+), e AS (
+  SELECT CAST('0x' || substr(md5(concat_ws('|',
+           event_id, CAST(epoch_us(ts) AS VARCHAR), user_id, event_type,
+           CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR),
+           props)), 1, 15) AS BIGINT) AS h
+  FROM events
+), sums AS (
+  SELECT 'customer' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(h AS HUGEINT)) % 4611686018427387904 AS BIGINT) AS sum_h,
+         CAST(bit_xor(h) AS BIGINT) AS xor_h FROM c
+  UNION ALL
+  SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CAST(h AS HUGEINT)) % 4611686018427387904 AS BIGINT),
+         CAST(bit_xor(h) AS BIGINT) FROM o
+  UNION ALL
+  SELECT 'events', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CAST(h AS HUGEINT)) % 4611686018427387904 AS BIGINT),
+         CAST(bit_xor(h) AS BIGINT) FROM e
+)
+SELECT * FROM sums ORDER BY tbl
+""",
+    doc="Order-independent table fingerprints for cross-system "
+    "reconciliation: per table, (row count, SUM mod 2^62, XOR) of "
+    "a 60-bit md5 row hash over a CANONICAL row rendering — keys "
+    "and strings verbatim, money as exact DECIMAL(18,2) cents, "
+    "timestamps as epoch-us integers, never engine-native "
+    "float/timestamp formatting. Two independent engines computing "
+    "this checksum on copies of a dataset agree iff the contents "
+    "match (the practical 100 TB replication audit, vastly cheaper "
+    "than row-level diffing).",
+    scale_notes="Embarrassingly parallel: row hashing is codegen'd "
+    "JVM expressions, and both reducers (modular sum, xor) are "
+    "commutative one-row aggregates with map-side partials — zero "
+    "shuffle beyond the final single-row exchange per table. "
+    "Row-order independence means partition layout, file order "
+    "and cluster size can differ between the systems compared.",
+)
+def q_dq_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = lambda c: F.col(c).cast("decimal(18,2)").cast("decimal(20,2)") * 100  # noqa: E731
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    ev = read_table(spark, sf_dir, "events")
+    c_canon = F.concat_ws(
+        "|",
+        F.col("c_custkey"),
+        F.col("c_name"),
+        F.col("c_nationkey"),
+        cents("c_acctbal").cast("bigint").cast("string"),
+        F.col("c_mktsegment"),
+    )
+    o_canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        cents("o_totalprice").cast("bigint").cast("string"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).cast("string"),
+        F.col("o_orderpriority"),
+    )
+    e_canon = F.concat_ws(
+        "|",
+        F.col("event_id"),
+        F.unix_micros("ts").cast("string"),
+        F.col("user_id"),
+        F.col("event_type"),
+        cents("value").cast("bigint").cast("string"),
+        F.col("props"),
+    )
+    return (
+        _table_checksum(cust, "customer", c_canon)
+        .unionByName(_table_checksum(orders, "orders", o_canon))
+        .unionByName(_table_checksum(ev, "events", e_canon))
+        .orderBy("tbl")
+    )

@@ -1250,3 +1250,233 @@ def q_agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z"),
         (F.abs(z) > 1.96).alias("nonrandom"),
     )
+
+
+@register(
+    "q_agg_chisq",
+    oracle="""
+WITH joint AS (
+  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) AS hod,
+         COUNT(*) AS nxy
+  FROM events GROUP BY event_type, hod
+), mx AS (
+  SELECT event_type, CAST(SUM(nxy) AS BIGINT) AS nx FROM joint GROUP BY event_type
+), my AS (
+  SELECT hod, CAST(SUM(nxy) AS BIGINT) AS ny FROM joint GROUP BY hod
+), tot AS (
+  SELECT CAST(SUM(nxy) AS BIGINT) AS n FROM joint
+), grid AS (
+  SELECT mx.event_type, my.hod, mx.nx, my.ny,
+         COALESCE(joint.nxy, 0) AS o
+  FROM mx CROSS JOIN my
+  LEFT JOIN joint ON joint.event_type = mx.event_type
+                 AND joint.hod = my.hod
+), stat AS (
+  SELECT tot.n,
+         (SELECT COUNT(*) FROM mx) AS n_types,
+         (SELECT COUNT(*) FROM my) AS n_hours,
+         CAST(SUM(CAST(ROUND(
+             POW(CAST(o AS DOUBLE) * tot.n - CAST(nx AS DOUBLE) * ny, 2)
+             / (CAST(tot.n AS DOUBLE) * nx * ny), 8)
+           AS DECIMAL(24,8))) AS DOUBLE) AS chi2
+  FROM grid CROSS JOIN tot
+  GROUP BY tot.n
+)
+SELECT n AS n_events, n_types, n_hours,
+       (n_types - 1) * (n_hours - 1) AS dof,
+       ROUND(chi2, 4) AS chi2,
+       ROUND(SQRT(chi2 / (n * LEAST(n_types - 1, n_hours - 1))), 4)
+         AS cramers_v
+FROM stat
+""",
+    doc="Chi-square test of independence between event_type and "
+    "hour-of-day, plus Cramer's V effect size — the count-based "
+    "companion to q_agg_mutual_info on the same contingency grid. "
+    "The grid is the FULL product support (marginal x marginal, "
+    "zero-observed cells included via left join, contributing their "
+    "expected mass), each cell term (O*n - nx*ny)^2 / (n*nx*ny) "
+    "rounded to 8 decimals and DECIMAL-summed so the reduction is "
+    "order-independent. Cramer's V = sqrt(chi2 / (n*min(r-1,c-1))) "
+    "normalizes to [0,1].",
+    scale_notes="One map-combined shuffle to the joint ledger; the "
+    "full grid is (types x 24) rows built from broadcast-sized "
+    "marginals, so post-ledger cost is constant at any corpus "
+    "scale — the q_agg_mutual_info shape with zero-cells restored.",
+)
+def q_agg_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    joint = ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hod")
+    ).agg(F.count(F.lit(1)).alias("nxy"))
+    mx = joint.groupBy("event_type").agg(
+        F.sum("nxy").cast("bigint").alias("nx")
+    )
+    my = joint.groupBy("hod").agg(F.sum("nxy").cast("bigint").alias("ny"))
+    tot = joint.agg(F.sum("nxy").cast("bigint").alias("n"))
+    n_types = mx.agg(F.count(F.lit(1)).alias("n_types"))
+    n_hours = my.agg(F.count(F.lit(1)).alias("n_hours"))
+    grid = (
+        mx.crossJoin(my)
+        .join(joint, ["event_type", "hod"], "left")
+        .select(
+            "nx", "ny", F.coalesce(F.col("nxy"), F.lit(0)).alias("o")
+        )
+    )
+    term = F.round(
+        F.pow(
+            F.col("o").cast("double") * F.col("n")
+            - F.col("nx").cast("double") * F.col("ny"),
+            2,
+        )
+        / (F.col("n").cast("double") * F.col("nx") * F.col("ny")),
+        8,
+    ).cast("decimal(24,8)")
+    stat = (
+        grid.crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(F.sum(term).cast("double").alias("chi2"))
+        .crossJoin(F.broadcast(n_types))
+        .crossJoin(F.broadcast(n_hours))
+    )
+    dof = (F.col("n_types") - 1) * (F.col("n_hours") - 1)
+    return stat.select(
+        F.col("n").alias("n_events"),
+        "n_types",
+        "n_hours",
+        dof.cast("bigint").alias("dof"),
+        F.round("chi2", 4).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (
+                    F.col("n")
+                    * F.least(F.col("n_types") - 1, F.col("n_hours") - 1)
+                )
+            ),
+            4,
+        ).alias("cramers_v"),
+    )
+
+
+def _avg_rank2(df: DataFrame, group: str, value: str, out: str) -> DataFrame:
+    """(group, value, c, r2) ledger where r2 = 2 x average rank of
+    ``value`` within ``group`` (integer: 2*cum_before + c + 1) —
+    the tie-correct Spearman rank, doubled to stay in exact integer
+    arithmetic. Ledger-sized: one row per distinct value per group."""
+    from pyspark.sql import Window
+
+    ledger = df.groupBy(group, value).agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy(group)
+        .orderBy(value)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("c").over(w), F.lit(0))
+    return ledger.select(
+        group,
+        value,
+        (2 * cum_before + F.col("c") + 1).cast("bigint").alias(out),
+    )
+
+
+@register(
+    "q_agg_spearman",
+    oracle="""
+WITH rx AS (
+  SELECT l_returnflag, l_quantity,
+         CAST(2 * COALESCE(SUM(COUNT(*)) OVER (PARTITION BY l_returnflag
+                                       ORDER BY l_quantity
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                                AND 1 PRECEDING), 0)
+              AS BIGINT)
+           + COUNT(*) + 1 AS r2x
+  FROM lineitem GROUP BY l_returnflag, l_quantity
+), ry AS (
+  SELECT l_returnflag, l_extendedprice,
+         CAST(2 * COALESCE(SUM(COUNT(*)) OVER (PARTITION BY l_returnflag
+                                       ORDER BY l_extendedprice
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                                AND 1 PRECEDING), 0)
+              AS BIGINT)
+           + COUNT(*) + 1 AS r2y
+  FROM lineitem GROUP BY l_returnflag, l_extendedprice
+), tagged AS (
+  SELECT l.l_returnflag,
+         CAST(rx.r2x AS HUGEINT) AS x,
+         CAST(ry.r2y AS HUGEINT) AS y
+  FROM lineitem l
+  JOIN rx ON rx.l_returnflag = l.l_returnflag
+         AND rx.l_quantity = l.l_quantity
+  JOIN ry ON ry.l_returnflag = l.l_returnflag
+         AND ry.l_extendedprice = l.l_extendedprice
+), sums AS (
+  SELECT l_returnflag, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM tagged GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4)
+         AS rho_spearman
+FROM sums ORDER BY l_returnflag
+""",
+    doc="Spearman rank correlation between l_quantity and "
+    "l_extendedprice per returnflag — the robust (monotone, "
+    "outlier-insensitive) companion to q_agg_regr's Pearson "
+    "machinery. Tie-correct average ranks, held exactly as "
+    "integers by working with DOUBLED ranks (2r = 2*cum_before + "
+    "count + 1); all five moment sums are exact integer "
+    "reductions, and only the final Pearson-on-ranks ratio drops "
+    "to DOUBLE (identical IEEE value both engines), rounded to 4.",
+    scale_notes="Two ledger windows (distinct values per group — "
+    "bounded for quantity, row-scale worst-case for price) + two "
+    "equi joins tagging each row with its rank, then one "
+    "map-combined moment aggregation. No all-pairs anything: "
+    "Spearman via rank-then-Pearson is shuffle-linear. DECIMAL(38) "
+    "sums keep the moments exact past 10^18 at 100 TB.",
+)
+def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    rx = _avg_rank2(li, "l_returnflag", "l_quantity", "r2x")
+    ry = _avg_rank2(li, "l_returnflag", "l_extendedprice", "r2y")
+    tagged = (
+        li.join(rx, ["l_returnflag", "l_quantity"])
+        .join(ry, ["l_returnflag", "l_extendedprice"])
+        .select(
+            "l_returnflag",
+            F.col("r2x").cast("decimal(15,0)").alias("x"),
+            F.col("r2y").cast("decimal(15,0)").alias("y"),
+        )
+    )
+    sums = tagged.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    rho = (
+        nd * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / F.sqrt(
+        (
+            nd * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        )
+        * (
+            nd * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy").cast("double")
+        )
+    )
+    return sums.select(
+        "l_returnflag", "n", F.round(rho, 4).alias("rho_spearman")
+    ).orderBy("l_returnflag")

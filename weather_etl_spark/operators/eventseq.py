@@ -825,3 +825,118 @@ def q_event_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stickiness"),
         )
     )
+
+
+@register(
+    "q_event_lifecycle",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+), firsts AS (
+  SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY user_id
+), tagged AS (
+  SELECT a.day,
+         CASE
+           WHEN a.day = f.first_day THEN 'new'
+           WHEN b.user_id IS NOT NULL THEN 'retained'
+           ELSE 'resurrected'
+         END AS state
+  FROM ud a
+  JOIN firsts f ON f.user_id = a.user_id
+  LEFT JOIN ud b ON b.user_id = a.user_id
+             AND b.day = a.day - INTERVAL 1 DAY
+), churn AS (
+  SELECT CAST(a.day + INTERVAL 1 DAY AS DATE) AS day,
+         COUNT(*) AS n_churned
+  FROM ud a
+  LEFT JOIN ud b ON b.user_id = a.user_id
+             AND b.day = a.day + INTERVAL 1 DAY
+  WHERE b.user_id IS NULL
+  GROUP BY a.day
+), act AS (
+  SELECT day,
+         CAST(SUM(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+         CAST(SUM(CASE WHEN state = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+         CAST(SUM(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+  FROM tagged GROUP BY day
+)
+SELECT act.day, n_new, n_retained, n_resurrected,
+       CAST(COALESCE(churn.n_churned, 0) AS BIGINT) AS n_churned,
+       CASE WHEN COALESCE(churn.n_churned, 0) > 0
+            THEN ROUND(CAST(n_new + n_resurrected AS DOUBLE)
+                       / churn.n_churned, 4)
+       END AS quick_ratio
+FROM act LEFT JOIN churn ON churn.day = act.day
+""",
+    doc="Growth accounting (the new/retained/resurrected/churned "
+    "ledger): every active user-day classified against the "
+    "previous day and the user's first-ever day; churn attributed "
+    "to the day AFTER the last active day; quick ratio = (new + "
+    "resurrected) / churned, NULL on churn-free days. Only "
+    "observed activity days are emitted, so the day after the "
+    "final fixture day (all-churn, no activity) is out of support "
+    "by construction.",
+    scale_notes="Everything after the one event-scale user-day "
+    "distinct runs on the (users x days) ledger: the prev-day and "
+    "next-day probes are self equi joins on (user_id, day) — "
+    "never a window over raw events — and the per-day rollup is "
+    "ledger-sized. The q_event_dau_wau shape with lifecycle "
+    "states instead of window counts.",
+)
+def q_event_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    firsts = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    prev = ud.select(
+        "user_id", F.date_add("day", 1).alias("day"), F.lit(1).alias("had_prev")
+    )
+    tagged = (
+        ud.join(firsts, "user_id")
+        .join(prev, ["user_id", "day"], "left")
+        .select(
+            "day",
+            F.when(F.col("day") == F.col("first_day"), "new")
+            .when(F.col("had_prev").isNotNull(), "retained")
+            .otherwise("resurrected")
+            .alias("state"),
+        )
+    )
+    churn = (
+        ud.join(
+            ud.select("user_id", F.date_sub("day", 1).alias("day")),
+            ["user_id", "day"],
+            "left_anti",
+        )
+        .groupBy(F.date_add("day", 1).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    act = tagged.groupBy("day").agg(
+        F.sum(F.when(F.col("state") == "new", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+        F.sum(F.when(F.col("state") == "retained", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_retained"),
+        F.sum(F.when(F.col("state") == "resurrected", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_resurrected"),
+    )
+    churned = F.coalesce(F.col("n_churned"), F.lit(0)).cast("bigint")
+    return act.join(churn, "day", "left").select(
+        "day",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        churned.alias("n_churned"),
+        F.when(
+            churned > 0,
+            F.round(
+                (F.col("n_new") + F.col("n_resurrected")).cast("double")
+                / churned,
+                4,
+            ),
+        ).alias("quick_ratio"),
+    )

@@ -551,3 +551,69 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
         )
     )
+
+
+@register(
+    "q_tpch_q14",
+    oracle="""
+WITH pl AS (
+  SELECT p_type,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(1 - l_discount AS DECIMAL(18,6)) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1998-03-01'
+    AND l_shipdate <  TIMESTAMP '1998-04-01'
+)
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE CAST(0 AS DECIMAL(18,2)) END)
+            AS DOUBLE) AS promo_revenue,
+       CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+       ROUND(100.0
+             * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(rev) AS DOUBLE), 4) AS promo_share_pct
+FROM pl
+""",
+    doc="TPC-H Q14 (promotion effect): share of one month's "
+    "discounted revenue earned by PROMO-type parts — the canonical "
+    "conditional-aggregate-over-a-join composite. Adapted to the "
+    "synthetic schema's single-word p_type vocabulary (exact "
+    "equality instead of LIKE 'PROMO%'); money stays DECIMAL until "
+    "the final ratio, which rounds to 4.",
+    scale_notes="The one-month shipdate predicate is pushed into "
+    "the lineitem scan (partition pruning on a date-partitioned "
+    "lake), so the join input is ~1/80th of the fact. part is a "
+    "dim that grows with SF and carries NO broadcast hint — AQE "
+    "broadcasts it while small and shuffles at 100x (the "
+    "q_tpch_q10 customer ruling). Single global aggregate: "
+    "map-side partials reduce to one row.",
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1998-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    rev = dec2("l_extendedprice") * dec6(F.lit(1) - F.col("l_discount"))
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", rev).otherwise(
+            F.lit(0).cast("decimal(18,2)")
+        )
+    ).cast("double")
+    total = F.sum(rev).cast("double")
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(promo.alias("promo_revenue"), total.alias("total_revenue"))
+        .select(
+            "promo_revenue",
+            "total_revenue",
+            F.round(
+                F.lit(100.0)
+                * F.col("promo_revenue")
+                / F.col("total_revenue"),
+                4,
+            ).alias("promo_share_pct"),
+        )
+    )

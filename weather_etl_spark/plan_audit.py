@@ -86,6 +86,9 @@ ALLOW_BNL: dict[str, str] = {
     "(aggregates.py)",
     "q_skew_profile": "1-row totals x two 1-row percentile aggregates "
     "over the key-cardinality table (analytics.py)",
+    "q_agg_chisq": "1-row total + two 1-row marginal-cardinality "
+    "aggregates crossed into the bounded (types x 24) grid — the "
+    "q_agg_mutual_info pattern (drift.py)",
 }
 
 #: Row-at-a-time Python — only the deliberate slow-path demos that

@@ -325,6 +325,10 @@ DRIVER_DEFERRED: frozenset[str] = frozenset({
     "q_agg_js_divergence", "q_win_drawdown", "q_llm_entropy_rate",
     "q_agg_runs_test", "q_scan_partition_prune", "q_udf_pandas_iter",
     "q_llm_dup_size_hist", "q_sample_split3", "q_event_dau_wau",
+    # twenty-fifth late batch (stats tests / growth accounting /
+    # reconciliation checksums / TPC-H Q14)
+    "q_tpch_q14", "q_agg_chisq", "q_agg_spearman",
+    "q_event_lifecycle", "q_dq_checksum",
 })
 
 
