@@ -1322,3 +1322,171 @@ def test_checksum_covers_three_tables(spark):
     for r in rows:
         assert r["n_rows"] > 0
         assert 0 <= r["sum_h"] < 4611686018427387904
+
+
+def test_survival_matches_python(spark):
+    import collections
+
+    ev = spark.read.parquet(SF + "/events.parquet").collect()
+    first = {}
+    last = {}
+    first_err = {}
+    for r in ev:
+        d = r["ts"].date()
+        u = r["user_id"]
+        first[u] = min(first.get(u, d), d)
+        last[u] = max(last.get(u, d), d)
+        if r["event_type"] == "error":
+            first_err[u] = min(first_err.get(u, d), d)
+    lives = []
+    for u in first:
+        if u in first_err:
+            lives.append(((first_err[u] - first[u]).days + 1, True))
+        else:
+            lives.append(((last[u] - first[u]).days + 1, False))
+    surv = 1.0
+    want = {}
+    for t in sorted({t for t, _ in lives}):
+        n_risk = sum(1 for d, _ in lives if d >= t)
+        d_t = sum(1 for d, died in lives if d == t and died)
+        if d_t == 0:
+            continue
+        surv *= 1 - d_t / n_risk
+        want[t] = (n_risk, d_t, surv)
+    assert want, "fixture must produce at least one error event"
+    got = {
+        r["t"]: (r["n_risk"], r["n_events"], r["survival"])
+        for r in SPECS["q_event_survival"].fn(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for t, (nr, dt, s) in want.items():
+        assert got[t][:2] == (nr, dt), t
+        assert got[t][2] == pytest.approx(s, abs=2e-4), t
+    # survival must be non-increasing and within [0, 1]
+    vals = [got[t][2] for t in sorted(got)]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+    assert all(0 <= v <= 1 for v in vals)
+
+
+def test_vocab_coverage_matches_python(spark):
+    import collections
+
+    docs = spark.read.parquet(SF + "/documents.parquet").collect()
+    cnt = collections.Counter(
+        t for r in docs for t in r["text"].split(" ") if t
+    )
+    total = sum(cnt.values())
+    ordered = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    got = {
+        r["k"]: (r["top_n"], r["covered_occurrences"], r["coverage"])
+        for r in SPECS["q_llm_vocab_coverage"].fn(spark, SF).collect()
+    }
+    assert set(got) == {10, 100, 1000, 10000}
+    prev_cov = 0.0
+    for k in (10, 100, 1000, 10000):
+        top_n = min(k, len(cnt))
+        covered = sum(c for _, c in ordered[:top_n])
+        assert got[k][0] == top_n
+        assert got[k][1] == covered
+        assert got[k][2] == pytest.approx(round(covered / total, 4))
+        assert got[k][2] >= prev_cov  # monotone in k
+        prev_cov = got[k][2]
+    if len(cnt) <= 10000:
+        assert got[10000][2] == pytest.approx(1.0)
+
+
+def test_embed_truncate_matches_python(spark):
+    rows = spark.read.parquet(SF + "/embeddings.parquet").collect()
+    sums = {d: [] for d in (4, 8, 16, 32)}
+    for r in rows:
+        q = [round(v * 10000) for v in r["embedding"]]
+        etot = sum(x * x for x in q)
+        if etot == 0:
+            continue
+        for d in sums:
+            sums[d].append(round(sum(x * x for x in q[:d]) / etot, 8))
+    got = {
+        r["dims_kept"]: (r["n_vecs"], r["avg_energy_frac"], r["min_energy_frac"])
+        for r in SPECS["q_llm_embed_truncate"].fn(spark, SF).collect()
+    }
+    assert set(got) == {4, 8, 16, 32}
+    prev = 0.0
+    for d in (4, 8, 16, 32):
+        fr = sums[d]
+        assert got[d][0] == len(fr)
+        assert got[d][1] == pytest.approx(round(sum(fr) / len(fr), 4), abs=1e-4)
+        assert got[d][2] == pytest.approx(round(min(fr), 4), abs=1e-4)
+        assert got[d][1] >= prev  # more dims keep more energy
+        prev = got[d][1]
+        assert 0 < got[d][1] <= 1
+
+
+def test_rolling_corr_matches_python(spark):
+    import collections
+    from decimal import Decimal
+
+    ev = spark.read.parquet(SF + "/events.parquet").collect()
+    daily = collections.defaultdict(lambda: [0, 0])
+    for r in ev:
+        cents = int(
+            (Decimal(str(r["value"])).quantize(Decimal("0.01")) * 100)
+        )
+        d = r["ts"].date()
+        if r["event_type"] == "view":
+            daily[d][0] += cents
+        elif r["event_type"] == "purchase":
+            daily[d][1] += cents
+    days = sorted(daily)
+    got = {
+        r["day"]: (r["n_days"], r["corr_7d"])
+        for r in SPECS["q_win_rolling_corr"].fn(spark, SF).collect()
+    }
+    assert set(got) == set(days)
+    for i, day in enumerate(days):
+        frame = days[max(0, i - 6) : i + 1]
+        xs = [daily[d][0] for d in frame]
+        ys = [daily[d][1] for d in frame]
+        n = len(frame)
+        assert got[day][0] == n
+        vx = n * sum(x * x for x in xs) - sum(xs) ** 2
+        vy = n * sum(y * y for y in ys) - sum(ys) ** 2
+        if vx > 0 and vy > 0:
+            cov = n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+            assert got[day][1] == pytest.approx(
+                cov / (vx * vy) ** 0.5, abs=2e-4
+            ), day
+            assert -1 <= got[day][1] <= 1
+        else:
+            assert got[day][1] is None
+
+
+def test_theilsen_matches_python(spark):
+    import collections, statistics
+    from decimal import Decimal
+
+    ev = spark.read.parquet(SF + "/events.parquet").collect()
+    daily = collections.defaultdict(lambda: collections.defaultdict(int))
+    for r in ev:
+        cents = int(
+            Decimal(str(r["value"])).quantize(Decimal("0.01")) * 100
+        )
+        daily[r["event_type"]][r["ts"].date()] += cents
+    got = {
+        r["event_type"]: (r["n_days"], r["n_pairs"], r["slope_cents_per_day"])
+        for r in SPECS["q_agg_theilsen"].fn(spark, SF).collect()
+    }
+    assert set(got) == set(daily)
+    for t, series in daily.items():
+        pts = sorted(
+            ((d - min(series)).days, y) for d, y in series.items()
+        )
+        slopes = [
+            (y2 - y1) / (x2 - x1)
+            for i, (x1, y1) in enumerate(pts)
+            for (x2, y2) in pts[i + 1 :]
+        ]
+        assert got[t][0] == len(pts)
+        assert got[t][1] == len(slopes)
+        assert got[t][2] == pytest.approx(
+            statistics.median(slopes), abs=2e-3
+        ), t

@@ -1054,3 +1054,39 @@ def test_checksum_is_shuffle_minimal(spark, sf_dir):
     assert "SortMergeJoin" not in report.nodes
     assert "BroadcastHashJoin" not in report.nodes
     assert "CartesianProduct" not in report.nodes
+
+
+def test_survival_runs_on_ledger(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_event_survival"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_vocab_coverage_joins_stay_small(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_llm_vocab_coverage"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embed_truncate_is_pure_aggregate(spark, sf_dir):
+    from weather_etl_spark.plan_audit import audit_plan
+
+    report = audit_plan(SPECS["q_llm_embed_truncate"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in report.nodes
+    assert "BroadcastHashJoin" not in report.nodes
+    assert "BroadcastNestedLoopJoin" not in report.nodes
+    assert "ArrowEvalPython" not in report.nodes  # stays JVM-side
+
+
+def test_rolling_corr_is_single_ledger_window(spark, sf_dir):
+    from weather_etl_spark.plan_audit import audit_plan
+
+    report = audit_plan(SPECS["q_win_rolling_corr"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in report.nodes
+    assert "BroadcastHashJoin" not in report.nodes
+    assert "Window" in report.text
+
+
+def test_theilsen_pairs_on_equi_type_key(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_agg_theilsen"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

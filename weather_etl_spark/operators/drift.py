@@ -1480,3 +1480,86 @@ def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select(
         "l_returnflag", "n", F.round(rho, 4).alias("rho_spearman")
     ).orderBy("l_returnflag")
+
+
+@register(
+    "q_agg_theilsen",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         CAST(CAST(date_trunc('day', ts) AS DATE)
+              - DATE '1970-01-01' AS BIGINT) AS x,
+         CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS y
+  FROM events GROUP BY event_type, x
+), pairs AS (
+  SELECT a.event_type,
+         CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS slope
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND b.x > a.x
+)
+SELECT event_type,
+       CAST((SELECT COUNT(*) FROM daily d
+             WHERE d.event_type = p.event_type) AS BIGINT) AS n_days,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(quantile_cont(slope, 0.5) AS DOUBLE), 4)
+         AS slope_cents_per_day
+FROM pairs p GROUP BY event_type ORDER BY event_type
+""",
+    doc="Theil-Sen robust trend: per event type, the median of all "
+    "pairwise slopes of the daily-revenue-cents series — the "
+    "breakdown-resistant alternative to q_win_slope's least-squares "
+    "line (up to ~29% outlier days cannot move it). Slopes are "
+    "exact-integer-difference ratios; the median interpolates the "
+    "two middle slopes identically in both engines, rounded to 4.",
+    scale_notes="The pair join is LEDGER-squared, not data-squared: "
+    "one event-scale shuffle to the (type, day) cents ledger, then "
+    "all-pairs within each type over <= span-days rows (435 pairs "
+    "per type for a 30-day window, invariant to corpus size). For "
+    "multi-year spans the repeated-median variant over day-bucketed "
+    "ledgers keeps the pair count bounded.",
+)
+def q_agg_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.to_date(F.date_trunc("day", "ts")),
+            F.lit("1970-01-01").cast("date"),
+        )
+        .cast("bigint")
+        .alias("x"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("y")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.x") > F.col("a.x")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.x") - F.col("a.x"))
+        ).alias("slope"),
+    )
+    n_days = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    return (
+        pairs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.expr("percentile(slope, 0.5)"), 4).alias(
+                "slope_cents_per_day"
+            ),
+        )
+        .join(n_days, "event_type")
+        .select(
+            "event_type", "n_days", "n_pairs", "slope_cents_per_day"
+        )
+        .orderBy("event_type")
+    )

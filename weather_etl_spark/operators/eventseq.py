@@ -940,3 +940,141 @@ def q_event_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("quick_ratio"),
     )
+
+
+@register(
+    "q_event_survival",
+    oracle="""
+WITH ud AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         event_type
+  FROM events
+), starts AS (
+  SELECT user_id, MIN(day) AS first_day, MAX(day) AS last_day
+  FROM ud GROUP BY user_id
+), errs AS (
+  SELECT user_id, MIN(day) AS first_err
+  FROM ud WHERE event_type = 'error' GROUP BY user_id
+), life AS (
+  SELECT CAST(CASE WHEN e.first_err IS NULL
+                   THEN s.last_day - s.first_day + 1
+                   ELSE e.first_err - s.first_day + 1 END AS BIGINT) AS t,
+         CASE WHEN e.first_err IS NULL THEN 0 ELSE 1 END AS died
+  FROM starts s LEFT JOIN errs e USING (user_id)
+), ledger AS (
+  SELECT t, COUNT(*) AS n_ending, CAST(SUM(died) AS BIGINT) AS d
+  FROM life GROUP BY t
+), km AS (
+  SELECT t, d,
+         SUM(n_ending) OVER (ORDER BY t DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS n_risk
+  FROM ledger
+), terms AS (
+  SELECT t, d, CAST(n_risk AS BIGINT) AS n_risk,
+         CAST(ROUND(CASE WHEN d = CAST(n_risk AS BIGINT) THEN 0
+                         ELSE LN(1 - CAST(d AS DOUBLE) / n_risk) END, 8)
+              AS DECIMAL(18,8)) AS lnterm,
+         CASE WHEN d = CAST(n_risk AS BIGINT) THEN 1 ELSE 0 END AS absorbed
+  FROM km
+), curve AS (
+  SELECT t, d, n_risk,
+         CAST(SUM(lnterm) OVER (ORDER BY t
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS DOUBLE)
+           AS cum_ln,
+         MAX(absorbed) OVER (ORDER BY t
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS hit_zero
+  FROM terms
+)
+SELECT t, n_risk, d AS n_events,
+       CASE WHEN hit_zero = 1 THEN 0.0
+            ELSE ROUND(EXP(cum_ln), 4) END AS survival
+FROM curve WHERE d > 0 ORDER BY t
+""",
+    doc="Kaplan-Meier time-to-event survival: per user, duration = "
+    "days from first activity to the user's FIRST 'error' event "
+    "(the observed failure); users who never error are "
+    "right-censored at their last observed day — the standard "
+    "censoring-aware alternative to naively averaging only the "
+    "users who failed. S(t) = prod(1 - d_i/n_i) over event "
+    "durations, computed as exp of the cumulative ROUND-8-DECIMAL "
+    "log-sum so the running product is order-independent and "
+    "engine-portable; rows only at event times, absorbing to "
+    "exactly 0 if ever d = n.",
+    scale_notes="Event-scale work is two pruned per-user span "
+    "aggregates (first/last day, first error day) joined on "
+    "user_id; the KM ledger itself is bounded by the observation "
+    "window (<= span-days rows), so the ordered single-partition "
+    "window over it is constant-size at any corpus scale.",
+)
+def q_event_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        "event_type",
+    )
+    starts = ud.groupBy("user_id").agg(
+        F.min("day").alias("first_day"), F.max("day").alias("last_day")
+    )
+    errs = (
+        ud.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.min("day").alias("first_err"))
+    )
+    life = starts.join(errs, "user_id", "left").select(
+        F.when(
+            F.col("first_err").isNull(),
+            F.datediff("last_day", "first_day") + 1,
+        )
+        .otherwise(F.datediff("first_err", "first_day") + 1)
+        .cast("bigint")
+        .alias("t"),
+        F.when(F.col("first_err").isNull(), 0).otherwise(1).alias("died"),
+    )
+    ledger = life.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_ending"),
+        F.sum("died").cast("bigint").alias("d"),
+    )
+    w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    km = ledger.select(
+        "t",
+        "d",
+        F.sum("n_ending").over(w_desc).cast("bigint").alias("n_risk"),
+    )
+    lnterm = F.round(
+        F.when(F.col("d") == F.col("n_risk"), F.lit(0.0)).otherwise(
+            F.log(F.lit(1) - F.col("d").cast("double") / F.col("n_risk"))
+        ),
+        8,
+    ).cast("decimal(18,8)")
+    absorbed = F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0)
+    terms = km.select(
+        "t", "d", "n_risk", lnterm.alias("lnterm"), absorbed.alias("absorbed")
+    )
+    w_asc = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = terms.select(
+        "t",
+        "d",
+        "n_risk",
+        F.sum("lnterm").over(w_asc).cast("double").alias("cum_ln"),
+        F.max("absorbed").over(w_asc).alias("hit_zero"),
+    )
+    return (
+        curve.filter(F.col("d") > 0)
+        .select(
+            "t",
+            "n_risk",
+            F.col("d").alias("n_events"),
+            F.when(F.col("hit_zero") == 1, F.lit(0.0))
+            .otherwise(F.round(F.exp("cum_ln"), 4))
+            .alias("survival"),
+        )
+        .orderBy("t")
+    )

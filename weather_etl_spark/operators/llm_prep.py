@@ -1375,3 +1375,91 @@ def q_llm_apply_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         n1.cast("bigint").alias("n_after"),
         (n0 - n1).cast("bigint").alias("n_merged"),
     )
+
+
+@register(
+    "q_llm_vocab_coverage",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), ledger AS (
+  SELECT token, COUNT(*) AS cnt FROM tok WHERE token <> ''
+  GROUP BY token
+), ranked AS (
+  SELECT token, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rnk,
+         SUM(cnt) OVER (ORDER BY cnt DESC, token ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum
+  FROM ledger
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS vocab
+  FROM ledger
+)
+SELECT k, LEAST(k, tot.vocab) AS top_n,
+       CAST(r.cum AS BIGINT) AS covered_occurrences,
+       tot.total AS total_occurrences,
+       ROUND(CAST(r.cum AS DOUBLE) / tot.total, 4) AS coverage,
+       ROUND(1.0 - CAST(r.cum AS DOUBLE) / tot.total, 4) AS oov_rate
+FROM (VALUES (CAST(10 AS BIGINT)), (100), (1000), (10000)) ks(k)
+CROSS JOIN tot
+JOIN ranked r ON r.rnk = LEAST(ks.k, tot.vocab)
+ORDER BY k
+""",
+    doc="Vocabulary coverage curve: for top-k cutoffs "
+    "k in (10, 100, 1000, 10000), the share of all token "
+    "occurrences covered by the k most frequent tokens and the "
+    "complementary OOV rate — the standard tokenizer-vocabulary "
+    "sizing diagnostic (how big must the vocab be before <x% of "
+    "running text falls out). Rank ties break on the token string "
+    "so the cumulative ledger is deterministic; cutoffs beyond the "
+    "observed vocabulary clamp to the full vocab (coverage 1).",
+    scale_notes="One token-count shuffle (map-combined partials, "
+    "never text) to the vocabulary ledger; the ranked cumulative "
+    "window runs over the ledger, and the curve probe joins a "
+    "constant 4-row k-axis on rank equality. At 100 TB the "
+    "single-partition ledger window becomes a two-level "
+    "range-partitioned ranking (partial cumsums + offset "
+    "broadcast) — the q_agg_gini machinery.",
+)
+def q_llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    ledger = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    ranked = ledger.select(
+        "cnt",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("cnt")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("cum"),
+    )
+    tot = ledger.agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+    )
+    ks = F.explode(
+        F.array(*[F.lit(k).cast("bigint") for k in (10, 100, 1000, 10000)])
+    ).alias("k")
+    axis = tot.select(ks, "total", "vocab")
+    return (
+        axis.join(ranked, F.col("rnk") == F.least("k", "vocab"))
+        .select(
+            "k",
+            F.least("k", "vocab").alias("top_n"),
+            F.col("cum").alias("covered_occurrences"),
+            F.col("total").alias("total_occurrences"),
+            F.round(F.col("cum").cast("double") / F.col("total"), 4)
+            .alias("coverage"),
+            F.round(
+                F.lit(1.0) - F.col("cum").cast("double") / F.col("total"), 4
+            ).alias("oov_rate"),
+        )
+        .orderBy("k")
+    )

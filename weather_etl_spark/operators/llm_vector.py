@@ -835,3 +835,99 @@ def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("c_sim", 4).alias("c_sim"),
         F.coalesce(F.col("hb") == 0, F.lit(True)).alias("kept"),
     )
+
+
+@register(
+    "q_llm_embed_truncate",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS q
+  FROM embeddings
+), per_vec AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN pos < 4  THEN q * q ELSE 0 END) AS BIGINT) AS e4,
+         CAST(SUM(CASE WHEN pos < 8  THEN q * q ELSE 0 END) AS BIGINT) AS e8,
+         CAST(SUM(CASE WHEN pos < 16 THEN q * q ELSE 0 END) AS BIGINT) AS e16,
+         CAST(SUM(CASE WHEN pos < 32 THEN q * q ELSE 0 END) AS BIGINT) AS e32,
+         CAST(SUM(q * q) AS BIGINT) AS etot
+  FROM e GROUP BY vec_id
+), fracs AS (
+  SELECT d,
+         CAST(ROUND(CAST(e_d AS DOUBLE) / etot, 8) AS DECIMAL(18,8)) AS frac
+  FROM per_vec,
+       LATERAL (VALUES (4, e4), (8, e8), (16, e16), (32, e32)) dims(d, e_d)
+  WHERE etot > 0
+)
+SELECT d AS dims_kept,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(CAST(SUM(frac) AS DOUBLE) / COUNT(*), 4) AS avg_energy_frac,
+       ROUND(CAST(MIN(frac) AS DOUBLE), 4) AS min_energy_frac
+FROM fracs GROUP BY d ORDER BY d
+""",
+    doc="Matryoshka-style truncation fidelity: for prefix lengths "
+    "d in (4, 8, 16, 32) of the 64-dim embeddings, the average and "
+    "worst-case fraction of vector energy (squared L2 mass) the "
+    "prefix retains — cos(full, truncated) = sqrt(energy fraction), "
+    "so this is exactly the retrieval-fidelity curve that decides "
+    "how far vectors can be truncated for cheap prefiltering. "
+    "Energies are computed on the 1e-4-quantized integer grid, so "
+    "every sum is exact and engine-portable; only the final ratio "
+    "is floating point (ROUND-8 per vector, DECIMAL-averaged).",
+    scale_notes="One posexplode + grouped conditional sums: the "
+    "shuffle carries 5 longs per vector (never the float array), "
+    "and the d-axis unpivot + global average run on "
+    "vectors-x-4-row intermediates. Embarrassingly parallel at "
+    "any corpus size; the quantized-integer trick removes all "
+    "float-summation-order sensitivity from the hot path.",
+)
+def q_llm_embed_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = F.round(F.col("val").cast("double") * 10000).cast("bigint")
+    exploded = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select("vec_id", "pos", q.alias("q"))
+    qq = F.col("q") * F.col("q")
+    per_vec = exploded.groupBy("vec_id").agg(
+        *[
+            F.sum(F.when(F.col("pos") < d, qq).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias(f"e{d}")
+            for d in (4, 8, 16, 32)
+        ],
+        F.sum(qq).cast("bigint").alias("etot"),
+    )
+    fracs = (
+        per_vec.filter(F.col("etot") > 0)
+        .select(
+            F.expr(
+                "stack(4, 4, e4, 8, e8, 16, e16, 32, e32) AS (d, e_d)"
+            ),
+            "etot",
+        )
+        .select(
+            "d",
+            F.round(F.col("e_d").cast("double") / F.col("etot"), 8)
+            .cast("decimal(18,8)")
+            .alias("frac"),
+        )
+    )
+    return (
+        fracs.groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.round(
+                F.sum("frac").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_energy_frac"),
+            F.round(F.min("frac").cast("double"), 4).alias(
+                "min_energy_frac"
+            ),
+        )
+        .select(
+            F.col("d").alias("dims_kept"),
+            "n_vecs",
+            "avg_energy_frac",
+            "min_energy_frac",
+        )
+        .orderBy("dims_kept")
+    )

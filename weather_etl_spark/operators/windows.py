@@ -839,3 +839,96 @@ def q_win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_at_peak"),
         F.max("run_peak").cast("bigint").alias("final_peak_cents"),
     )
+
+
+@register(
+    "q_win_rolling_corr",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(CASE WHEN event_type = 'view'
+                       THEN CAST(value AS DECIMAL(18,2)) * 100
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(value AS DECIMAL(18,2)) * 100
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS BIGINT) AS y
+  FROM events GROUP BY day
+), rolled AS (
+  SELECT day,
+         COUNT(*)              OVER w AS n,
+         SUM(CAST(x AS HUGEINT))     OVER w AS sx,
+         SUM(CAST(y AS HUGEINT))     OVER w AS sy,
+         SUM(CAST(x AS HUGEINT) * x) OVER w AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) OVER w AS syy,
+         SUM(CAST(x AS HUGEINT) * y) OVER w AS sxy
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT day, CAST(n AS BIGINT) AS n_days,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4)
+       END AS corr_7d
+FROM rolled ORDER BY day
+""",
+    doc="Rolling 7-day Pearson correlation between the daily "
+    "view-revenue and purchase-revenue series — the co-movement "
+    "monitor layered on the q_time_* daily ledgers. Daily sums are "
+    "exact integer cents, the five rolling moments are exact "
+    "integer window sums over a 7-row frame, and only the final "
+    "correlation drops to DOUBLE (identical IEEE both engines), "
+    "NULL while a series is frame-constant (zero variance).",
+    scale_notes="One event-scale shuffle to the daily ledger; the "
+    "rolling frame is a bounded 7-row state over the day-ordered "
+    "ledger (single partition here, per-series partitions in a "
+    "multi-metric deployment). HUGEINT/DECIMAL moment sums stay "
+    "exact past 2^63 at 100 TB daily volumes.",
+)
+def q_win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.col("value").cast("decimal(18,2)") * 100
+    zero = F.lit(0).cast("decimal(18,2)")
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "view", cents).otherwise(zero))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", cents).otherwise(zero)
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    xd = F.col("x").cast("decimal(28,0)")
+    yd = F.col("y").cast("decimal(28,0)")
+    rolled = daily.select(
+        "day",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum(xd).over(w).alias("sx"),
+        F.sum(yd).over(w).alias("sy"),
+        F.sum(xd * F.col("x")).over(w).alias("sxx"),
+        F.sum(yd * F.col("y")).over(w).alias("syy"),
+        F.sum(xd * F.col("y")).over(w).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    varx = nd * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    vary = nd * F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    cov = nd * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    return rolled.select(
+        "day",
+        F.col("n").alias("n_days"),
+        F.when((varx > 0) & (vary > 0), F.round(cov / F.sqrt(varx * vary), 4))
+        .alias("corr_7d"),
+    ).orderBy("day")

@@ -329,6 +329,10 @@ DRIVER_DEFERRED: frozenset[str] = frozenset({
     # reconciliation checksums / TPC-H Q14)
     "q_tpch_q14", "q_agg_chisq", "q_agg_spearman",
     "q_event_lifecycle", "q_dq_checksum",
+    # twenty-sixth late batch (survival analysis / vocab sizing /
+    # MRL truncation / rolling co-movement / robust trend)
+    "q_event_survival", "q_llm_vocab_coverage", "q_llm_embed_truncate",
+    "q_win_rolling_corr", "q_agg_theilsen",
 })
 
 
