@@ -1490,3 +1490,141 @@ def test_theilsen_matches_python(spark):
         assert got[t][2] == pytest.approx(
             statistics.median(slopes), abs=2e-3
         ), t
+
+
+def test_manifest_skips_half_the_files(spark):
+    rows = SPECS["snk_manifest"].fn(spark, SF).collect()
+    assert [r["bucket"] for r in rows] == [0, 1, 2, 3]
+    # key ranges are disjoint and ordered (range clustering worked)
+    for a, b in zip(rows, rows[1:]):
+        assert a["max_key"] < b["min_key"]
+    # the central-quarter probe touches exactly the two middle files
+    assert [r["scanned"] for r in rows] == [False, True, True, False]
+    orders = spark.read.parquet(SF + "/orders.parquet")
+    assert sum(r["n_rows"] for r in rows) == orders.count()
+
+
+def test_kcore_matches_python(spark):
+    import collections
+
+    orders = spark.read.parquet(SF + "/orders.parquet").collect()
+    li = spark.read.parquet(SF + "/lineitem.parquet").collect()
+    cust = {o["o_orderkey"]: o["o_custkey"] for o in orders}
+    pairs = {
+        (cust[l["l_orderkey"]] * 2, l["l_suppkey"] * 2 + 1)
+        for l in li
+        if l["l_orderkey"] in cust
+    }
+    adj = collections.defaultdict(set)
+    for u, v in pairs:
+        adj[u].add(v)
+        adj[v].add(u)
+    want = []
+    for _ in range(3):
+        keep = {u for u, vs in adj.items() if len(vs) >= 30}
+        adj = {
+            u: {v for v in vs if v in keep}
+            for u, vs in adj.items()
+            if u in keep
+        }
+        # drop emptied adjacency only at the NEXT degree pass, as the
+        # unrolled SQL does: count survivors of the HAVING, edges after
+        n_edges = sum(len(vs) for vs in adj.values()) // 2
+        want.append((len(keep), n_edges))
+    got = [
+        (r["n_nodes"], r["n_edges"])
+        for r in sorted(
+            SPECS["q_graph_kcore"].fn(spark, SF).collect(),
+            key=lambda r: r["round"],
+        )
+    ]
+    assert got == want
+    # peeling must be monotone and must actually remove something
+    assert got[0][0] >= got[1][0] >= got[2][0]
+    assert got[0][0] < len(
+        {u for p in pairs for u in p}
+    ), "k threshold too low to exercise peeling"
+
+
+def test_bootstrap_ci_brackets_the_mean(spark):
+    rows = SPECS["q_agg_bootstrap_ci"].fn(spark, SF).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["n_resamples"] == 48
+        assert r["ci_lo"] < r["mean_price"] < r["ci_hi"], r["l_returnflag"]
+        # half-subsample spread should be modest for n ~ 20k
+        width = r["ci_hi"] - r["ci_lo"]
+        assert 0 < width < 0.2 * r["mean_price"]
+
+
+def test_bootstrap_membership_is_half_rate(spark):
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(SF + "/lineitem.parquet")
+    n = li.count()
+    member = li.filter(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        F.col("l_orderkey"),
+                        F.col("l_linenumber"),
+                        F.lit(7),
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        == 0
+    ).count()
+    assert abs(member / n - 0.5) < 0.02
+
+
+def test_embed_pq_matches_python(spark):
+    rows = spark.read.parquet(SF + "/embeddings.parquet").collect()
+    qv = {
+        r["vec_id"]: [round(v * 10000) for v in r["embedding"]]
+        for r in rows
+    }
+    aids = sorted(qv)[:16]
+    got = {
+        r["subspace"]: (
+            r["n_vecs"], r["codes_used"], r["avg_sse"], r["entropy_nats"]
+        )
+        for r in SPECS["q_llm_embed_pq"].fn(spark, SF).collect()
+    }
+    assert set(got) == set(range(8))
+    import math
+
+    for j in range(8):
+        lo, hi = 8 * j, 8 * j + 8
+        usage = {}
+        sse = 0
+        for vid, q in qv.items():
+            best = min(
+                (
+                    sum(
+                        (q[p] - qv[a][p]) ** 2 for p in range(lo, hi)
+                    ),
+                    a,
+                )
+                for a in aids
+            )
+            usage[best[1]] = usage.get(best[1], 0) + 1
+            sse += best[0]
+        n = len(qv)
+        h = -sum(
+            round((c / n) * math.log(c / n), 8) for c in usage.values()
+        )
+        assert got[j][0] == n
+        assert got[j][1] == len(usage)
+        assert got[j][2] == pytest.approx(round(sse / n, 4))
+        assert got[j][3] == pytest.approx(h, abs=2e-4)
+        # anchors quantize their own subvector with zero error, so
+        # at least one code is always used and entropy is finite
+        assert 1 <= got[j][1] <= 16

@@ -1090,3 +1090,31 @@ def test_theilsen_pairs_on_equi_type_key(spark, sf_dir):
     plan = _executed_plan(SPECS["q_agg_theilsen"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_manifest_ranges_disjoint_at_smoke_sf(spark):
+    from tests.conftest import SMOKE_SF_DIR
+
+    rows = SPECS["snk_manifest"].fn(spark, SMOKE_SF_DIR).collect()
+    for a, b in zip(rows, rows[1:]):
+        assert a["max_key"] < b["min_key"]
+
+
+def test_kcore_rounds_are_equi_joins(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_graph_kcore"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_bootstrap_shuffle_carries_cells_not_rows(spark, sf_dir):
+    """The post-explode aggregation must partial-aggregate map-side:
+    the exchange carries (flag, b) cells, not B x n exploded rows."""
+    plan = _executed_plan(SPECS["q_agg_bootstrap_ci"].fn(spark, sf_dir))
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embed_pq_broadcasts_codebook(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_llm_embed_pq"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan  # codebook join never shuffles
+    assert "CartesianProduct" not in plan

@@ -1563,3 +1563,110 @@ def q_agg_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_BOOT_B = 48  # deterministic half-subsamples
+
+
+@register(
+    "q_agg_bootstrap_ci",
+    oracle=f"""
+WITH b_axis AS (
+  SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b
+), member AS (
+  SELECT l.l_returnflag, b.b,
+         CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents
+  FROM lineitem l CROSS JOIN b_axis b
+  WHERE CAST('0x' || substr(md5(
+          CAST(l.l_orderkey AS VARCHAR) || '_' ||
+          CAST(l.l_linenumber AS VARCHAR) || '_' ||
+          CAST(b.b AS VARCHAR)), 1, 4) AS BIGINT) % 2 = 0
+), means AS (
+  SELECT l_returnflag, b,
+         CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100 AS m
+  FROM member GROUP BY l_returnflag, b
+), full_mean AS (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS DOUBLE) / COUNT(*) / 100 AS est,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT f.l_returnflag, f.n, ROUND(f.est, 4) AS mean_price,
+       CAST(COUNT(*) AS BIGINT) AS n_resamples,
+       ROUND(CAST(quantile_cont(m.m, 0.025) AS DOUBLE), 4) AS ci_lo,
+       ROUND(CAST(quantile_cont(m.m, 0.975) AS DOUBLE), 4) AS ci_hi
+FROM full_mean f JOIN means m USING (l_returnflag)
+GROUP BY f.l_returnflag, f.n, f.est ORDER BY f.l_returnflag
+""",
+    doc="Subsampled-bootstrap confidence interval for the mean "
+    "extended price per returnflag: 48 deterministic half-"
+    "subsamples (membership = md5(rowkey, b) parity — no RNG, so "
+    "both engines draw the SAME resamples), each subsample mean "
+    "computed from exact integer cents, CI = the 2.5/97.5 "
+    "percentiles of the resample means. The half-sampling scheme "
+    "is the scale-friendly bag-of-little-bootstraps flavor rather "
+    "than with-replacement resampling.",
+    scale_notes="The b-axis explode is CPU-only fan-out: the "
+    "shuffle after it carries (flag, b) partial sums — "
+    "3 x 48 cells — thanks to map-side combine, never B x n rows. "
+    "Hash membership is codegen'd JVM md5; at 100 TB shrink the "
+    "subsample rate n^0.6-style and the shape is unchanged.",
+)
+def q_agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    b = F.explode(
+        F.array(*[F.lit(i) for i in range(_BOOT_B)])
+    ).alias("b")
+    keyed = li.select("l_returnflag", cents.alias("cents"),
+                      F.concat_ws(
+                          "_",
+                          F.col("l_orderkey"),
+                          F.col("l_linenumber"),
+                      ).alias("rk"), b)
+    member = keyed.filter(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("_", F.col("rk"), F.col("b"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        == 0
+    )
+    means = member.groupBy("l_returnflag", "b").agg(
+        (F.sum("cents").cast("double") / F.count(F.lit(1)) / 100).alias(
+            "m"
+        )
+    )
+    full_mean = li.groupBy("l_returnflag").agg(
+        (F.sum(cents).cast("double") / F.count(F.lit(1)) / 100).alias(
+            "est"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return (
+        full_mean.join(means, "l_returnflag")
+        .groupBy("l_returnflag", "n", "est")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_resamples"),
+            F.round(F.expr("percentile(m, 0.025)"), 4).alias("ci_lo"),
+            F.round(F.expr("percentile(m, 0.975)"), 4).alias("ci_hi"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            F.round("est", 4).alias("mean_price"),
+            "n_resamples",
+            "ci_lo",
+            "ci_hi",
+        )
+        .orderBy("l_returnflag")
+    )

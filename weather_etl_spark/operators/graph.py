@@ -583,3 +583,90 @@ def q_graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint()
     release_rdds(spark, und_ids)
     return out
+
+
+_KCORE_K = 30
+_KCORE_ROUNDS = 3
+
+
+@register(
+    "q_graph_kcore",
+    oracle=f"""
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), e0 AS (
+  SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+), n1 AS (
+  SELECT u FROM e0 GROUP BY u HAVING COUNT(*) >= {_KCORE_K}
+), e1 AS (
+  SELECT e.u, e.v FROM e0 e
+  JOIN n1 a ON e.u = a.u JOIN n1 b ON e.v = b.u
+), n2 AS (
+  SELECT u FROM e1 GROUP BY u HAVING COUNT(*) >= {_KCORE_K}
+), e2 AS (
+  SELECT e.u, e.v FROM e1 e
+  JOIN n2 a ON e.u = a.u JOIN n2 b ON e.v = b.u
+), n3 AS (
+  SELECT u FROM e2 GROUP BY u HAVING COUNT(*) >= {_KCORE_K}
+), e3 AS (
+  SELECT e.u, e.v FROM e2 e
+  JOIN n3 a ON e.u = a.u JOIN n3 b ON e.v = b.u
+)
+SELECT 1 AS round, (SELECT CAST(COUNT(*) AS BIGINT) FROM n1) AS n_nodes,
+       (SELECT CAST(COUNT(*)/2 AS BIGINT) FROM e1) AS n_edges
+UNION ALL
+SELECT 2, (SELECT CAST(COUNT(*) AS BIGINT) FROM n2),
+       (SELECT CAST(COUNT(*)/2 AS BIGINT) FROM e2)
+UNION ALL
+SELECT 3, (SELECT CAST(COUNT(*) AS BIGINT) FROM n3),
+       (SELECT CAST(COUNT(*)/2 AS BIGINT) FROM e3)
+ORDER BY round
+""",
+    doc=f"k-core decomposition ({_KCORE_ROUNDS} unrolled peeling "
+    f"rounds, k={_KCORE_K}) on the shared customer-supplier "
+    "bipartite graph: each round drops nodes with degree < k and "
+    "the edges touching them, converging toward the maximal "
+    "subgraph where every node keeps >= k neighbors — the standard "
+    "graph-density screen (community cores, spam/bot rings). "
+    "Per-round (surviving nodes, surviving undirected edges) is "
+    "the declared, exactly-oracled output.",
+    scale_notes="Each round = one degree aggregate + two semi-join "
+    "edge restrictions, all equi hash joins on node ids — the "
+    "q_graph_pagerank iteration shape with HAVING instead of a "
+    "rank update. Unbounded peeling at 100 TB runs the same round "
+    "body to fixpoint with per-round localCheckpoint + release "
+    "(the llm_components_starcontract pattern); degree skew is "
+    "bounded because each round's input shrinks monotonically.",
+)
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _edges(spark, sf_dir)
+    out_rows = []
+    cur = edges
+    for rnd in range(1, _KCORE_ROUNDS + 1):
+        keep = (
+            cur.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+            .select("u")
+        )
+        cur = cur.join(keep, "u", "left_semi").join(
+            keep.select(F.col("u").alias("v")), "v", "left_semi"
+        )
+        # n_nodes counts the HAVING survivors (a survivor may still
+        # lose its last edge this round — it stays counted until the
+        # next round's degree pass, exactly as the unrolled oracle).
+        stats = (
+            keep.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+            .crossJoin(
+                cur.agg(
+                    (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges")
+                )
+            )
+            .select(F.lit(rnd).alias("round"), "n_nodes", "n_edges")
+        )
+        out_rows.append(stats)
+    out = out_rows[0]
+    for s in out_rows[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("round")

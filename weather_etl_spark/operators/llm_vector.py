@@ -931,3 +931,118 @@ def q_llm_embed_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dims_kept")
     )
+
+
+@register(
+    "q_llm_embed_pq",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS q
+  FROM embeddings
+), anchor_ids AS (
+  SELECT vec_id AS aid FROM embeddings ORDER BY vec_id LIMIT 16
+), anchors AS (
+  SELECT a.aid, e.pos, e.q FROM e JOIN anchor_ids a ON e.vec_id = a.aid
+), dist AS (
+  SELECT e.vec_id, CAST(e.pos // 8 AS BIGINT) AS j, a.aid,
+         SUM((e.q - a.q) * (e.q - a.q)) AS d2
+  FROM e JOIN anchors a ON e.pos = a.pos
+  GROUP BY e.vec_id, j, a.aid
+), assign AS (
+  SELECT vec_id, j, aid, d2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                            ORDER BY d2 ASC, aid ASC) AS rn
+  FROM dist
+), best AS (
+  SELECT vec_id, j, aid, d2 FROM assign WHERE rn = 1
+), usage AS (
+  SELECT j, aid, COUNT(*) AS c FROM best GROUP BY j, aid
+), tot AS (
+  SELECT j, CAST(SUM(c) AS BIGINT) AS n FROM usage GROUP BY j
+), ent AS (
+  SELECT u.j,
+         CAST(SUM(CAST(ROUND(
+             -(CAST(u.c AS DOUBLE) / t.n)
+              * ln(CAST(u.c AS DOUBLE) / t.n), 8)
+           AS DECIMAL(18,8))) AS DOUBLE) AS h,
+         CAST(COUNT(*) AS BIGINT) AS codes_used
+  FROM usage u JOIN tot t USING (j) GROUP BY u.j
+)
+SELECT t.j AS subspace, t.n AS n_vecs, ent.codes_used,
+       ROUND((SELECT CAST(SUM(d2) AS DOUBLE) FROM best b
+              WHERE b.j = t.j) / t.n, 4) AS avg_sse,
+       ROUND(ent.h, 4) AS entropy_nats
+FROM tot t JOIN ent USING (j) ORDER BY subspace
+""",
+    doc="Product quantization accounting: the 64-dim embeddings "
+    "split into 8 subspaces of 8 dims; each subvector is assigned "
+    "to its nearest of 16 anchor codewords (the 16 lowest-vec_id "
+    "vectors — a deterministic stand-in for trained centroids) by "
+    "exact integer distance on the 1e-4-quantized grid, ties to "
+    "the lowest anchor id. Per subspace: codewords actually used, "
+    "code-usage entropy (how balanced the codebook is), and the "
+    "average quantization SSE — the compression-quality dashboard "
+    "behind a PQ index (64 floats -> 8 bytes per vector).",
+    scale_notes="The codebook is broadcast-bounded (k x dim "
+    "values); assignment is one equi join on pos + a grouped "
+    "integer reduction — embarrassingly parallel, shuffle carries "
+    "(vec, subspace, anchor) partial sums. At 100 TB the anchors "
+    "come from sampled k-means (llm_embed_dedup_blocked's "
+    "machinery) and the same plan assigns codes; integer-grid "
+    "distances remove float-order sensitivity.",
+)
+def q_llm_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    qcol = F.round(F.col("val").cast("double") * 10000).cast("bigint")
+    e = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select("vec_id", "pos", qcol.alias("q"))
+    anchor_ids = emb.select("vec_id").orderBy("vec_id").limit(16)
+    anchors = e.join(
+        F.broadcast(anchor_ids.select(F.col("vec_id").alias("aid"))),
+        e.vec_id == F.col("aid"),
+    ).select("aid", "pos", F.col("q").alias("aq"))
+    diff = F.col("q") - F.col("aq")
+    dist = (
+        e.join(F.broadcast(anchors), "pos")
+        .groupBy(
+            "vec_id",
+            F.floor(F.col("pos") / 8).cast("bigint").alias("j"),
+            "aid",
+        )
+        .agg(F.sum(diff * diff).alias("d2"))
+    )
+    w = Window.partitionBy("vec_id", "j").orderBy(
+        F.col("d2").asc(), F.col("aid").asc()
+    )
+    best = dist.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    usage = best.groupBy("j", "aid").agg(F.count(F.lit(1)).alias("c"))
+    tot = usage.groupBy("j").agg(F.sum("c").cast("bigint").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    ent = (
+        usage.join(tot, "j")
+        .groupBy("j", "n")
+        .agg(
+            F.sum(F.round(-p * F.log(p), 8).cast("decimal(18,8)"))
+            .cast("double")
+            .alias("h"),
+            F.count(F.lit(1)).cast("bigint").alias("codes_used"),
+        )
+    )
+    sse = best.groupBy("j").agg(
+        (F.sum("d2").cast("double")).alias("sum_d2")
+    )
+    return (
+        ent.join(sse, "j")
+        .select(
+            F.col("j").alias("subspace"),
+            F.col("n").alias("n_vecs"),
+            "codes_used",
+            F.round(F.col("sum_d2") / F.col("n"), 4).alias("avg_sse"),
+            F.round("h", 4).alias("entropy_nats"),
+        )
+        .orderBy("subspace")
+    )

@@ -378,3 +378,112 @@ def snk_csv_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("s").alias("min_s"),
         F.sum("k").cast("bigint").alias("key_sum"),
     )
+
+
+@register(
+    "snk_manifest",
+    oracle="""
+WITH span AS (
+  SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi,
+         CAST(CEIL((MAX(o_orderkey) - MIN(o_orderkey) + 1) / 4.0)
+              AS BIGINT) AS width
+  FROM orders
+), bucketed AS (
+  SELECT CAST((o_orderkey - span.lo) // span.width AS BIGINT) AS bucket,
+         o_orderkey
+  FROM orders CROSS JOIN span
+), manifest AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+  FROM bucketed GROUP BY bucket
+), probe AS (
+  SELECT lo + CAST(3 * (hi - lo + 1) / 8 AS BIGINT) AS p_lo,
+         lo + CAST(5 * (hi - lo + 1) / 8 AS BIGINT) AS p_hi
+  FROM span
+)
+SELECT m.bucket, m.n_rows, m.min_key, m.max_key,
+       (m.min_key <= probe.p_hi AND m.max_key >= probe.p_lo) AS scanned
+FROM manifest m CROSS JOIN probe
+ORDER BY m.bucket
+""",
+    doc="Lake manifest + file-skipping proof: orders written as a "
+    "4-bucket key-range-clustered Parquet dataset (deterministic "
+    "integer bucketing, one file per bucket), then a stats manifest "
+    "(rows, min/max key per bucket) is rebuilt FROM THE WRITTEN "
+    "FILES and probed with a key-range query — `scanned` marks the "
+    "files whose [min,max] overlaps the probe, exactly the footer-"
+    "stats skipping decision a lake engine makes. The central-"
+    "quarter probe keeps ~half the files unscanned.",
+    scale_notes="Write side: repartition by bucket, one task per "
+    "file, directory-per-bucket — the compaction-friendly layout "
+    "q_layout_compaction plans. Manifest side: input-file grouping "
+    "over footer-pruned scans (n_rows + min/max only, never data "
+    "columns at 100 TB). Range clustering is what makes min/max "
+    "manifests selective — random layout degenerates every file "
+    "to scanned=true (the q_layout_zorder argument, 1-D case).",
+)
+def snk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey")
+    span = orders.agg(
+        F.min("o_orderkey").alias("lo"),
+        F.max("o_orderkey").alias("hi"),
+        F.ceil(
+            (F.max("o_orderkey") - F.min("o_orderkey") + 1) / F.lit(4.0)
+        )
+        .cast("bigint")
+        .alias("width"),
+    )
+    bucketed = orders.crossJoin(F.broadcast(span)).select(
+        F.expr("div(o_orderkey - lo, width)")  # exact integer division
+        .cast("bigint")
+        .alias("bucket"),
+        "o_orderkey",
+    )
+    tmp = tempfile.mkdtemp(prefix="snk_manifest_")
+    sink = f"{tmp}/lake"
+    try:
+        (
+            bucketed.repartition(4, "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(sink)
+        )
+        back = spark.read.schema(bucketed.schema).parquet(sink)
+        manifest = (
+            back.withColumn("file", F.input_file_name())
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+            )
+        )
+        probe = span.select(
+            (
+                F.col("lo")
+                + ((F.lit(3) * (F.col("hi") - F.col("lo") + 1)) / 8)
+                .cast("bigint")
+            ).alias("p_lo"),
+            (
+                F.col("lo")
+                + ((F.lit(5) * (F.col("hi") - F.col("lo") + 1)) / 8)
+                .cast("bigint")
+            ).alias("p_hi"),
+        )
+        return (
+            manifest.crossJoin(F.broadcast(probe))
+            .select(
+                "bucket",
+                "n_rows",
+                "min_key",
+                "max_key",
+                (
+                    (F.col("min_key") <= F.col("p_hi"))
+                    & (F.col("max_key") >= F.col("p_lo"))
+                ).alias("scanned"),
+            )
+            .orderBy("bucket")
+            .localCheckpoint()  # materialize before the tmp dir vanishes
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

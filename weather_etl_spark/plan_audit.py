@@ -89,6 +89,12 @@ ALLOW_BNL: dict[str, str] = {
     "q_agg_chisq": "1-row total + two 1-row marginal-cardinality "
     "aggregates crossed into the bounded (types x 24) grid — the "
     "q_agg_mutual_info pattern (drift.py)",
+    "q_graph_kcore": "three per-round 1-row x 1-row crossJoins of the "
+    "survivor-count and edge-count aggregates — the q_graph_triangles "
+    "pattern (graph.py)",
+    "snk_manifest": "1-row key-span aggregate crossed into the scan "
+    "and the 4-row manifest — the q_filter_ts_cursor pattern "
+    "(sink_ops.py)",
 }
 
 #: Row-at-a-time Python — only the deliberate slow-path demos that

@@ -333,6 +333,10 @@ DRIVER_DEFERRED: frozenset[str] = frozenset({
     # MRL truncation / rolling co-movement / robust trend)
     "q_event_survival", "q_llm_vocab_coverage", "q_llm_embed_truncate",
     "q_win_rolling_corr", "q_agg_theilsen",
+    # twenty-seventh late batch (lake manifests / resampling CI /
+    # product quantization / k-core)
+    "snk_manifest", "q_graph_kcore", "q_agg_bootstrap_ci",
+    "q_llm_embed_pq",
 })
 
 
