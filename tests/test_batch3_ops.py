@@ -1558,31 +1558,31 @@ def test_bootstrap_ci_brackets_the_mean(spark):
 
 
 def test_bootstrap_membership_is_half_rate(spark):
+    """Each hash bit draws a fair coin: resample 7 and resample 40
+    must each keep ~half the rows, and be (near-)independent draws."""
     from pyspark.sql import functions as F
 
     li = spark.read.parquet(SF + "/lineitem.parquet")
     n = li.count()
-    member = li.filter(
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        "_",
-                        F.col("l_orderkey"),
-                        F.col("l_linenumber"),
-                        F.lit(7),
-                    )
-                ),
-                1,
-                4,
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws("_", F.col("l_orderkey"), F.col("l_linenumber"))
             ),
-            16,
-            10,
-        ).cast("bigint")
-        % 2
-        == 0
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    hashed = li.select(h.alias("h"))
+    for b in (7, 40):
+        member = hashed.filter(F.expr(f"(h >> {b}) & 1") == 0).count()
+        assert abs(member / n - 0.5) < 0.02, b
+    both = hashed.filter(
+        (F.expr("(h >> 7) & 1") == 0) & (F.expr("(h >> 40) & 1") == 0)
     ).count()
-    assert abs(member / n - 0.5) < 0.02
+    assert abs(both / n - 0.25) < 0.02
 
 
 def test_embed_pq_matches_python(spark):

@@ -640,9 +640,12 @@ ORDER BY round
     "bounded because each round's input shrinks monotonically.",
 )
 def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _edges(spark, sf_dir)
+    # Materialize each round (the pagerank_frame protocol): without the
+    # per-round localCheckpoint the unioned per-round stats re-execute
+    # the whole prefix of peeling joins (O(rounds^2) over the base
+    # orders⋈lineitem join — measured 14.7 s vs ~1 s at sf0.1).
+    cur, prev_ids = tracked_local_checkpoint(_edges(spark, sf_dir))
     out_rows = []
-    cur = edges
     for rnd in range(1, _KCORE_ROUNDS + 1):
         keep = (
             cur.groupBy("u")
@@ -650,22 +653,28 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("deg") >= _KCORE_K)
             .select("u")
         )
-        cur = cur.join(keep, "u", "left_semi").join(
-            keep.select(F.col("u").alias("v")), "v", "left_semi"
+        nxt, ids = tracked_local_checkpoint(
+            cur.join(keep, "u", "left_semi").join(
+                keep.select(F.col("u").alias("v")), "v", "left_semi"
+            )
         )
         # n_nodes counts the HAVING survivors (a survivor may still
         # lose its last edge this round — it stays counted until the
         # next round's degree pass, exactly as the unrolled oracle).
-        stats = (
+        # The 1-row stats frame is checkpointed EAGERLY so it is
+        # materialized before the round's input blocks are released.
+        stats, _stat_ids = tracked_local_checkpoint(
             keep.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
             .crossJoin(
-                cur.agg(
+                nxt.agg(
                     (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges")
                 )
             )
             .select(F.lit(rnd).alias("round"), "n_nodes", "n_edges")
         )
         out_rows.append(stats)
+        release_rdds(spark, prev_ids)
+        cur, prev_ids = nxt, ids
     out = out_rows[0]
     for s in out_rows[1:]:
         out = out.unionByName(s)
