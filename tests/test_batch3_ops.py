@@ -1628,3 +1628,151 @@ def test_embed_pq_matches_python(spark):
         # anchors quantize their own subvector with zero error, so
         # at least one code is always used and entropy is finite
         assert 1 <= got[j][1] <= 16
+
+
+def test_date_iso_fields_consistent(spark):
+    import datetime
+
+    rows = SPECS["q_fn_date_iso"].fn(spark, SF).collect()
+    assert rows
+    for r in rows[:500]:
+        d = r["order_date"]
+        iso = d.isocalendar()
+        assert r["iso_dow"] == iso[2]
+        assert r["iso_week"] == iso[1]
+        assert r["q"] == (d.month - 1) // 3 + 1
+        assert r["doy"] == d.timetuple().tm_yday
+        nm = r["next_monday"]
+        assert nm > d and nm.isocalendar()[2] == 1
+        assert (nm - d).days <= 7
+
+
+def test_bm25_matches_python(spark):
+    import collections, math
+
+    K1, B = 1.2, 0.75
+    docs = spark.read.parquet(SF + "/documents.parquet").collect()
+    terms = ("hash", "spark", "window")
+    dl = {}
+    tf = collections.defaultdict(collections.Counter)
+    for r in docs:
+        toks = [t for t in r["text"].split(" ") if t]
+        dl[r["doc_id"]] = len(toks)
+        for t in toks:
+            if t in terms:
+                tf[r["doc_id"]][t] += 1
+    n = len(dl)
+    avgdl = sum(dl.values()) / n
+    df = collections.Counter(
+        t for counts in tf.values() for t in counts
+    )
+    scores = {}
+    for doc, counts in tf.items():
+        s = 0.0
+        for t, f in counts.items():
+            idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += round(
+                idf * (f * (K1 + 1))
+                / (f + K1 * (1 - B + B * dl[doc] / avgdl)),
+                8,
+            )
+        scores[doc] = round(s, 4)
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [
+        (r["doc_id"], r["bm25"])
+        for r in SPECS["q_llm_bm25"].fn(spark, SF).collect()
+    ]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=2e-4)
+    assert all(a[1] >= b[1] for a, b in zip(got, got[1:]))
+
+
+def test_ols2_matches_numpy_lstsq(spark):
+    import numpy as np
+
+    li = spark.read.parquet(SF + "/lineitem.parquet").select(
+        "l_returnflag", "l_extendedprice", "l_quantity", "l_discount"
+    ).collect()
+    got = {
+        r["l_returnflag"]: r
+        for r in SPECS["q_agg_ols2"].fn(spark, SF).collect()
+    }
+    import collections
+
+    groups = collections.defaultdict(list)
+    for r in li:
+        groups[r["l_returnflag"]].append(
+            (
+                round(r["l_extendedprice"] * 100),
+                round(r["l_quantity"]),
+                round(r["l_discount"] * 100),
+            )
+        )
+    for flag, rows in groups.items():
+        y = np.array([t[0] for t in rows], dtype=float)
+        X = np.column_stack(
+            [
+                np.ones(len(rows)),
+                [t[1] for t in rows],
+                [t[2] for t in rows],
+            ]
+        )
+        beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+        g = got[flag]
+        assert g["n"] == len(rows)
+        assert g["b0_cents"] == pytest.approx(beta[0], rel=1e-3)
+        assert g["b1_cents_per_qty"] == pytest.approx(beta[1], rel=1e-3)
+        assert g["b2_cents_per_pct"] == pytest.approx(
+            beta[2], rel=1e-3, abs=1.0
+        )
+        resid = y - X @ beta
+        sst = ((y - y.mean()) ** 2).sum()
+        r2 = 1 - (resid**2).sum() / sst
+        assert g["r2"] == pytest.approx(r2, abs=1e-3)
+        # the synthetic fixture draws price independently of
+        # quantity/discount, so the fit explains ~nothing — the test
+        # value is the numpy-differential above, not the fixture's R^2
+        assert 0 <= g["r2"] <= 1
+
+
+def test_backtest_matches_python(spark):
+    import collections
+    from decimal import Decimal
+
+    ev = spark.read.parquet(SF + "/events.parquet").collect()
+    daily = collections.defaultdict(dict)
+    for r in ev:
+        cents = int(Decimal(str(r["value"])).quantize(Decimal("0.01")) * 100)
+        d = r["ts"].date()
+        daily[r["event_type"]][d] = daily[r["event_type"]].get(d, 0) + cents
+    got = {
+        r["event_type"]: r
+        for r in SPECS["q_time_backtest"].fn(spark, SF).collect()
+    }
+    assert set(got) == set(daily)
+    for t, series in daily.items():
+        ys = [series[d] for d in sorted(series)]
+        aes, apes, aens = [], [], []
+        for i in range(7, len(ys)):
+            if ys[i] <= 0:
+                continue
+            sma = sum(ys[i - 7 : i]) / 7
+            aes.append(abs(ys[i] - sma))
+            apes.append(abs(ys[i] - sma) / ys[i])
+            aens.append(abs(ys[i] - ys[i - 1]))
+        g = got[t]
+        assert g["n_eval_days"] == len(aes)
+        assert g["mae_sma"] == pytest.approx(
+            sum(aes) / len(aes) / 100, abs=1e-2
+        )
+        assert g["mape_sma"] == pytest.approx(
+            sum(apes) / len(apes), abs=1e-3
+        )
+        assert g["mae_naive"] == pytest.approx(
+            sum(aens) / len(aens) / 100, abs=1e-2
+        )
+        assert g["skill"] == pytest.approx(
+            1 - sum(aes) / sum(aens), abs=1e-3
+        )
+        assert 0 < g["mape_sma"] < 1

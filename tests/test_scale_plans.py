@@ -1118,3 +1118,30 @@ def test_embed_pq_broadcasts_codebook(spark, sf_dir):
     plan = _executed_plan(SPECS["q_llm_embed_pq"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan  # codebook join never shuffles
     assert "CartesianProduct" not in plan
+
+
+def test_date_iso_is_zero_shuffle(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_fn_date_iso"].fn(spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_bm25_prunes_terms_before_shuffle(spark, sf_dir):
+    df = SPECS["q_llm_bm25"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "TakeOrderedAndProject" in plan  # top-20 never global-sorts
+    assert "CartesianProduct" not in plan
+
+
+def test_ols2_is_single_aggregation_pass(spark, sf_dir):
+    from weather_etl_spark.plan_audit import audit_plan
+
+    report = audit_plan(SPECS["q_agg_ols2"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in report.nodes
+    assert "BroadcastHashJoin" not in report.nodes
+    assert "partial" in report.text.lower()  # map-side moment partials
+
+
+def test_backtest_frames_use_only_past_rows(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_time_backtest"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

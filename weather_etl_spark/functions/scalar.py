@@ -786,3 +786,42 @@ def q_fn_regexp2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_o"),
         F.regexp_replace("p_brand", "[0-9]+", "#").alias("brand_masked"),
     )
+
+
+@register(
+    "q_fn_date_iso",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE)                        AS order_date,
+       quarter(o_orderdate)                             AS q,
+       dayofyear(o_orderdate)                           AS doy,
+       isodow(CAST(o_orderdate AS DATE))                AS iso_dow,
+       week(CAST(o_orderdate AS DATE))                  AS iso_week,
+       CAST(CAST(o_orderdate AS DATE)
+            + ((CASE WHEN (8 - isodow(CAST(o_orderdate AS DATE))) % 7 = 0
+                     THEN 7
+                     ELSE (8 - isodow(CAST(o_orderdate AS DATE))) % 7 END)
+               || ' days')::INTERVAL AS DATE)           AS next_monday
+FROM orders
+""",
+    doc="ISO-8601 calendar surface: quarter, day-of-year, ISO "
+    "weekday (Mon=1..Sun=7), ISO week number, and strictly-next "
+    "Monday. Closes q_fn_date's documented exclusion: the "
+    "LOCALE-dependent dayofweek/weekofyear numberings do diverge "
+    "between engines, but the ISO-8601 pair is provably aligned "
+    "(probed across a year boundary, 1995-12-25..1996-01-15), and "
+    "next_day is re-expressed as pure isodow arithmetic on the "
+    "DuckDB side.",
+)
+def q_fn_date_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        d.alias("order_date"),
+        F.quarter("o_orderdate").alias("q"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        (F.weekday(d) + 1).alias("iso_dow"),
+        F.weekofyear(d).alias("iso_week"),
+        F.next_day(d, "Mon").alias("next_monday"),
+    )

@@ -1687,3 +1687,130 @@ def q_agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q_agg_ols2",
+    oracle="""
+WITH obs AS (
+  SELECT l_returnflag,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
+         CAST(l_quantity AS BIGINT) AS x1,
+         CAST(CAST(l_discount AS DECIMAL(6,2)) * 100 AS BIGINT) AS x2
+  FROM lineitem
+), m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(x1 AS HUGEINT)) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(x2 AS HUGEINT)) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(y  AS HUGEINT)) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x1 AS HUGEINT) * x1) AS DOUBLE) AS s11,
+         CAST(SUM(CAST(x1 AS HUGEINT) * x2) AS DOUBLE) AS s12,
+         CAST(SUM(CAST(x2 AS HUGEINT) * x2) AS DOUBLE) AS s22,
+         CAST(SUM(CAST(x1 AS HUGEINT) * y) AS DOUBLE) AS s1y,
+         CAST(SUM(CAST(x2 AS HUGEINT) * y) AS DOUBLE) AS s2y,
+         CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+  FROM obs GROUP BY l_returnflag
+), solved AS (
+  SELECT l_returnflag, n,
+         n * (s11 * s22 - s12 * s12)
+           - s1 * (s1 * s22 - s12 * s2)
+           + s2 * (s1 * s12 - s11 * s2) AS det,
+         sy * (s11 * s22 - s12 * s12)
+           - s1 * (s1y * s22 - s12 * s2y)
+           + s2 * (s1y * s12 - s11 * s2y) AS det0,
+         n * (s1y * s22 - s12 * s2y)
+           - sy * (s1 * s22 - s12 * s2)
+           + s2 * (s1 * s2y - s1y * s2) AS det1,
+         n * (s11 * s2y - s1y * s12)
+           - s1 * (s1 * s2y - s1y * s2)
+           + sy * (s1 * s12 - s11 * s2) AS det2,
+         sy, s1y, s2y, syy
+  FROM m
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       ROUND(det0 / det, 4) AS b0_cents,
+       ROUND(det1 / det, 4) AS b1_cents_per_qty,
+       ROUND(det2 / det, 4) AS b2_cents_per_pct,
+       ROUND(1 - (syy - (det0 / det) * sy - (det1 / det) * s1y
+                  - (det2 / det) * s2y)
+               / (syy - sy * sy / n), 4) AS r2
+FROM solved ORDER BY l_returnflag
+""",
+    doc="Two-feature OLS by closed-form normal equations: "
+    "extended price (cents) regressed on quantity and discount "
+    "percent per returnflag, solved exactly via Cramer's rule on "
+    "the 3x3 moment matrix — the multi-feature generalization of "
+    "q_agg_regr's built-in simple regression, and the pattern for "
+    "any small-p linear model at 100 TB (one aggregation pass, "
+    "driver-free closed-form solve). All ten moments are exact "
+    "integer sums (HUGEINT/DECIMAL); determinants and R^2 are "
+    "evaluated with an identical double expression in both "
+    "engines, rounded to 4.",
+    scale_notes="ONE map-combined aggregation over the fact — the "
+    "shuffle carries 10 moments per (flag, partition). p features "
+    "need p(p+3)/2 moments and a p x p solve: closed-form to "
+    "~tens of features, after which the same moment pass feeds an "
+    "iterative solver. No per-row Python, no driver matrices "
+    "beyond the 3x3.",
+)
+def q_agg_ols2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    obs = li.select(
+        "l_returnflag",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("y"),
+        F.col("l_quantity").cast("bigint").alias("x1"),
+        (F.col("l_discount").cast("decimal(6,2)") * 100)
+        .cast("bigint")
+        .alias("x2"),
+    )
+    d = lambda c: F.col(c).cast("decimal(20,0)")  # noqa: E731
+    m = obs.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(d("x1")).cast("double").alias("s1"),
+        F.sum(d("x2")).cast("double").alias("s2"),
+        F.sum(d("y")).cast("double").alias("sy"),
+        F.sum(d("x1") * F.col("x1")).cast("double").alias("s11"),
+        F.sum(d("x1") * F.col("x2")).cast("double").alias("s12"),
+        F.sum(d("x2") * F.col("x2")).cast("double").alias("s22"),
+        F.sum(d("x1") * F.col("y")).cast("double").alias("s1y"),
+        F.sum(d("x2") * F.col("y")).cast("double").alias("s2y"),
+        F.sum(d("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, s1, s2, sy = F.col("n"), F.col("s1"), F.col("s2"), F.col("sy")
+    s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
+    s1y, s2y, syy = F.col("s1y"), F.col("s2y"), F.col("syy")
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    det0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    det1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    det2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    b0, b1, b2 = det0 / det, det1 / det, det2 / det
+    r2 = 1 - (syy - b0 * sy - b1 * s1y - b2 * s2y) / (
+        syy - sy * sy / n
+    )
+    return m.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        F.round(b0, 4).alias("b0_cents"),
+        F.round(b1, 4).alias("b1_cents_per_qty"),
+        F.round(b2, 4).alias("b2_cents_per_pct"),
+        F.round(r2, 4).alias("r2"),
+    ).orderBy("l_returnflag")

@@ -1078,3 +1078,118 @@ def q_event_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t")
     )
+
+
+@register(
+    "q_time_backtest",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS y
+  FROM events GROUP BY event_type, day
+), framed AS (
+  SELECT event_type, day, y,
+         ROW_NUMBER() OVER w AS rn,
+         SUM(y) OVER (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS s7,
+         LAG(y, 1) OVER w AS y_prev
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+), evald AS (
+  SELECT event_type, y,
+         CAST(s7 AS DOUBLE) / 7 AS yhat_sma,
+         CAST(y_prev AS DOUBLE) AS yhat_naive
+  FROM framed WHERE rn > 7 AND y > 0
+), errs AS (
+  SELECT event_type,
+         CAST(ROUND(ABS(y - yhat_sma), 8) AS DECIMAL(24,8)) AS ae_sma,
+         CAST(ROUND(ABS(y - yhat_sma) / y, 8) AS DECIMAL(18,8)) AS ape_sma,
+         CAST(ROUND(ABS(y - yhat_naive), 8) AS DECIMAL(24,8)) AS ae_naive
+  FROM evald
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_eval_days,
+       ROUND(CAST(SUM(ae_sma) AS DOUBLE) / COUNT(*) / 100, 4) AS mae_sma,
+       ROUND(CAST(SUM(ape_sma) AS DOUBLE) / COUNT(*), 4) AS mape_sma,
+       ROUND(CAST(SUM(ae_naive) AS DOUBLE) / COUNT(*) / 100, 4)
+         AS mae_naive,
+       ROUND(1 - CAST(SUM(ae_sma) AS DOUBLE)
+                 / CAST(SUM(ae_naive) AS DOUBLE), 4) AS skill
+FROM errs GROUP BY event_type ORDER BY event_type
+""",
+    doc="Walk-forward forecast backtest: for each event type's "
+    "daily-revenue series, forecast every day (after a 7-day "
+    "warmup) with the trailing 7-day moving average, score MAE "
+    "and MAPE against the realized value, and report skill = "
+    "1 - MAE/MAE_naive vs the persistence (yesterday's value) "
+    "baseline — the honest out-of-sample evaluation that the "
+    "smoothers (q_time_ewma, q_time_holt) themselves don't give. "
+    "Frames use only PAST rows (7 PRECEDING..1 PRECEDING, lag 1), "
+    "so no leakage by construction; errors are ROUND-8 "
+    "DECIMAL-summed.",
+    scale_notes="One event-scale shuffle to the daily ledger, "
+    "then two bounded trailing frames per series — identical "
+    "physical shape to q_time_ewma. Per-series partitions keep "
+    "the window parallel across metrics at 100 TB.",
+)
+def q_time_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    framed = daily.select(
+        "event_type",
+        "y",
+        F.row_number().over(w).alias("rn"),
+        F.sum("y").over(w.rowsBetween(-7, -1)).alias("s7"),
+        F.lag("y", 1).over(w).alias("y_prev"),
+    )
+    evald = framed.filter((F.col("rn") > 7) & (F.col("y") > 0)).select(
+        "event_type",
+        "y",
+        (F.col("s7").cast("double") / 7).alias("yhat_sma"),
+        F.col("y_prev").cast("double").alias("yhat_naive"),
+    )
+    ae_sma = F.round(F.abs(F.col("y") - F.col("yhat_sma")), 8).cast(
+        "decimal(24,8)"
+    )
+    ape_sma = F.round(
+        F.abs(F.col("y") - F.col("yhat_sma")) / F.col("y"), 8
+    ).cast("decimal(18,8)")
+    ae_naive = F.round(F.abs(F.col("y") - F.col("yhat_naive")), 8).cast(
+        "decimal(24,8)"
+    )
+    return (
+        evald.select(
+            "event_type",
+            ae_sma.alias("ae_sma"),
+            ape_sma.alias("ape_sma"),
+            ae_naive.alias("ae_naive"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval_days"),
+            F.round(
+                F.sum("ae_sma").cast("double") / F.count(F.lit(1)) / 100, 4
+            ).alias("mae_sma"),
+            F.round(
+                F.sum("ape_sma").cast("double") / F.count(F.lit(1)), 4
+            ).alias("mape_sma"),
+            F.round(
+                F.sum("ae_naive").cast("double") / F.count(F.lit(1)) / 100,
+                4,
+            ).alias("mae_naive"),
+            F.round(
+                F.lit(1)
+                - F.sum("ae_sma").cast("double")
+                / F.sum("ae_naive").cast("double"),
+                4,
+            ).alias("skill"),
+        )
+        .orderBy("event_type")
+    )

@@ -969,3 +969,105 @@ def q_llm_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "h_rate_nats",
         )
     )
+
+
+_BM25_TERMS = ("hash", "spark", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "q_llm_bm25",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+  FROM tok WHERE token <> '' GROUP BY doc_id
+), corpus AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+), tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE token IN ('hash', 'spark', 'window')
+  GROUP BY doc_id, token
+), df AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+), scored AS (
+  SELECT tf.doc_id,
+         CAST(ROUND(
+           ln(1 + (corpus.n - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * ({_BM25_K1} + 1))
+           / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+              + {_BM25_B} * dl.dl / corpus.avgdl)), 8)
+           AS DECIMAL(18,8)) AS contrib
+  FROM tf
+  JOIN df USING (token)
+  JOIN dl USING (doc_id)
+  CROSS JOIN corpus
+)
+SELECT doc_id, ROUND(CAST(SUM(contrib) AS DOUBLE), 4) AS bm25
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+""",
+    doc="BM25 ranking for the fixed 3-term query "
+    f"{' '.join(_BM25_TERMS)!r} (k1={_BM25_K1}, b={_BM25_B}): "
+    "Robertson idf ln(1 + (N-df+0.5)/(df+0.5)), tf saturation, "
+    "document-length normalization against the corpus average — "
+    "the standard lexical-retrieval scorer that q_llm_tfidf "
+    "underlies and RAG pipelines pair with q_llm_knn's vector "
+    "side (q_rank_fusion combines the two rankings). Per-term "
+    "contributions ROUND-8 DECIMAL-summed; top-20 with doc_id "
+    "tie-break.",
+    scale_notes="Two token-ledger aggregates (doc lengths, term "
+    "tfs pruned to the query terms BEFORE any shuffle) + a 3-row "
+    "df broadcast + the 1-row corpus stats crossJoin "
+    "(q_llm_tfidf's pattern); top-20 compiles to "
+    "TakeOrderedAndProject. Query-term filtering first means the "
+    "scored relation is (matching docs x query terms), not the "
+    "corpus.",
+)
+def q_llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    dl = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dl")
+    )
+    corpus = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    idf = F.log(
+        F.lit(1)
+        + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = F.round(
+        idf
+        * (F.col("tf") * (_BM25_K1 + 1))
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        ),
+        8,
+    ).cast("decimal(18,8)")
+    return (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib).cast("double"), 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )

@@ -337,6 +337,9 @@ DRIVER_DEFERRED: frozenset[str] = frozenset({
     # product quantization / k-core)
     "snk_manifest", "q_graph_kcore", "q_agg_bootstrap_ci",
     "q_llm_embed_pq",
+    # twenty-eighth late batch (lexical retrieval / closed-form ML /
+    # forecast backtesting / ISO calendar)
+    "q_llm_bm25", "q_agg_ols2", "q_time_backtest", "q_fn_date_iso",
 })
 
 
