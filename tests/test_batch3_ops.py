@@ -1776,3 +1776,214 @@ def test_backtest_matches_python(spark):
             1 - sum(aes) / sum(aens), abs=1e-3
         )
         assert 0 < g["mape_sma"] < 1
+
+
+def test_cuped_matches_python(spark):
+    import collections, datetime
+
+    ev = spark.read.parquet(SF + "/events.parquet").collect()
+    cut = min(r["ts"] for r in ev) + datetime.timedelta(days=15)
+    per_user = collections.defaultdict(lambda: [0, 0])
+    for r in ev:
+        cents = round(r["value"] * 100)
+        per_user[r["user_id"]][0 if r["ts"] < cut else 1] += cents
+    xs = {u: v[0] for u, v in per_user.items()}
+    ys = {u: v[1] for u, v in per_user.items()}
+    n = len(per_user)
+    mx = sum(xs.values()) / n
+    my = sum(ys.values()) / n
+    cov = sum(xs[u] * ys[u] for u in per_user) / n - mx * my
+    varx = sum(x * x for x in xs.values()) / n - mx * mx
+    theta = cov / varx
+    got = {
+        r["arm"]: r for r in SPECS["q_ab_cuped"].fn(spark, SF).collect()
+    }
+    assert set(got) == {0, 1}
+    for arm in (0, 1):
+        users = [u for u in per_user if u % 2 == arm]
+        g = got[arm]
+        assert g["n_users"] == len(users)
+        am_y = sum(ys[u] for u in users) / len(users)
+        assert g["mean_y"] == pytest.approx(am_y / 100, abs=1e-2)
+        assert g["theta"] == pytest.approx(theta, abs=1e-3)
+        adj = [ys[u] - theta * (xs[u] - mx) for u in users]
+        assert g["mean_y_cuped"] == pytest.approx(
+            sum(adj) / len(adj) / 100, abs=1e-2
+        )
+        vy = sum(y * y for y in (ys[u] for u in users)) / len(users) - am_y**2
+        va = sum(a * a for a in adj) / len(adj) - (sum(adj) / len(adj)) ** 2
+        assert g["var_reduction"] == pytest.approx(1 - va / vy, abs=1e-3)
+        # pre-period revenue predicts experiment revenue in this
+        # fixture, so CUPED must actually reduce variance
+        assert 0 < g["var_reduction"] < 1
+
+
+def test_power_formula(spark):
+    import math
+
+    row = SPECS["q_ab_power"].fn(spark, SF).collect()[0]
+    p1 = row["n_conv"] / row["n_units"]
+    p2 = p1 * 1.10
+    n_req = math.ceil(
+        (1.96 + 0.8416) ** 2
+        * (p1 * (1 - p1) + p2 * (1 - p2))
+        / (p1 * 0.10) ** 2
+    )
+    assert row["n_required_per_arm"] == n_req
+    assert row["powered"] == (row["n_units"] / 2 >= n_req)
+    assert 0 < row["p_base"] < 1  # user-day grain keeps this meaningful
+
+
+def test_parquet_merge_null_fill(spark):
+    row = SPECS["src_parquet_merge"].fn(spark, SF).collect()[0]
+    ev = spark.read.parquet(SF + "/events.parquet")
+    n = ev.count()
+    n_odd = ev.filter("event_id % 2 = 1").count()
+    assert row["n_rows"] == n
+    assert row["n_with_props"] == n_odd
+    assert row["n_props_null"] == n - n_odd
+    assert row["n_cols"] == 3
+
+
+def test_markov2_is_conditional_distribution(spark):
+    rows = SPECS["q_event_markov2"].fn(spark, SF).collect()
+    assert 0 < len(rows) <= 25
+    for r in rows:
+        assert 0 < r["p_next"] <= 1
+        assert r["n_abc"] <= r["n_ab"]
+    # across ALL transitions (not just top-25) each context's
+    # probabilities sum to 1 — recheck from raw events
+    import collections
+
+    ev = sorted(
+        spark.read.parquet(SF + "/events.parquet")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    seqs = collections.defaultdict(list)
+    for r in ev:
+        seqs[r["user_id"]].append(r["event_type"])
+    tri = collections.Counter()
+    for s in seqs.values():
+        for i in range(len(s) - 2):
+            tri[(s[i], s[i + 1], s[i + 2])] += 1
+    ctx = collections.Counter()
+    for (a, b, c), k in tri.items():
+        ctx[(a, b)] += k
+    for r in rows:
+        a, b = r["context"].split(">")
+        assert r["n_abc"] == tri[(a, b, r["next_type"])]
+        assert r["n_ab"] == ctx[(a, b)]
+        assert r["p_next"] == pytest.approx(
+            round(tri[(a, b, r["next_type"])] / ctx[(a, b)], 4)
+        )
+
+
+def test_filter_funnel_accounting(spark):
+    import collections, hashlib
+
+    rows = sorted(
+        SPECS["q_llm_filter_funnel"].fn(spark, SF).collect(),
+        key=lambda r: r["stage"],
+    )
+    assert [r["stage_name"] for r in rows] == [
+        "exact_dup", "length", "no_stopwords", "repetition",
+    ]
+    docs = spark.read.parquet(SF + "/documents.parquet").collect()
+    n_docs = len(docs)
+    # chain: n_in(1) = corpus; n_out(s) = n_in(s+1); survival monotone
+    assert rows[0]["n_in"] == n_docs
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_out"] == b["n_in"]
+    surv = [r["cum_survival"] for r in rows]
+    assert all(a >= b for a, b in zip(surv, surv[1:]))
+    assert rows[-1]["cum_survival"] == pytest.approx(
+        round(rows[-1]["n_out"] / n_docs, 4)
+    )
+    # stage-1 kills = exact duplicate count recomputed in python
+    seen = collections.Counter(
+        hashlib.md5(r["text"].encode()).hexdigest() for r in docs
+    )
+    n_dups = sum(c - 1 for c in seen.values())
+    assert rows[0]["n_killed"] == n_dups
+
+
+def test_dedup_incremental_accounting(spark):
+    import collections, hashlib
+
+    docs = spark.read.parquet(SF + "/documents.parquet").collect()
+    corpus_h = {
+        hashlib.md5(r["text"].encode()).hexdigest()
+        for r in docs
+        if r["doc_id"] % 2 == 0
+    }
+    batch = sorted(
+        (r for r in docs if r["doc_id"] % 2 == 1),
+        key=lambda r: r["doc_id"],
+    )
+    seen = set()
+    vs_corpus = intra = ingested = 0
+    for r in batch:
+        h = hashlib.md5(r["text"].encode()).hexdigest()
+        if h in corpus_h:
+            vs_corpus += 1
+        elif h in seen:
+            intra += 1
+        else:
+            ingested += 1
+        seen.add(h)
+    row = SPECS["q_llm_dedup_incremental"].fn(spark, SF).collect()[0]
+    assert row["n_batch"] == len(batch)
+    assert row["n_dup_vs_corpus"] == vs_corpus
+    assert row["n_dup_intra"] == intra
+    assert row["n_ingested"] == ingested
+    assert (
+        row["n_dup_vs_corpus"] + row["n_dup_intra"] + row["n_ingested"]
+        == row["n_batch"]
+    )
+
+
+def test_pipe_events_matches_python(spark):
+    import collections
+
+    ev = sorted(
+        spark.read.parquet(SF + "/events.parquet")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    GAP = 30 * 60 * 1_000_000
+    users = collections.defaultdict(list)
+    for r in ev:
+        us = int(r["ts"].timestamp() * 1_000_000)
+        users[r["user_id"]].append((us, r["event_type"]))
+    arm_stats = {0: [0, 0, 0, 0], 1: [0, 0, 0, 0]}  # users, sessions, dur, conv
+    for uid, evs in users.items():
+        sessions = []
+        cur = [evs[0]]
+        for prev, nxt in zip(evs, evs[1:]):
+            if nxt[0] - prev[0] > GAP:
+                sessions.append(cur)
+                cur = []
+            cur.append(nxt)
+        sessions.append(cur)
+        arm = uid % 2
+        arm_stats[arm][0] += 1
+        arm_stats[arm][1] += len(sessions)
+        arm_stats[arm][2] += sum(s[-1][0] - s[0][0] for s in sessions)
+        arm_stats[arm][3] += int(
+            any(e[1] == "purchase" for s in sessions for e in s)
+        )
+    got = {
+        r["arm"]: r for r in SPECS["pipe_events_e2e"].fn(spark, SF).collect()
+    }
+    for arm, (nu, ns, dur, conv) in arm_stats.items():
+        g = got[arm]
+        assert g["n_users"] == nu
+        assert g["n_sessions"] == ns
+        assert g["sessions_per_user"] == pytest.approx(round(ns / nu, 4))
+        assert g["mean_session_s"] == pytest.approx(
+            dur / ns / 1e6, abs=1e-3
+        )
+        assert g["conv_ppm"] == conv * 1_000_000 // nu

@@ -1145,3 +1145,46 @@ def test_backtest_frames_use_only_past_rows(spark, sf_dir):
     plan = _executed_plan(SPECS["q_time_backtest"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cuped_reduces_before_join(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_ab_cuped"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_power_is_single_pass(spark, sf_dir):
+    from weather_etl_spark.plan_audit import audit_plan
+
+    report = audit_plan(SPECS["q_ab_power"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in report.nodes
+    assert "BroadcastNestedLoopJoin" not in report.nodes
+
+
+def test_markov2_joins_on_ledger(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_event_markov2"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_filter_funnel_single_doc_pass(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_llm_filter_funnel"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_incremental_hashes_before_join(spark, sf_dir):
+    df = SPECS["q_llm_dedup_incremental"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pipe_events_shares_the_user_shuffle(spark, sf_dir):
+    """Sessionize flag, session cumsum and both rollups must reuse ONE
+    user_id partitioning: at most 2 exchanges total (scan-side + the
+    final 2-row arm ledger)."""
+    from weather_etl_spark.plan_audit import audit_plan
+
+    report = audit_plan(SPECS["pipe_events_e2e"].fn(spark, sf_dir))
+    assert report.exchanges <= 3
+    assert "CartesianProduct" not in report.nodes

@@ -1032,3 +1032,224 @@ def q_dq_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_table_checksum(ev, "events", e_canon))
         .orderBy("tbl")
     )
+
+
+@register(
+    "q_ab_cuped",
+    oracle="""
+WITH split AS (
+  SELECT MIN(ts) + INTERVAL 15 DAY AS cut FROM events
+), per_user AS (
+  SELECT user_id, CAST(user_id % 2 AS INT) AS arm,
+         CAST(SUM(CASE WHEN ts < split.cut
+                       THEN CAST(ROUND(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN ts >= split.cut
+                       THEN CAST(ROUND(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y
+  FROM events CROSS JOIN split
+  GROUP BY user_id
+), pooled AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+  FROM per_user
+), theta AS (
+  SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS th,
+         sx / n AS mean_x
+  FROM pooled
+), arm_m AS (
+  SELECT arm, CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+  FROM per_user GROUP BY arm
+)
+SELECT arm, CAST(n AS BIGINT) AS n_users,
+       ROUND(sy / n / 100, 4) AS mean_y,
+       ROUND((sy / n - theta.th * (sx / n - theta.mean_x)) / 100, 4)
+         AS mean_y_cuped,
+       ROUND(theta.th, 4) AS theta,
+       ROUND(1 - ((syy / n - (sy / n) * (sy / n))
+                  - 2 * theta.th * (sxy / n - (sx / n) * (sy / n))
+                  + theta.th * theta.th
+                    * (sxx / n - (sx / n) * (sx / n)))
+               / (syy / n - (sy / n) * (sy / n)), 4)
+         AS var_reduction
+FROM arm_m CROSS JOIN theta ORDER BY arm
+""",
+    doc="CUPED variance reduction for the A/B readout: pre-period "
+    "revenue (first 15 days) is the covariate, experiment-period "
+    "revenue the metric; theta = cov(x,y)/var(x) POOLED across "
+    "arms (the unbiased choice), each arm reports its raw and "
+    "CUPED-adjusted mean plus the achieved variance reduction "
+    "1 - var(y - theta x)/var(y) — the standard "
+    "experimentation-platform sensitivity boost, here computed "
+    "from exact per-user integer-cents moments in one pass over "
+    "the user ledger.",
+    scale_notes="Per-user reduction first (q_ab_metrics' shape), "
+    "then two ledger aggregates (pooled + per-arm moments) and "
+    "constant-size algebra; the 1-row split-date and theta frames "
+    "are the q_filter_ts_cursor crossJoin pattern. Adds columns, "
+    "not passes, to the A/B family — as promised in "
+    "q_ab_metrics' scale notes.",
+)
+def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    split = ev.agg(
+        (F.min("ts") + F.expr("INTERVAL 15 DAY")).alias("cut")
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    per_user = (
+        ev.crossJoin(F.broadcast(split))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") < F.col("cut"), cents).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(
+                F.when(F.col("ts") >= F.col("cut"), cents).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+        .select(
+            (F.col("user_id") % 2).cast("int").alias("arm"), "x", "y"
+        )
+    )
+    d = lambda c: F.col(c).cast("decimal(20,0)")  # noqa: E731
+    pooled = per_user.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(d("x")).cast("double").alias("sx"),
+        F.sum(d("y")).cast("double").alias("sy"),
+        F.sum(d("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(d("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    theta = pooled.select(
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("th"),
+        (F.col("sx") / F.col("n")).alias("mean_x"),
+    )
+    arm_m = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(d("x")).cast("double").alias("sx"),
+        F.sum(d("y")).cast("double").alias("sy"),
+        F.sum(d("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(d("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(d("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    th, mx = F.col("th"), F.col("mean_x")
+    var_y = syy / n - (sy / n) * (sy / n)
+    cov = sxy / n - (sx / n) * (sy / n)
+    var_x = sxx / n - (sx / n) * (sx / n)
+    return (
+        arm_m.crossJoin(F.broadcast(theta))
+        .select(
+            "arm",
+            n.cast("bigint").alias("n_users"),
+            F.round(sy / n / 100, 4).alias("mean_y"),
+            F.round((sy / n - th * (sx / n - mx)) / 100, 4).alias(
+                "mean_y_cuped"
+            ),
+            F.round(th, 4).alias("theta"),
+            F.round(
+                F.lit(1)
+                - (var_y - 2 * th * cov + th * th * var_x) / var_y,
+                4,
+            ).alias("var_reduction"),
+        )
+        .orderBy("arm")
+    )
+
+
+_POWER_Z_ALPHA = 1.96   # two-sided alpha = 0.05
+_POWER_Z_BETA = 0.8416  # power = 0.80
+_POWER_MDE_REL = 0.10   # detect a 10% relative lift
+
+
+@register(
+    "q_ab_power",
+    oracle=f"""
+WITH conv AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS converted
+  FROM events GROUP BY user_id, day
+), base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+         CAST(SUM(converted) AS BIGINT) AS n_conv,
+         CAST(SUM(converted) AS DOUBLE) / COUNT(*) AS p1
+  FROM conv
+)
+SELECT n_units, n_conv, ROUND(p1, 4) AS p_base,
+       ROUND(p1 * (1 + {_POWER_MDE_REL}), 4) AS p_target,
+       CAST(CEIL(
+         POW({_POWER_Z_ALPHA} + {_POWER_Z_BETA}, 2)
+         * (p1 * (1 - p1)
+            + (p1 * (1 + {_POWER_MDE_REL}))
+              * (1 - p1 * (1 + {_POWER_MDE_REL})))
+         / POW(p1 * {_POWER_MDE_REL}, 2)) AS BIGINT)
+         AS n_required_per_arm,
+       (CAST(n_units AS DOUBLE) / 2) >=
+         CEIL(POW({_POWER_Z_ALPHA} + {_POWER_Z_BETA}, 2)
+              * (p1 * (1 - p1)
+                 + (p1 * (1 + {_POWER_MDE_REL}))
+                   * (1 - p1 * (1 + {_POWER_MDE_REL})))
+              / POW(p1 * {_POWER_MDE_REL}, 2)) AS powered
+FROM base
+""",
+    doc="A/B test power analysis at the user-day grain (the unit a "
+    "daily-exposure experiment randomizes; user-level conversion "
+    "saturates at 1 in this fixture): from the observed baseline "
+    "conversion rate, the two-proportion sample-size formula "
+    "n = (z_a + z_b)^2 (p1 q1 + p2 q2) / (p2 - p1)^2 for a 10% "
+    "relative MDE at alpha=0.05, power=0.80 — plus whether the "
+    "CURRENT population split in half would already power the "
+    "test. The planning companion to q_ab_metrics (readout), "
+    "q_agg_ab_srm (validity) and q_ab_cuped (sensitivity).",
+    scale_notes="One per-user reduction + a 1-row closed-form "
+    "evaluation; the z constants are literals, every probability "
+    "an exact count ratio. Nothing here grows with corpus size "
+    "except the first shuffle.",
+)
+def q_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    conv = ev.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("converted")
+    )
+    base = conv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_units"),
+        F.sum("converted").cast("bigint").alias("n_conv"),
+        (F.sum("converted").cast("double") / F.count(F.lit(1))).alias(
+            "p1"
+        ),
+    )
+    p1 = F.col("p1")
+    p2 = p1 * (1 + _POWER_MDE_REL)
+    n_req = F.ceil(
+        F.pow(F.lit(_POWER_Z_ALPHA + _POWER_Z_BETA), 2)
+        * (p1 * (1 - p1) + p2 * (1 - p2))
+        / F.pow(p1 * _POWER_MDE_REL, 2)
+    )
+    return base.select(
+        "n_units",
+        "n_conv",
+        F.round(p1, 4).alias("p_base"),
+        F.round(p2, 4).alias("p_target"),
+        n_req.cast("bigint").alias("n_required_per_arm"),
+        ((F.col("n_units").cast("double") / 2) >= n_req).alias(
+            "powered"
+        ),
+    )

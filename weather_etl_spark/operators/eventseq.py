@@ -1193,3 +1193,74 @@ def q_time_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_event_markov2",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), tri AS (
+  SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n_abc
+  FROM seq WHERE e3 IS NOT NULL GROUP BY e1, e2, e3
+), ctx AS (
+  SELECT e1, e2, CAST(SUM(n_abc) AS BIGINT) AS n_ab FROM tri
+  GROUP BY e1, e2
+)
+SELECT tri.e1 || '>' || tri.e2 AS context, tri.e3 AS next_type,
+       tri.n_abc, ctx.n_ab,
+       ROUND(CAST(tri.n_abc AS DOUBLE) / ctx.n_ab, 4) AS p_next
+FROM tri JOIN ctx USING (e1, e2)
+ORDER BY tri.n_abc DESC, context ASC, next_type ASC
+LIMIT 25
+""",
+    doc="Second-order Markov model of the event stream: "
+    "P(next | previous two), estimated as exact count ratios over "
+    "the per-user time-ordered trigram ledger (ties broken by "
+    "event_id, the q_event_trigrams sequencing contract). The "
+    "denominator is the sum of the trigram counts themselves — "
+    "contexts whose successor fell off the stream end never "
+    "dilute the distribution. Top-25 transitions, fully "
+    "tie-broken.",
+    scale_notes="Identical physical shape to q_event_trigrams "
+    "(one user_id shuffle feeding two lead() frames) plus one "
+    "ledger-sized re-aggregation for the context denominators — "
+    "the (types^2 x types) ledger is bounded by the vocabulary, "
+    "never the corpus.",
+)
+def q_event_markov2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    tri = seq.groupBy("e1", "e2", "e3").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_abc")
+    )
+    ctx = tri.groupBy("e1", "e2").agg(
+        F.sum("n_abc").cast("bigint").alias("n_ab")
+    )
+    return (
+        tri.join(ctx, ["e1", "e2"])
+        .select(
+            F.concat_ws(">", "e1", "e2").alias("context"),
+            F.col("e3").alias("next_type"),
+            "n_abc",
+            "n_ab",
+            F.round(
+                F.col("n_abc").cast("double") / F.col("n_ab"), 4
+            ).alias("p_next"),
+        )
+        .orderBy(
+            F.col("n_abc").desc(),
+            F.col("context").asc(),
+            F.col("next_type").asc(),
+        )
+        .limit(25)
+    )

@@ -21,7 +21,7 @@ web-scale near-dup pipeline shape.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from weather_etl_spark.checkpoints import (
@@ -1198,4 +1198,86 @@ def q_llm_dup_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("k") - 1) * F.col("n_clusters"))
         .cast("bigint")
         .alias("n_removable"),
+    )
+
+
+@register(
+    "q_llm_dedup_incremental",
+    oracle="""
+WITH corpus AS (
+  SELECT md5(text) AS h FROM documents WHERE doc_id % 2 = 0
+), batch AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 2 = 1
+), tagged AS (
+  SELECT b.doc_id, b.h,
+         EXISTS (SELECT 1 FROM corpus c WHERE c.h = b.h)
+           AS dup_vs_corpus,
+         ROW_NUMBER() OVER (PARTITION BY b.h ORDER BY b.doc_id) > 1
+           AS dup_intra
+  FROM batch b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_batch,
+       CAST(SUM(CASE WHEN dup_vs_corpus THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_vs_corpus,
+       CAST(SUM(CASE WHEN NOT dup_vs_corpus AND dup_intra
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_intra,
+       CAST(SUM(CASE WHEN NOT dup_vs_corpus AND NOT dup_intra
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_ingested
+FROM tagged
+""",
+    doc="Incremental ingestion dedup — the batch-vs-corpus shape "
+    "every continuously-crawled corpus runs (and the document-level "
+    "generalization of the reference's keyed idempotent append, "
+    "A11): even doc_ids stand in for the existing corpus, odd ones "
+    "for the incoming batch. A batch doc is dropped if its content "
+    "hash already exists in the corpus (left-semi probe), else if "
+    "an earlier batch doc claimed the hash (first-wins window); "
+    "the readout accounts every batch doc to exactly one of "
+    "dup-vs-corpus / intra-batch dup / ingested.",
+    scale_notes="The corpus side reduces to DISTINCT 16-byte "
+    "hashes BEFORE the join (never text), and the probe is one "
+    "hash-keyed shuffle (or a bloom-filter pre-probe at 100 TB — "
+    "q_join_bloom's machinery) — identical physics to the "
+    "engine's idempotent_append sink, applied to content hashes "
+    "instead of keys.",
+)
+def q_llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .withColumn("in_corpus", F.lit(True))
+    )
+    batch = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    tagged = (
+        batch.join(corpus, "h", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("in_corpus"), F.lit(False)).alias(
+                "dup_vs_corpus"
+            ),
+            (F.row_number().over(w) > 1).alias("dup_intra"),
+        )
+    )
+    return tagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_batch"),
+        F.sum(F.when(F.col("dup_vs_corpus"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_vs_corpus"),
+        F.sum(
+            F.when(~F.col("dup_vs_corpus") & F.col("dup_intra"), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_dup_intra"),
+        F.sum(
+            F.when(~F.col("dup_vs_corpus") & ~F.col("dup_intra"), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_ingested"),
     )

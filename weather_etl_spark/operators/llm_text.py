@@ -1071,3 +1071,143 @@ def q_llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(20)
     )
+
+
+@register(
+    "q_llm_filter_funnel",
+    oracle="""
+WITH flags AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (PARTITION BY md5(text)
+                            ORDER BY doc_id) > 1 AS is_dup,
+         len(list_filter(string_split(text, ' '), t -> t <> ''))
+           AS n_tokens,
+         len(list_intersect(string_split(text, ' '),
+                            ['the', 'a', 'of'])) AS n_stop_kinds,
+         len(list_distinct(list_filter(string_split(text, ' '),
+                                       t -> t <> '')))
+           AS n_distinct
+  FROM documents
+), killed AS (
+  SELECT doc_id,
+         CASE
+           WHEN is_dup THEN 1
+           WHEN n_tokens < 15 OR n_tokens > 5000 THEN 2
+           WHEN n_stop_kinds = 0 THEN 3
+           WHEN CAST(n_distinct AS DOUBLE) / n_tokens < 0.3 THEN 4
+           ELSE 99
+         END AS killed_at
+  FROM flags
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM killed
+), stages AS (
+  SELECT s.stage, s.stage_name,
+         CAST((SELECT COUNT(*) FROM killed k
+               WHERE k.killed_at = s.stage) AS BIGINT) AS n_killed,
+         CAST((SELECT COUNT(*) FROM killed k
+               WHERE k.killed_at > s.stage) AS BIGINT) AS n_out
+  FROM (VALUES (1, 'exact_dup'), (2, 'length'),
+               (3, 'no_stopwords'), (4, 'repetition')) s(stage, stage_name)
+)
+SELECT stage, stage_name,
+       CAST(n_killed + n_out AS BIGINT) AS n_in, n_killed, n_out,
+       ROUND(CAST(n_out AS DOUBLE) / tot.n_docs, 4) AS cum_survival
+FROM stages CROSS JOIN tot ORDER BY stage
+""",
+    doc="Curation filter funnel: the ordered filter cascade every "
+    "pretraining pipeline reports — exact-dup removal (first doc "
+    "per md5 wins), C4 length gates (15..5000 tokens), the "
+    "stopword-presence gate, and a distinct-token repetition gate "
+    "(ratio >= 0.3) — with per-stage kill counts, survivors, and "
+    "cumulative survival rate. Each document is attributed to the "
+    "FIRST stage that kills it, so the stage columns sum exactly "
+    "to the corpus and the funnel is auditable stage by stage "
+    "(the accounting layer over q_llm_exact_dedup / q_llm_c4_filter "
+    "/ q_llm_repetition).",
+    scale_notes="One pass computes every per-doc flag (one md5 "
+    "window for dup-rank, the rest zero-shuffle token arithmetic); "
+    "the funnel itself is a ledger aggregation over killed_at in "
+    "[1..4, 99] + a constant 4-row stage axis. Adding a filter "
+    "adds a CASE arm, not a pass.",
+)
+def q_llm_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    flags = docs.select(
+        "doc_id",
+        (F.row_number().over(w) > 1).alias("is_dup"),
+        F.size(toks).alias("n_tokens"),
+        F.size(
+            F.array_intersect(
+                F.split("text", " "),
+                F.array(*[F.lit(s) for s in _STOPWORDS]),
+            )
+        ).alias("n_stop_kinds"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+    killed = flags.select(
+        F.when(F.col("is_dup"), 1)
+        .when(
+            (F.col("n_tokens") < 15) | (F.col("n_tokens") > 5000), 2
+        )
+        .when(F.col("n_stop_kinds") == 0, 3)
+        .when(
+            F.col("n_distinct").cast("double") / F.col("n_tokens") < 0.3,
+            4,
+        )
+        .otherwise(99)
+        .alias("killed_at")
+    )
+    ledger = killed.groupBy("killed_at").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = ledger.agg(F.sum("c").cast("bigint").alias("n_docs"))
+    stage_axis = [(1, "exact_dup"), (2, "length"),
+                  (3, "no_stopwords"), (4, "repetition")]
+    axis = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(n).alias("stage"), F.lit(s).alias("stage_name")
+                )
+                for n, s in stage_axis
+            ]
+        )
+    ).alias("s")
+    stages = (
+        tot.select(axis, "n_docs")
+        .select("s.stage", "s.stage_name", "n_docs")
+        .join(
+            F.broadcast(ledger),
+            F.col("killed_at") >= F.col("stage"),
+            "left",
+        )
+        .groupBy("stage", "stage_name", "n_docs")
+        .agg(
+            F.sum(
+                F.when(F.col("killed_at") == F.col("stage"), F.col("c"))
+            )
+            .cast("bigint")
+            .alias("n_killed_raw"),
+            F.sum(
+                F.when(F.col("killed_at") > F.col("stage"), F.col("c"))
+            )
+            .cast("bigint")
+            .alias("n_out"),
+        )
+    )
+    n_killed = F.coalesce(F.col("n_killed_raw"), F.lit(0)).cast("bigint")
+    return (
+        stages.select(
+            "stage",
+            "stage_name",
+            (n_killed + F.col("n_out")).cast("bigint").alias("n_in"),
+            n_killed.alias("n_killed"),
+            "n_out",
+            F.round(
+                F.col("n_out").cast("double") / F.col("n_docs"), 4
+            ).alias("cum_survival"),
+        )
+        .orderBy("stage")
+    )

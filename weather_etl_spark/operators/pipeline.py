@@ -187,3 +187,145 @@ def pipe_llm_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_packs",
         )
     )
+
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "pipe_events_e2e",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         epoch_us(ts) AS ts_us,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_us
+  FROM events
+), flagged AS (
+  SELECT user_id, ts_us, event_type,
+         CASE WHEN prev_us IS NULL
+                   OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END
+           AS new_session
+  FROM ordered
+), sessions AS (
+  SELECT user_id, ts_us, event_type,
+         SUM(new_session) OVER (PARTITION BY user_id
+                                ORDER BY ts_us
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS sess_no
+  FROM flagged
+), sess_agg AS (
+  SELECT user_id, sess_no,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS has_purchase,
+         MAX(ts_us) - MIN(ts_us) AS dur_us
+  FROM sessions GROUP BY user_id, sess_no
+), user_agg AS (
+  SELECT user_id, CAST(user_id % 2 AS INT) AS arm,
+         CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         CAST(MAX(has_purchase) AS BIGINT) AS converted,
+         CAST(SUM(CAST(dur_us AS HUGEINT)) AS BIGINT) AS total_dur_us,
+         CAST(SUM(n_events) AS BIGINT) AS n_events
+  FROM sess_agg GROUP BY user_id
+)
+SELECT arm,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(n_sessions) AS BIGINT) AS n_sessions,
+       ROUND(CAST(SUM(n_sessions) AS DOUBLE) / COUNT(*), 4)
+         AS sessions_per_user,
+       ROUND(CAST(SUM(CAST(total_dur_us AS HUGEINT)) AS DOUBLE)
+             / SUM(n_sessions) / 1000000, 4) AS mean_session_s,
+       SUM(converted) * 1000000 // COUNT(*) AS conv_ppm
+FROM user_agg GROUP BY arm ORDER BY arm
+""",
+    doc="Product-analytics pipeline composed end to end, one "
+    "hash-verified row per arm: raw events -> 30-minute-gap "
+    "sessionization (q_win_sessionize's flag-and-cumsum) -> "
+    "session-level rollup (events, duration, purchase flag) -> "
+    "user-level rollup -> A/B arm readout (sessions per user, "
+    "mean session seconds, converter ppm). The analytics twin of "
+    "pipe_reference_e2e / pipe_llm_corpus_e2e: every stage is "
+    "oracled individually elsewhere; this row proves the "
+    "COMPOSITION stays exact through four stacked reductions.",
+    scale_notes="ONE user_id shuffle feeds the lag flag, the "
+    "session cumsum, and the session/user rollups (all share the "
+    "partition key); the arm readout is a 2-row ledger. Exactly "
+    "the q_win_sessionize physics with two more reduce stages — "
+    "no stage widens the data after the first.",
+)
+def pipe_events_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.lag(F.unix_micros("ts")).over(w).alias("prev_us"),
+    )
+    flagged = ordered.select(
+        "user_id",
+        "ts_us",
+        "event_type",
+        F.when(
+            F.col("prev_us").isNull()
+            | (F.col("ts_us") - F.col("prev_us") > _SESSION_GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    w_sess = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = flagged.select(
+        "user_id",
+        "ts_us",
+        "event_type",
+        F.sum("new_session").over(w_sess).alias("sess_no"),
+    )
+    sess_agg = sessions.groupBy("user_id", "sess_no").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("has_purchase"),
+        (F.max("ts_us") - F.min("ts_us")).alias("dur_us"),
+    )
+    user_agg = sess_agg.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.max("has_purchase").cast("bigint").alias("converted"),
+        F.sum(F.col("dur_us").cast("decimal(20,0)"))
+        .cast("bigint")
+        .alias("total_dur_us"),
+    )
+    return (
+        user_agg.select(
+            (F.col("user_id") % 2).cast("int").alias("arm"),
+            "n_sessions",
+            "converted",
+            "total_dur_us",
+        )
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("n_sessions").cast("bigint").alias("n_sessions"),
+            F.round(
+                F.sum("n_sessions").cast("double") / F.count(F.lit(1)), 4
+            ).alias("sessions_per_user"),
+            F.round(
+                F.sum(F.col("total_dur_us").cast("decimal(28,0)"))
+                .cast("double")
+                / F.sum("n_sessions")
+                / 1_000_000,
+                4,
+            ).alias("mean_session_s"),
+            F.expr(
+                "CAST(sum(converted) * 1000000 DIV count(1) AS BIGINT)"
+            ).alias("conv_ppm"),
+        )
+        .orderBy("arm")
+    )

@@ -487,3 +487,58 @@ def snk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "src_parquet_merge",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_props,
+       CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_props_null,
+       3 AS n_cols
+FROM events
+""",
+    doc="Schema-merge source: the events table written as two "
+    "parquet generations — an old one with (event_id, value) and a "
+    "new one adding props — read back in one pass with "
+    "mergeSchema=true, the union schema materializing NULL props "
+    "for the old generation (the read-side half of "
+    "snk_schema_evolution's write-side story, and how a lake "
+    "absorbs additive schema change without rewriting history).",
+    scale_notes="mergeSchema reconciles footers at planning time "
+    "(cost: one footer read per file — keep it off and pin the "
+    "schema once evolution stabilizes, as read_table does for the "
+    "fixture tables); the data path remains pruned columnar scans "
+    "with NULL fill, no rewrite of old files ever.",
+)
+def src_parquet_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "value", "props"
+    )
+    tmp = tempfile.mkdtemp(prefix="src_parquet_merge_")
+    try:
+        old_gen = ev.filter(F.col("event_id") % 2 == 0).select(
+            "event_id", "value"
+        )
+        new_gen = ev.filter(F.col("event_id") % 2 == 1)
+        old_gen.write.mode("overwrite").parquet(f"{tmp}/lake/gen=0")
+        new_gen.write.mode("overwrite").parquet(f"{tmp}/lake/gen=1")
+        merged = spark.read.option("mergeSchema", "true").parquet(
+            f"{tmp}/lake/gen=0", f"{tmp}/lake/gen=1"
+        )
+        return (
+            merged.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(F.col("props").isNotNull().cast("int"))
+                .cast("bigint")
+                .alias("n_with_props"),
+                F.sum(F.col("props").isNull().cast("int"))
+                .cast("bigint")
+                .alias("n_props_null"),
+                F.lit(len(merged.columns)).alias("n_cols"),
+            ).localCheckpoint()  # materialize before the tmp dir vanishes
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -95,6 +95,12 @@ ALLOW_BNL: dict[str, str] = {
     "snk_manifest": "1-row key-span aggregate crossed into the scan "
     "and the 4-row manifest — the q_filter_ts_cursor pattern "
     "(sink_ops.py)",
+    "q_ab_cuped": "1-row split-date and 1-row pooled-theta frames "
+    "crossed into the user/arm ledgers — the q_filter_ts_cursor "
+    "pattern (analytics.py)",
+    "q_llm_filter_funnel": "constant 4-row stage axis range-joined "
+    "to the <=5-row kill ledger + 1-row total — all funnel-geometry "
+    "bounded (llm_text.py)",
 }
 
 #: Row-at-a-time Python — only the deliberate slow-path demos that

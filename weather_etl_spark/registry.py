@@ -340,6 +340,12 @@ DRIVER_DEFERRED: frozenset[str] = frozenset({
     # twenty-eighth late batch (lexical retrieval / closed-form ML /
     # forecast backtesting / ISO calendar)
     "q_llm_bm25", "q_agg_ols2", "q_time_backtest", "q_fn_date_iso",
+    # twenty-ninth late batch (experimentation platform / lake schema
+    # evolution read-side / sequence modeling)
+    "q_ab_cuped", "q_ab_power", "src_parquet_merge", "q_event_markov2",
+    # thirtieth late batch (curation funnel accounting / incremental
+    # ingest dedup / the analytics end-to-end composite)
+    "q_llm_filter_funnel", "q_llm_dedup_incremental", "pipe_events_e2e",
 })
 
 
