@@ -1987,3 +1987,123 @@ def test_pipe_events_matches_python(spark):
             dur / ns / 1e6, abs=1e-3
         )
         assert g["conv_ppm"] == conv * 1_000_000 // nu
+
+
+def _pair_ngram_ref(docs, n):
+    import collections
+
+    grams = {}
+    for r in docs:
+        toks = [t for t in r["text"].split(" ") if t]
+        gs = (
+            toks
+            if n == 1
+            else [">".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        )
+        grams[r["doc_id"]] = collections.Counter(gs)
+    agg = {}
+    for did, c in grams.items():
+        pair, is_cand = did // 2, did % 2 == 1
+        agg.setdefault(pair, [collections.Counter(), collections.Counter()])
+        agg[pair][1 if is_cand else 0] += c
+    out = []
+    for pair, (ref, cand) in agg.items():
+        overlap = sum((cand & ref).values())
+        out.append((overlap, sum(cand.values()), sum(ref.values())))
+    return out
+
+
+def test_rouge_matches_python(spark):
+    docs = spark.read.parquet(SF + "/documents.parquet").collect()
+    got = {
+        r["n"]: r for r in SPECS["q_llm_rouge"].fn(spark, SF).collect()
+    }
+    assert set(got) == {1, 2}
+    for n in (1, 2):
+        triples = _pair_ngram_ref(docs, n)
+        ov = sum(t[0] for t in triples)
+        cc = sum(t[1] for t in triples)
+        rc = sum(t[2] for t in triples)
+        p, r = ov / cc, ov / rc
+        g = got[n]
+        assert g["precision"] == pytest.approx(round(p, 4))
+        assert g["recall"] == pytest.approx(round(r, 4))
+        assert g["f1"] == pytest.approx(2 * p * r / (p + r), abs=2e-4)
+        assert 0 < g["f1"] <= 1
+    # bigram overlap can't beat unigram overlap
+    assert got[2]["f1"] <= got[1]["f1"]
+
+
+def test_bleu_matches_python(spark):
+    import math
+
+    docs = spark.read.parquet(SF + "/documents.parquet").collect()
+    row = SPECS["q_llm_bleu"].fn(spark, SF).collect()[0]
+    t1 = _pair_ngram_ref(docs, 1)
+    t2 = _pair_ngram_ref(docs, 2)
+    p1 = sum(t[0] for t in t1) / sum(t[1] for t in t1)
+    p2 = sum(t[0] for t in t2) / sum(t[1] for t in t2)
+    cand_len = sum(t[1] for t in t1)
+    ref_len = sum(t[2] for t in t1)
+    bp = 1.0 if cand_len >= ref_len else math.exp(1 - ref_len / cand_len)
+    assert row["p1"] == pytest.approx(round(p1, 4))
+    assert row["p2"] == pytest.approx(round(p2, 4))
+    assert row["brevity_penalty"] == pytest.approx(round(bp, 4))
+    assert row["bleu2"] == pytest.approx(
+        bp * math.exp((math.log(p1) + math.log(p2)) / 2), abs=2e-4
+    )
+    assert row["p2"] <= row["p1"]
+    assert 0 < row["bleu2"] <= 1
+
+
+def test_decay_score_matches_python(spark):
+    import collections
+
+    ev = spark.read.parquet(SF + "/events.parquet").collect()
+    maxday = max(r["ts"].date() for r in ev)
+    scores = collections.defaultdict(float)
+    counts = collections.Counter()
+    for r in ev:
+        age = (maxday - r["ts"].date()).days
+        scores[r["user_id"]] += round(
+            round(r["value"] * 100) * 2 ** (-age / 7.0), 6
+        )
+        counts[r["user_id"]] += 1
+    want = sorted(
+        ((round(s / 100, 4), u) for u, s in scores.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:20]
+    got = [
+        (r["decay_score"], r["user_id"], r["n_events"])
+        for r in SPECS["q_event_decay_score"].fn(spark, SF).collect()
+    ]
+    assert [(s, u) for s, u, _ in got] == [
+        (pytest.approx(s, abs=2e-4), u) for s, u in want
+    ]
+    for _, u, ne in got:
+        assert ne == counts[u]
+    # recency weighting: newer activity outranks equal older activity
+    assert got[0][0] >= got[-1][0]
+
+
+def test_mad_matches_python(spark):
+    import collections, statistics
+
+    ev = spark.read.parquet(SF + "/events.parquet").collect()
+    daily = collections.defaultdict(lambda: collections.Counter())
+    for r in ev:
+        daily[r["event_type"]][r["ts"].date()] += round(r["value"] * 100)
+    got = {
+        r["event_type"]: r for r in SPECS["q_time_mad"].fn(spark, SF).collect()
+    }
+    assert set(got) == set(daily)
+    for t, series in daily.items():
+        ys = list(series.values())
+        m = statistics.median(ys)
+        mad = statistics.median(abs(y - m) for y in ys)
+        outl = sum(1 for y in ys if abs(0.6745 * (y - m) / mad) > 3.5)
+        g = got[t]
+        assert g["n_days"] == len(ys)
+        assert g["median_dollars"] == pytest.approx(m / 100, abs=1e-2)
+        assert g["mad_dollars"] == pytest.approx(mad / 100, abs=1e-2)
+        assert g["n_outliers"] == outl

@@ -1188,3 +1188,26 @@ def test_pipe_events_shares_the_user_shuffle(spark, sf_dir):
     report = audit_plan(SPECS["pipe_events_e2e"].fn(spark, sf_dir))
     assert report.exchanges <= 3
     assert "CartesianProduct" not in report.nodes
+
+
+def test_rouge_overlap_join_is_hash_keyed(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_llm_rouge"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bleu_shares_rouge_physics(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_llm_bleu"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decay_score_takeordered(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_event_decay_score"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_mad_runs_on_ledger(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_time_mad"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1264,3 +1264,141 @@ def q_event_markov2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(25)
     )
+
+
+@register(
+    "q_event_decay_score",
+    oracle="""
+WITH anchor AS (
+  SELECT MAX(CAST(date_trunc('day', ts) AS DATE)) AS maxday FROM events
+), scored AS (
+  SELECT user_id,
+         CAST(ROUND(
+           CAST(ROUND(value * 100) AS BIGINT)
+           * POW(2, -(anchor.maxday - CAST(date_trunc('day', ts) AS DATE))
+                     / 7.0), 6) AS DECIMAL(24,6)) AS w
+  FROM events CROSS JOIN anchor
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(w) AS DOUBLE) / 100, 4) AS decay_score
+FROM scored GROUP BY user_id
+ORDER BY decay_score DESC, user_id ASC LIMIT 20
+""",
+    doc="Time-decayed engagement score (7-day half-life): each "
+    "event contributes value x 2^(-age_days/7) anchored at the "
+    "corpus max day — the standard recency-weighted feature a "
+    "feature store materializes per user (q_event_rfm's recency "
+    "axis made continuous). Per-event weights ROUND-6 "
+    "DECIMAL-summed so the reduction is order-independent; "
+    "top-20 users, id tie-break.",
+    scale_notes="Zero-shuffle per-event weighting (the decay is "
+    "codegen'd pow on integer day deltas) + one user_id "
+    "map-combined aggregation; the 1-row anchor is the "
+    "q_filter_ts_cursor crossJoin pattern. Incremental refresh "
+    "multiplies yesterday's scores by a constant decay and adds "
+    "the new day — the sketch-like mergeability that makes this "
+    "the scalable engagement feature.",
+)
+def q_event_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    anchor = ev.agg(
+        F.max(F.to_date(F.date_trunc("day", "ts"))).alias("maxday")
+    )
+    age = F.datediff(
+        F.col("maxday"), F.to_date(F.date_trunc("day", "ts"))
+    )
+    w = F.round(
+        F.round(F.col("value") * 100).cast("bigint")
+        * F.pow(F.lit(2.0), -age / F.lit(7.0)),
+        6,
+    ).cast("decimal(24,6)")
+    return (
+        ev.crossJoin(F.broadcast(anchor))
+        .select("user_id", w.alias("w"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("w").cast("double") / 100, 4).alias(
+                "decay_score"
+            ),
+        )
+        .orderBy(F.col("decay_score").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "q_time_mad",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY event_type, day
+), med AS (
+  SELECT event_type, CAST(quantile_cont(y, 0.5) AS DOUBLE) AS m
+  FROM daily GROUP BY event_type
+), mad AS (
+  SELECT d.event_type,
+         CAST(quantile_cont(ABS(d.y - med.m), 0.5) AS DOUBLE) AS mad
+  FROM daily d JOIN med USING (event_type)
+  GROUP BY d.event_type, med.m
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(med.m / 100, 4) AS median_dollars,
+       ROUND(mad.mad / 100, 4) AS mad_dollars,
+       CAST(SUM(CASE WHEN ABS(0.6745 * (d.y - med.m) / mad.mad) > 3.5
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM daily d JOIN med USING (event_type) JOIN mad USING (event_type)
+GROUP BY d.event_type, med.m, mad.mad ORDER BY d.event_type
+""",
+    doc="Median-absolute-deviation outlier screen (Iglewicz-Hoban "
+    "modified z, |0.6745 (x - median)/MAD| > 3.5) over each type's "
+    "daily revenue — the breakdown-resistant twin of "
+    "q_time_anomaly's rolling mean/std z-score: one wild day "
+    "cannot inflate the scale estimate that judges it.",
+    scale_notes="Daily ledger shuffle + two ledger-sized exact "
+    "medians per type and a ledger flag pass. At 100 TB the "
+    "medians come from the q_agg_hist_quantile mergeable-histogram "
+    "path; everything downstream is unchanged.",
+)
+def q_time_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    med = daily.groupBy("event_type").agg(
+        F.expr("percentile(y, 0.5)").alias("m")
+    )
+    mad = (
+        daily.join(med, "event_type")
+        .groupBy("event_type", "m")
+        .agg(F.expr("percentile(abs(y - m), 0.5)").alias("mad"))
+        .select("event_type", "mad")
+    )
+    z = F.abs(0.6745 * (F.col("y") - F.col("m")) / F.col("mad"))
+    return (
+        daily.join(med, "event_type")
+        .join(mad, "event_type")
+        .groupBy("event_type", "m", "mad")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum(F.when(z > 3.5, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            F.round(F.col("m") / 100, 4).alias("median_dollars"),
+            F.round(F.col("mad") / 100, 4).alias("mad_dollars"),
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )

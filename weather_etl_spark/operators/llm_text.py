@@ -1211,3 +1211,216 @@ def q_llm_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage")
     )
+
+
+#: Shared candidate/reference pairing for the generation-eval metrics
+#: (q_llm_rouge / q_llm_bleu): even doc_id = reference, odd = candidate,
+#: paired on doc_id // 2 — a deterministic stand-in for (model output,
+#: gold) pairs.
+_EVAL_NGRAM_CTES = """tok AS (
+  SELECT doc_id, doc_id // 2 AS pair_id, doc_id % 2 = 1 AS is_cand,
+         unnest(string_split(text, ' ')) AS t,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), grams AS (
+  SELECT pair_id, is_cand, 1 AS n, t AS g, COUNT(*) AS c
+  FROM tok WHERE t <> '' GROUP BY pair_id, is_cand, t
+  UNION ALL
+  SELECT a.pair_id, a.is_cand, 2 AS n, a.t || '>' || b.t AS g, COUNT(*) AS c
+  FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.t <> '' AND b.t <> ''
+  GROUP BY a.pair_id, a.is_cand, a.t || '>' || b.t
+), per_pair AS (
+  SELECT COALESCE(ca.pair_id, re.pair_id) AS pair_id,
+         COALESCE(ca.n, re.n) AS n,
+         CAST(SUM(LEAST(COALESCE(ca.c, 0), COALESCE(re.c, 0))) AS BIGINT)
+           AS overlap,
+         CAST(SUM(COALESCE(ca.c, 0)) AS BIGINT) AS cand_c,
+         CAST(SUM(COALESCE(re.c, 0)) AS BIGINT) AS ref_c
+  FROM (SELECT * FROM grams WHERE is_cand) ca
+  FULL JOIN (SELECT * FROM grams WHERE NOT is_cand) re
+    ON ca.pair_id = re.pair_id AND ca.n = re.n AND ca.g = re.g
+  GROUP BY 1, 2
+)"""
+
+
+def _eval_pair_ngrams(docs: DataFrame) -> DataFrame:
+    """(pair_id, n, overlap, cand_c, ref_c) clipped n-gram overlap
+    ledger for n in (1, 2) — the DataFrame twin of _EVAL_NGRAM_CTES,
+    shared by the ROUGE and BLEU heads."""
+    tok = (
+        docs.select(
+            "doc_id",
+            F.expr("doc_id DIV 2").alias("pair_id"),
+            (F.col("doc_id") % 2 == 1).alias("is_cand"),
+            F.posexplode(F.split("text", " ")).alias("pos", "t"),
+        )
+        .filter(F.col("t") != "")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    uni = tok.groupBy("pair_id", "is_cand", F.col("t").alias("g")).agg(
+        F.count(F.lit(1)).alias("c")
+    ).select("pair_id", "is_cand", F.lit(1).alias("n"), "g", "c")
+    bi = (
+        tok.select(
+            "pair_id",
+            "is_cand",
+            F.concat_ws(">", "t", F.lead("t", 1).over(w)).alias("g2"),
+            F.lead("t", 1).over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("pair_id", "is_cand", F.col("g2").alias("g"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select("pair_id", "is_cand", F.lit(2).alias("n"), "g", "c")
+    )
+    grams = uni.unionByName(bi)
+    ca = grams.filter("is_cand").select(
+        "pair_id", "n", "g", F.col("c").alias("cc")
+    )
+    re_ = grams.filter("NOT is_cand").select(
+        "pair_id", "n", "g", F.col("c").alias("rc")
+    )
+    return (
+        ca.join(re_, ["pair_id", "n", "g"], "full")
+        .groupBy("pair_id", "n")
+        .agg(
+            F.sum(
+                F.least(
+                    F.coalesce(F.col("cc"), F.lit(0)),
+                    F.coalesce(F.col("rc"), F.lit(0)),
+                )
+            )
+            .cast("bigint")
+            .alias("overlap"),
+            F.sum(F.coalesce(F.col("cc"), F.lit(0)))
+            .cast("bigint")
+            .alias("cand_c"),
+            F.sum(F.coalesce(F.col("rc"), F.lit(0)))
+            .cast("bigint")
+            .alias("ref_c"),
+        )
+    )
+
+
+@register(
+    "q_llm_rouge",
+    oracle=f"""
+WITH {_EVAL_NGRAM_CTES}
+SELECT n,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(SUM(overlap) AS DOUBLE) / SUM(cand_c), 4) AS precision,
+       ROUND(CAST(SUM(overlap) AS DOUBLE) / SUM(ref_c), 4) AS recall,
+       ROUND(2 * (CAST(SUM(overlap) AS DOUBLE) / SUM(cand_c))
+               * (CAST(SUM(overlap) AS DOUBLE) / SUM(ref_c))
+             / (CAST(SUM(overlap) AS DOUBLE) / SUM(cand_c)
+                + CAST(SUM(overlap) AS DOUBLE) / SUM(ref_c)), 4) AS f1
+FROM per_pair GROUP BY n ORDER BY n
+""",
+    doc="Micro-averaged ROUGE-1/ROUGE-2 over (candidate, reference) "
+    "document pairs (odd doc_id scored against its even sibling): "
+    "clipped n-gram overlap — sum of min(candidate count, reference "
+    "count) per gram — over corpus-summed candidate/reference "
+    "totals gives precision/recall/F1 per n. The "
+    "generation-evaluation surface: the same plan scores model "
+    "outputs against golds at corpus scale, no per-pair driver "
+    "loop.",
+    scale_notes="The overlap ledger shuffles (pair, n, gram) "
+    "partial counts — never text — and the full-outer gram join is "
+    "hash-keyed on (pair, n, gram), so cost is linear in distinct "
+    "grams. Micro-averaging makes the final reduction a 2-row "
+    "ledger whatever the corpus size.",
+)
+def q_llm_rouge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_pair = _eval_pair_ngrams(read_table(spark, sf_dir, "documents"))
+    p = F.sum("overlap").cast("double") / F.sum("cand_c")
+    r = F.sum("overlap").cast("double") / F.sum("ref_c")
+    return (
+        per_pair.groupBy("n")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(p, 4).alias("precision"),
+            F.round(r, 4).alias("recall"),
+            F.round(2 * p * r / (p + r), 4).alias("f1"),
+        )
+        .orderBy("n")
+    )
+
+
+@register(
+    "q_llm_bleu",
+    oracle=f"""
+WITH {_EVAL_NGRAM_CTES}
+, agg AS (
+  SELECT CAST(SUM(CASE WHEN n = 1 THEN overlap ELSE 0 END) AS DOUBLE)
+           / SUM(CASE WHEN n = 1 THEN cand_c ELSE 0 END) AS p1,
+         CAST(SUM(CASE WHEN n = 2 THEN overlap ELSE 0 END) AS DOUBLE)
+           / SUM(CASE WHEN n = 2 THEN cand_c ELSE 0 END) AS p2,
+         CAST(SUM(CASE WHEN n = 1 THEN cand_c ELSE 0 END) AS BIGINT)
+           AS cand_len,
+         CAST(SUM(CASE WHEN n = 1 THEN ref_c ELSE 0 END) AS BIGINT)
+           AS ref_len,
+         CAST(COUNT(DISTINCT pair_id) AS BIGINT) AS n_pairs
+  FROM per_pair
+)
+SELECT n_pairs, cand_len, ref_len,
+       ROUND(p1, 4) AS p1, ROUND(p2, 4) AS p2,
+       ROUND(CASE WHEN cand_len >= ref_len THEN 1.0
+                  ELSE EXP(1 - CAST(ref_len AS DOUBLE) / cand_len) END, 4)
+         AS brevity_penalty,
+       ROUND(CASE WHEN cand_len >= ref_len THEN 1.0
+                  ELSE EXP(1 - CAST(ref_len AS DOUBLE) / cand_len) END
+             * EXP((LN(p1) + LN(p2)) / 2), 4) AS bleu2
+FROM agg
+""",
+    doc="Corpus-level BLEU-2 over the same (candidate, reference) "
+    "pairing as q_llm_rouge: clipped modified 1/2-gram precisions "
+    "pooled across the corpus (the Papineni corpus-BLEU "
+    "definition, not a mean of per-sentence scores), geometric "
+    "mean, and the brevity penalty exp(1 - ref_len/cand_len) when "
+    "candidates run short. Every input to the final double "
+    "expression is an exact integer count.",
+    scale_notes="Shares q_llm_rouge's overlap-ledger physics; the "
+    "BLEU head is a single 1-row reduction over the (pair, n) "
+    "ledger. Corpus-pooled counts mean no per-pair smoothing "
+    "corrections are needed at any scale.",
+)
+def q_llm_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_pair = _eval_pair_ngrams(read_table(spark, sf_dir, "documents"))
+    is1 = F.col("n") == 1
+    is2 = F.col("n") == 2
+    agg = per_pair.agg(
+        (
+            F.sum(F.when(is1, F.col("overlap")).otherwise(0)).cast("double")
+            / F.sum(F.when(is1, F.col("cand_c")).otherwise(0))
+        ).alias("p1"),
+        (
+            F.sum(F.when(is2, F.col("overlap")).otherwise(0)).cast("double")
+            / F.sum(F.when(is2, F.col("cand_c")).otherwise(0))
+        ).alias("p2"),
+        F.sum(F.when(is1, F.col("cand_c")).otherwise(0))
+        .cast("bigint")
+        .alias("cand_len"),
+        F.sum(F.when(is1, F.col("ref_c")).otherwise(0))
+        .cast("bigint")
+        .alias("ref_len"),
+        F.count_distinct("pair_id").cast("bigint").alias("n_pairs"),
+    )
+    bp = F.when(
+        F.col("cand_len") >= F.col("ref_len"), F.lit(1.0)
+    ).otherwise(
+        F.exp(
+            F.lit(1) - F.col("ref_len").cast("double") / F.col("cand_len")
+        )
+    )
+    return agg.select(
+        "n_pairs",
+        "cand_len",
+        "ref_len",
+        F.round("p1", 4).alias("p1"),
+        F.round("p2", 4).alias("p2"),
+        F.round(bp, 4).alias("brevity_penalty"),
+        F.round(
+            bp * F.exp((F.log("p1") + F.log("p2")) / 2), 4
+        ).alias("bleu2"),
+    )

@@ -101,6 +101,8 @@ ALLOW_BNL: dict[str, str] = {
     "q_llm_filter_funnel": "constant 4-row stage axis range-joined "
     "to the <=5-row kill ledger + 1-row total — all funnel-geometry "
     "bounded (llm_text.py)",
+    "q_event_decay_score": "1-row corpus-max-day anchor crossed into "
+    "the event scan — the q_filter_ts_cursor pattern (eventseq.py)",
 }
 
 #: Row-at-a-time Python — only the deliberate slow-path demos that

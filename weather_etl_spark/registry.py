@@ -346,6 +346,9 @@ DRIVER_DEFERRED: frozenset[str] = frozenset({
     # thirtieth late batch (curation funnel accounting / incremental
     # ingest dedup / the analytics end-to-end composite)
     "q_llm_filter_funnel", "q_llm_dedup_incremental", "pipe_events_e2e",
+    # thirty-first late batch (generation-eval metrics / decayed
+    # engagement features / robust outlier screens)
+    "q_llm_rouge", "q_llm_bleu", "q_event_decay_score", "q_time_mad",
 })
 
 
