@@ -2107,3 +2107,115 @@ def test_mad_matches_python(spark):
         assert g["median_dollars"] == pytest.approx(m / 100, abs=1e-2)
         assert g["mad_dollars"] == pytest.approx(mad / 100, abs=1e-2)
         assert g["n_outliers"] == outl
+
+
+def test_tpch_q21_matches_python(spark):
+    import collections
+    from datetime import timedelta
+
+    li = spark.read.parquet(SF + "/lineitem.parquet").collect()
+    orders = {
+        r["o_orderkey"]: r["o_orderdate"]
+        for r in spark.read.parquet(SF + "/orders.parquet").collect()
+    }
+    snames = {
+        r["s_suppkey"]: r["s_name"]
+        for r in spark.read.parquet(SF + "/supplier.parquet").collect()
+    }
+    late = [
+        (r["l_orderkey"], r["l_suppkey"])
+        for r in li
+        if r["l_shipdate"] > orders[r["l_orderkey"]] + timedelta(days=365)
+    ]
+    supps_on = collections.defaultdict(set)
+    for r in li:
+        supps_on[r["l_orderkey"]].add(r["l_suppkey"])
+    late_on = collections.defaultdict(set)
+    for ok, sk in late:
+        late_on[ok].add(sk)
+    waits = collections.Counter()
+    for ok, sk in late:
+        if supps_on[ok] - {sk} and not (late_on[ok] - {sk}):
+            waits[snames[sk]] += 1
+    want = sorted(waits.items(), key=lambda t: (-t[1], t[0]))[:25]
+    got = [
+        (r["s_name"], r["numwait"])
+        for r in SPECS["q_tpch_q21"].fn(spark, SF).collect()
+    ]
+    assert got == want
+    assert len(got) == 25 and got[0][1] >= got[-1][1]
+
+
+def test_tpch_q17_matches_python(spark):
+    import collections
+
+    li = spark.read.parquet(SF + "/lineitem.parquet").collect()
+    brand4 = {
+        r["p_partkey"]
+        for r in spark.read.parquet(SF + "/part.parquet").collect()
+        if r["p_brand"] == "Brand#4"
+    }
+    qty = collections.defaultdict(list)
+    for r in li:
+        qty[r["l_partkey"]].append(r["l_quantity"])
+    thr = {k: 0.5 * sum(v) / len(v) for k, v in qty.items()}
+    picked = [
+        r
+        for r in li
+        if r["l_partkey"] in brand4 and r["l_quantity"] < thr[r["l_partkey"]]
+    ]
+    total = sum(round(r["l_extendedprice"] * 100) for r in picked) / 100
+    row = SPECS["q_tpch_q17"].fn(spark, SF).collect()[0]
+    assert row["n_lines"] == len(picked)
+    assert row["total_revenue"] == pytest.approx(total, abs=1e-2)
+    assert row["avg_yearly"] == pytest.approx(round(total / 7.0, 4), abs=1e-3)
+
+
+def test_tpch_q22_matches_python(spark):
+    import collections
+    from datetime import datetime
+
+    cust = spark.read.parquet(SF + "/customer.parquet").collect()
+    cut = datetime(2000, 1, 1)
+    recent = {
+        r["o_custkey"]
+        for r in spark.read.parquet(SF + "/orders.parquet").collect()
+        if r["o_orderdate"] >= cut
+    }
+    pos = [r["c_acctbal"] for r in cust if r["c_acctbal"] > 0]
+    avg = sum(pos) / len(pos)
+    seg = collections.defaultdict(lambda: [0, 0])
+    for r in cust:
+        if r["c_acctbal"] > avg and r["c_custkey"] not in recent:
+            seg[r["c_mktsegment"]][0] += 1
+            seg[r["c_mktsegment"]][1] += round(r["c_acctbal"] * 100)
+    got = SPECS["q_tpch_q22"].fn(spark, SF).collect()
+    assert [r["c_mktsegment"] for r in got] == sorted(seg)
+    for r in got:
+        n, cents = seg[r["c_mktsegment"]]
+        assert r["numcust"] == n
+        assert r["totacctbal"] == pytest.approx(cents / 100, abs=1e-2)
+    # dormancy is a strict subset: never all customers qualify
+    assert sum(r["numcust"] for r in got) < len(cust)
+
+
+def test_anova_matches_python(spark):
+    import collections
+
+    ev = spark.read.parquet(SF + "/events.parquet").collect()
+    groups = collections.defaultdict(list)
+    for r in ev:
+        groups[r["event_type"]].append(round(r["value"] * 100))
+    k, n = len(groups), sum(len(v) for v in groups.values())
+    grand = sum(sum(v) for v in groups.values()) / n
+    ssb = sum(len(v) * (sum(v) / len(v) - grand) ** 2 for v in groups.values())
+    ssw = sum(
+        sum((x - sum(v) / len(v)) ** 2 for x in v) for v in groups.values()
+    )
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    row = SPECS["q_agg_anova"].fn(spark, SF).collect()[0]
+    assert row["k"] == k and row["n_total"] == n
+    assert row["ss_between"] == pytest.approx(ssb / 10000, rel=1e-6)
+    assert row["ss_within"] == pytest.approx(ssw / 10000, rel=1e-6)
+    assert row["f_stat"] == pytest.approx(f, abs=2e-3)
+    assert row["eta_sq"] == pytest.approx(ssb / (ssb + ssw), abs=2e-4)

@@ -1211,3 +1211,35 @@ def test_mad_runs_on_ledger(spark, sf_dir):
     plan = _executed_plan(SPECS["q_time_mad"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q21_semi_anti_no_cartesian(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_tpch_q21"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-25 never global-sorts
+
+
+def test_tpch_q17_pushes_brand_filter(spark, sf_dir):
+    df = SPECS["q_tpch_q17"].fn(spark, sf_dir)
+    info = _optimized_scan_info(df)
+    assert "EqualTo(p_brand,Brand#4)" in info
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q22_anti_join_on_distinct_keys(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_tpch_q22"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the only BNL is the 1-row threshold broadcast (plan_audit ALLOW_BNL)
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_anova_is_two_level_aggregate(spark, sf_dir):
+    from weather_etl_spark.plan_audit import audit_plan
+
+    plan = _executed_plan(SPECS["q_agg_anova"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    report = audit_plan(SPECS["q_agg_anova"].fn(spark, sf_dir))
+    assert report.exchanges <= 2  # type shuffle + 1-row final gather

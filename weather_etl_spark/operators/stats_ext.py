@@ -400,3 +400,100 @@ def q_llm_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tok.groupBy("doc_id", feature.alias("feature")).agg(
         F.count(F.lit(1)).alias("weight")
     )
+
+
+@register(
+    "q_agg_anova",
+    oracle="""
+WITH cents AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c FROM events
+), g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS DECIMAL(38,0)) AS s,
+         CAST(SUM(c * c) AS DECIMAL(38,0)) AS ss,
+         CAST(ROUND(CAST(SUM(c) AS DOUBLE) * SUM(c) / COUNT(*), 6)
+              AS DECIMAL(38,6)) AS sn
+  FROM cents GROUP BY event_type
+), t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS n_total,
+         CAST(SUM(s) AS DECIMAL(38,0)) AS s_all,
+         CAST(SUM(ss) AS DECIMAL(38,0)) AS ss_all,
+         CAST(SUM(sn) AS DECIMAL(38,6)) AS sn_all
+  FROM g
+)
+SELECT k, n_total,
+       ROUND((CAST(sn_all AS DOUBLE)
+              - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) / n_total)
+             / 10000, 4) AS ss_between,
+       ROUND((CAST(ss_all AS DOUBLE) - CAST(sn_all AS DOUBLE)) / 10000, 4)
+         AS ss_within,
+       ROUND(((CAST(sn_all AS DOUBLE)
+               - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) / n_total)
+              / (k - 1))
+             / ((CAST(ss_all AS DOUBLE) - CAST(sn_all AS DOUBLE))
+                / (n_total - k)), 4) AS f_stat,
+       ROUND((CAST(sn_all AS DOUBLE)
+              - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) / n_total)
+             / (CAST(ss_all AS DOUBLE)
+                - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) / n_total),
+             4) AS eta_sq
+FROM t
+""",
+    doc="One-way ANOVA of event value across event types: the "
+    "F-statistic (between-group over within-group mean square) and "
+    "eta-squared effect size, from the sufficient statistics "
+    "(n, sum, sum-of-squares) per group — the k-sample extension "
+    "of q_agg_ttest's two-sample comparison. Values are exact "
+    "integer cents through both aggregation levels (per-group "
+    "sum/sumsq are DECIMAL(38,0); the one float per-group term "
+    "s^2/n is ROUND-6 DECIMAL-summed), so the k-row reduction is "
+    "order-independent; sums of squares are reported in dollars^2.",
+    scale_notes="Textbook mergeable aggregate: one event_type "
+    "shuffle carrying (n, sum, sumsq) partials, then a k-row "
+    "ledger reduction — the same two-level shape as the portable "
+    "sketches. No per-row state beyond the running triple at any "
+    "scale.",
+)
+def q_agg_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    g = cents.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("decimal(38,0)").alias("ss"),
+        F.round(
+            F.sum("c").cast("double") * F.sum("c") / F.count(F.lit(1)), 6
+        )
+        .cast("decimal(38,6)")
+        .alias("sn"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.sum("s").cast("decimal(38,0)").alias("s_all"),
+        F.sum("ss").cast("decimal(38,0)").alias("ss_all"),
+        F.sum("sn").cast("decimal(38,6)").alias("sn_all"),
+    )
+    ssb = (
+        F.col("sn_all").cast("double")
+        - F.col("s_all").cast("double")
+        * F.col("s_all").cast("double")
+        / F.col("n_total")
+    )
+    ssw = F.col("ss_all").cast("double") - F.col("sn_all").cast("double")
+    return t.select(
+        "k",
+        "n_total",
+        F.round(ssb / 10000, 4).alias("ss_between"),
+        F.round(ssw / 10000, 4).alias("ss_within"),
+        F.round(
+            (ssb / (F.col("k") - 1)) / (ssw / (F.col("n_total") - F.col("k"))),
+            4,
+        ).alias("f_stat"),
+        F.round(ssb / (ssb + ssw), 4).alias("eta_sq"),
+    )

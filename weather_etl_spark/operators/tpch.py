@@ -617,3 +617,226 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_share_pct"),
         )
     )
+
+
+#: Lateness horizon for the adapted Q21 (the synthetic schema has no
+#: l_receiptdate/l_commitdate, so "kept orders waiting" is re-expressed
+#: on the columns it does have: shipped more than a year after the
+#: order was placed).
+_Q21_LATE_DAYS = 365
+
+
+@register(
+    "q_tpch_q21",
+    oracle=f"""
+WITH late AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_shipdate > o.o_orderdate + INTERVAL {_Q21_LATE_DAYS} DAY
+)
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN late l1 ON s.s_suppkey = l1.l_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name ASC
+LIMIT 25
+""",
+    doc="TPC-H Q21 (suppliers who kept orders waiting), adapted to "
+    "the synthetic schema: a line is late when it ships more than "
+    f"{_Q21_LATE_DAYS} days after the order date (no receipt/commit "
+    "dates exist here). For each late line, the order must involve "
+    "at least one OTHER supplier (correlated EXISTS) and NO other "
+    "supplier may be late on it (correlated NOT EXISTS) — the "
+    "spec's double-correlated semi/anti self-join composition, the "
+    "hardest plan shape in the TPC-H suite. Top 25 suppliers by "
+    "wait count, name tie-break.",
+    scale_notes="Both correlated subqueries become orderkey-keyed "
+    "semi/anti joins against (orderkey, suppkey)-DISTINCT "
+    "projections — EXISTS/NOT EXISTS are insensitive to line "
+    "multiplicity, so the shuffle carries key pairs, never lines. "
+    "All three self-join legs share the one orderkey shuffle "
+    "(co-partitioned exchange reuse); the supplier dim carries no "
+    "hint (AQE broadcasts while small — the q_tpch_q10 ruling). "
+    "Top-25 is TakeOrderedAndProject.",
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate")
+            + F.expr(f"INTERVAL {_Q21_LATE_DAYS} DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    # EXISTS/NOT EXISTS legs: multiplicity-free (orderkey, suppkey)
+    # pairs so the semi/anti probes shuffle keys, not lines.
+    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    l1 = late.alias("l1")
+    other = pairs.alias("l2")
+    late_other = late.select("l_orderkey", "l_suppkey").distinct().alias("l3")
+    waited = l1.join(
+        other,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    ).join(
+        late_other,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    supp = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        waited.join(supp, F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(25)
+    )
+
+
+@register(
+    "q_tpch_q17",
+    oracle="""
+WITH pa AS (
+  SELECT l_partkey, 0.5 * AVG(l_quantity) AS thr
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_revenue,
+       ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                  AS DOUBLE) / 7.0, 4) AS avg_yearly
+FROM lineitem l
+JOIN pa ON l.l_partkey = pa.l_partkey
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand = 'Brand#4' AND l.l_quantity < pa.thr
+""",
+    doc="TPC-H Q17 (small-quantity-order revenue): lost revenue if "
+    "orders below half a part's average quantity were not filled, "
+    "for one brand. The correlated scalar subquery "
+    "(l_quantity < 0.5 * AVG(...) per part) is the spec's shape — "
+    "re-expressed as a per-part pre-aggregate joined back to the "
+    "fact, which is exactly Catalyst's decorrelation of the "
+    "original. Adapted filter: p_brand equality (the synthetic "
+    "part table has no container column). Money stays DECIMAL "
+    "until the final /7 yearly average.",
+    scale_notes="The per-part threshold table is lineitem's second "
+    "partkey aggregate — it shuffles (partkey, partial-avg) pairs "
+    "once and joins back on the SAME partkey key (exchange reuse). "
+    "The brand filter prunes part to ~1/30 BEFORE the join and "
+    "semi-prunes both fact legs under AQE; quantity is compared "
+    "per-row post-join (no extra pass). Single-row reduction at "
+    "the head. At 100 TB the partkey aggregate is the cost — "
+    "map-side partials make it one exchange of num_parts rows.",
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pa = li.groupBy("l_partkey").agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("thr")
+    )
+    brand = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#4")
+        .select("p_partkey")
+    )
+    total = F.sum(dec2("l_extendedprice")).cast("double")
+    return (
+        li.join(pa, "l_partkey")
+        .join(brand, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.col("l_quantity") < F.col("thr"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            total.alias("total_revenue"),
+        )
+        .select(
+            "n_lines",
+            "total_revenue",
+            F.round(F.col("total_revenue") / 7.0, 4).alias("avg_yearly"),
+        )
+    )
+
+
+#: Dormancy cutoff for the adapted Q22: a customer is "dormant" when
+#: it has placed no order on/after this date (the synthetic orders
+#: table spans 1995-01-01..2001-08-01, so this yields a real cohort
+#: at every SF).
+_Q22_CUTOFF = "2000-01-01"
+
+
+@register(
+    "q_tpch_q22",
+    oracle=f"""
+WITH avgbal AS (
+  SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+)
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         AS totacctbal
+FROM customer c, avgbal
+WHERE c.c_acctbal > avgbal.a
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '{_Q22_CUTOFF}')
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+""",
+    doc="TPC-H Q22 (global sales opportunity): customers with "
+    "above-average positive account balances who have gone dormant "
+    "— the scalar-subquery threshold plus correlated NOT EXISTS "
+    "anti join. Adapted to the synthetic schema: dormancy is 'no "
+    f"order since {_Q22_CUTOFF}' (every fixture customer has SOME "
+    "order, and there is no phone column for the spec's "
+    "country-code grouping — c_mktsegment groups instead). Per "
+    "segment: customer count and DECIMAL-exact balance total.",
+    scale_notes="The 1-row positive-balance average crosses in "
+    "broadcast (the q_filter_ts_cursor anchor pattern); the NOT "
+    "EXISTS is an anti join against orders pre-filtered by the "
+    "pushed cutoff predicate and pre-shrunk to DISTINCT custkeys, "
+    "so the probe side carries keys only. One custkey shuffle, "
+    "5-row ledger out.",
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    avgbal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    recent = (
+        read_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate") >= F.lit(_Q22_CUTOFF).cast("timestamp")
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        cust.crossJoin(F.broadcast(avgbal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            F.sum(dec2("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -103,6 +103,10 @@ ALLOW_BNL: dict[str, str] = {
     "bounded (llm_text.py)",
     "q_event_decay_score": "1-row corpus-max-day anchor crossed into "
     "the event scan — the q_filter_ts_cursor pattern (eventseq.py)",
+    "q_tpch_q22": "1-row positive-balance average crossed into the "
+    "customer scan — the q_filter_ts_cursor pattern (tpch.py)",
+    "q_llm_bm25": "1-row (N, avgdl) corpus aggregate crossed into the "
+    "3-term tf frame — the q_filter_ts_cursor pattern (llm_text.py)",
 }
 
 #: Row-at-a-time Python — only the deliberate slow-path demos that

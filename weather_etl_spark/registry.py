@@ -349,6 +349,9 @@ DRIVER_DEFERRED: frozenset[str] = frozenset({
     # thirty-first late batch (generation-eval metrics / decayed
     # engagement features / robust outlier screens)
     "q_llm_rouge", "q_llm_bleu", "q_event_decay_score", "q_time_mad",
+    # thirty-second late batch (the hard TPC-H correlated-subquery
+    # trio / k-sample ANOVA)
+    "q_tpch_q21", "q_tpch_q17", "q_tpch_q22", "q_agg_anova",
 })
 
 
