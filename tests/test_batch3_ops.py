@@ -2219,3 +2219,112 @@ def test_anova_matches_python(spark):
     assert row["ss_within"] == pytest.approx(ssw / 10000, rel=1e-6)
     assert row["f_stat"] == pytest.approx(f, abs=2e-3)
     assert row["eta_sq"] == pytest.approx(ssb / (ssb + ssw), abs=2e-4)
+
+
+def test_hard_negatives_matches_python(spark):
+    import math
+
+    emb = spark.read.parquet(SF + "/embeddings.parquet").collect()
+    vecs = {r["vec_id"]: (r["label"], r["embedding"]) for r in emb}
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    got = SPECS["q_llm_hard_negatives"].fn(spark, SF).collect()
+    assert {r["anchor_id"] for r in got} == {10, 20, 30, 40, 50}
+    for a in (10, 20, 30, 40, 50):
+        alab, avec = vecs[a]
+        scored = sorted(
+            (
+                (-cos(avec, v), vid)
+                for vid, (lab, v) in vecs.items()
+                if lab != alab
+            ),
+        )[:5]
+        rows = [r for r in got if r["anchor_id"] == a]
+        assert [r["negative_id"] for r in rows] == [vid for _, vid in scored]
+        for r, (negc, _) in zip(rows, scored):
+            assert r["cos"] == pytest.approx(-negc, abs=2e-4)
+            assert r["negative_label"] != r["anchor_label"]
+
+
+def test_event_pattern_matches_python(spark):
+    import collections
+    import re as _re
+
+    ev = spark.read.parquet(SF + "/events.parquet").collect()
+    seqs = collections.defaultdict(list)
+    for r in ev:
+        seqs[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"][0]))
+    pat = _re.compile("v+c*p")
+    want = []
+    for u, items in seqs.items():
+        s = "".join(i for _, _, i in sorted(items))
+        n = len(pat.findall(s))
+        if n > 0:
+            want.append((-n, u, len(s), len(pat.sub("", s))))
+    want.sort()
+    want = want[:20]
+    got = SPECS["q_event_pattern"].fn(spark, SF).collect()
+    assert [
+        (-r["n_matches"], r["user_id"], r["seq_len"], r["residual_len"])
+        for r in got
+    ] == want
+
+
+def test_kruskal_matches_python(spark):
+    import collections
+
+    ev = spark.read.parquet(SF + "/events.parquet").collect()
+    vals = [(r["event_type"], round(r["value"] * 100)) for r in ev]
+    ordered = sorted(v for _, v in vals)
+    first = {}
+    cnt = collections.Counter(ordered)
+    pos = 1
+    for v in ordered:
+        if v not in first:
+            first[v] = pos
+        pos += 1
+    ar = {v: (2 * first[v] + cnt[v] - 1) / 2 for v in cnt}
+    groups = collections.defaultdict(list)
+    for t, v in vals:
+        groups[t].append(ar[v])
+    n = len(vals)
+    rsum = sum(sum(g) ** 2 / len(g) for g in groups.values())
+    h = 12.0 / (n * (n + 1)) * rsum - 3.0 * (n + 1)
+    tie = sum(c**3 - c for c in cnt.values())
+    hc = h / (1 - tie / (n**3 - n))
+    row = SPECS["q_agg_kruskal"].fn(spark, SF).collect()[0]
+    assert row["k"] == len(groups) and row["n_total"] == n
+    assert row["h"] == pytest.approx(h, abs=2e-3)
+    assert row["h_corrected"] == pytest.approx(hc, abs=2e-3)
+    assert row["h_corrected"] >= row["h"]
+
+
+def test_tpch_q19_matches_python(spark):
+    li = spark.read.parquet(SF + "/lineitem.parquet").collect()
+    parts = {
+        r["p_partkey"]: (r["p_brand"], r["p_size"])
+        for r in spark.read.parquet(SF + "/part.parquet").collect()
+    }
+    picked = []
+    for r in li:
+        brand, size = parts[r["l_partkey"]]
+        q = r["l_quantity"]
+        if (
+            (brand == "Brand#1" and 1 <= size <= 5 and 1 <= q <= 11)
+            or (brand == "Brand#2" and 1 <= size <= 10 and 10 <= q <= 20)
+            or (brand == "Brand#3" and 1 <= size <= 15 and 20 <= q <= 30)
+        ):
+            picked.append(r)
+    rev = sum(
+        round(r["l_extendedprice"] * 100)
+        * round((1 - r["l_discount"]) * 1e6)
+        for r in picked
+    ) / 1e8
+    row = SPECS["q_tpch_q19"].fn(spark, SF).collect()[0]
+    assert row["n_lines"] == len(picked)
+    assert row["revenue"] == pytest.approx(rev, rel=1e-9)

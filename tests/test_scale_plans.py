@@ -1243,3 +1243,36 @@ def test_anova_is_two_level_aggregate(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     report = audit_plan(SPECS["q_agg_anova"].fn(spark, sf_dir))
     assert report.exchanges <= 2  # type shuffle + 1-row final gather
+
+
+def test_hard_negatives_windowgrouplimit(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_llm_hard_negatives"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan  # per-anchor top-k never global-sorts
+
+
+def test_event_pattern_single_user_shuffle(spark, sf_dir):
+    from weather_etl_spark.plan_audit import audit_plan
+
+    df = SPECS["q_event_pattern"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    report = audit_plan(df)
+    assert report.exchanges <= 1  # one user_id shuffle feeds everything
+
+
+def test_kruskal_no_cartesian_beyond_ledger(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_agg_kruskal"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_tpch_q19_pushes_disjunction_to_both_scans(spark, sf_dir):
+    df = SPECS["q_tpch_q19"].fn(spark, sf_dir)
+    info = _optimized_scan_info(df)
+    # part side gets the factored Or(brand...) filter pushed
+    assert "Or(And(EqualTo(p_brand,Brand#1)" in info
+    # lineitem side gets the quantity-range union pushed
+    assert "GreaterThanOrEqual(l_quantity,1" in info
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan

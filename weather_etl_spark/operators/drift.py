@@ -1814,3 +1814,127 @@ def q_agg_ols2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(b2, 4).alias("b2_cents_per_pct"),
         F.round(r2, 4).alias("r2"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "q_agg_kruskal",
+    oracle="""
+WITH s AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v2 FROM events
+), ranked AS (
+  SELECT event_type, v2,
+         CAST(ROW_NUMBER() OVER (ORDER BY v2) AS BIGINT) AS rn
+  FROM s
+), avg_rank AS (
+  SELECT event_type,
+         (2.0 * MIN(rn) OVER (PARTITION BY v2)
+          + COUNT(*) OVER (PARTITION BY v2) - 1) / 2 AS ar
+  FROM ranked
+), g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ar AS DECIMAL(28,1))) AS DECIMAL(28,1)) AS r
+  FROM avg_rank GROUP BY event_type
+), t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS n_total,
+         CAST(SUM(CAST(ROUND(CAST(r AS DOUBLE) * r / n, 6)
+                       AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS rsum
+  FROM g
+), ties AS (
+  SELECT CAST(SUM(CAST(c AS DOUBLE) * c * c - c) AS DOUBLE) AS tie_term
+  FROM (SELECT COUNT(*) AS c FROM s GROUP BY v2) u
+)
+SELECT k, n_total,
+       ROUND(12.0 / (CAST(n_total AS DOUBLE) * (n_total + 1))
+             * CAST(rsum AS DOUBLE) - 3.0 * (n_total + 1), 4) AS h,
+       ROUND((12.0 / (CAST(n_total AS DOUBLE) * (n_total + 1))
+              * CAST(rsum AS DOUBLE) - 3.0 * (n_total + 1))
+             / (1 - tie_term
+                    / (CAST(n_total AS DOUBLE) * n_total * n_total
+                       - n_total)), 4) AS h_corrected
+FROM t, ties
+""",
+    doc="Kruskal-Wallis H test of event value across ALL event "
+    "types — the k-sample rank-based one-way ANOVA (q_agg_anova's "
+    "nonparametric twin, extending q_agg_mannwhitney beyond two "
+    "groups): H = 12/(N(N+1)) * sum R_j^2/n_j - 3(N+1) on exact "
+    "dyadic midranks, with the standard tie correction "
+    "1 - sum(t^3 - t)/(N^3 - N). Per-group rank sums are "
+    "DECIMAL-exact (.5-exact doubles summed as DECIMAL(28,1)); "
+    "the one float term per group, R_j^2/n_j, is ROUND-6 "
+    "DECIMAL-summed so the k-row reduction is order-independent.",
+    scale_notes="One global sort-rank (rank = prefix count at "
+    "100 TB, the q_agg_mannwhitney ruling), tie groups on the "
+    "same ordered shuffle, then a k-row ledger. Adding a group "
+    "costs nothing; the sort dominates at any scale.",
+)
+def q_agg_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("v2"),
+    )
+    w_all = Window.orderBy("v2")
+    w_tie = Window.partitionBy("v2")
+    avg_rank = s.withColumn(
+        "rn", F.row_number().over(w_all).cast("bigint")
+    ).select(
+        "event_type",
+        "v2",
+        (
+            (
+                2.0 * F.min("rn").over(w_tie)
+                + F.count(F.lit(1)).over(w_tie)
+                - 1
+            )
+            / 2
+        ).alias("ar"),
+    )
+    g = avg_rank.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("ar").cast("decimal(28,1)"))
+        .cast("decimal(28,1)")
+        .alias("r"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.sum(
+            F.round(
+                F.col("r").cast("double") * F.col("r") / F.col("n"), 6
+            ).cast("decimal(38,6)")
+        )
+        .cast("decimal(38,6)")
+        .alias("rsum"),
+    )
+    ties = (
+        s.groupBy("v2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(
+                F.col("c").cast("double") * F.col("c") * F.col("c")
+                - F.col("c")
+            )
+            .cast("double")
+            .alias("tie_term")
+        )
+    )
+    h = (
+        F.lit(12.0)
+        / (F.col("n_total").cast("double") * (F.col("n_total") + 1))
+        * F.col("rsum").cast("double")
+        - 3.0 * (F.col("n_total") + 1)
+    )
+    corr = F.lit(1) - F.col("tie_term") / (
+        F.col("n_total").cast("double")
+        * F.col("n_total")
+        * F.col("n_total")
+        - F.col("n_total")
+    )
+    return t.crossJoin(F.broadcast(ties)).select(
+        "k",
+        "n_total",
+        F.round(h, 4).alias("h"),
+        F.round(h / corr, 4).alias("h_corrected"),
+    )

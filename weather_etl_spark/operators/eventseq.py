@@ -1402,3 +1402,82 @@ def q_time_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+#: Sequence pattern for q_event_pattern over per-user event-type
+#: initials (c=click, e=error, p=purchase, s=signup, v=view): one or
+#: more views, any clicks, then a purchase — the browse-to-buy motif.
+_SEQ_PATTERN = "v+c*p"
+
+
+@register(
+    "q_event_pattern",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS s
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(length(s) AS BIGINT) AS seq_len,
+       CAST(length(regexp_replace(s, '{_SEQ_PATTERN}', '', 'g'))
+            AS BIGINT) AS residual_len,
+       CAST(len(regexp_extract_all(s, '{_SEQ_PATTERN}')) AS BIGINT)
+         AS n_matches
+FROM seq
+WHERE len(regexp_extract_all(s, '{_SEQ_PATTERN}')) > 0
+ORDER BY n_matches DESC, user_id ASC
+LIMIT 20
+""",
+    doc="Sequence-pattern matching (MATCH_RECOGNIZE-lite): each "
+    "user's event history collapses to an ordered initial string "
+    f"(ts, event_id order) and the regex {_SEQ_PATTERN!r} — one or "
+    "more views, optional clicks, then a purchase — is counted "
+    "non-overlapping, greedy, left-to-right (identical semantics "
+    "in Java regex and RE2). Emits matched-count, sequence length "
+    "and the post-excision residual length; top-20 pattern-heavy "
+    "users.",
+    scale_notes="One user_id shuffle builds the ordered sequence "
+    "string (array_sort over collect_list of (ts, id, initial) "
+    "structs — per-user state bounded by that user's history, the "
+    "q_win_sessionize partition contract); the regex pass is "
+    "zero-shuffle codegen. Top-20 is TakeOrderedAndProject. At "
+    "100 TB, per-user histories cap via the q_llm_domain_cap "
+    "rank-filter before the collect.",
+)
+def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts"),
+                F.col("event_id"),
+                F.substring("event_type", 1, 1).alias("i"),
+            ).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("e")), lambda x: x["i"]
+                ),
+                "",
+            ).alias("s")
+        )
+    )
+    n_matches = F.regexp_count(F.col("s"), F.lit(_SEQ_PATTERN))
+    return (
+        seq.select(
+            "user_id",
+            F.length("s").cast("bigint").alias("seq_len"),
+            F.length(F.regexp_replace("s", _SEQ_PATTERN, ""))
+            .cast("bigint")
+            .alias("residual_len"),
+            n_matches.cast("bigint").alias("n_matches"),
+        )
+        .filter(F.col("n_matches") > 0)
+        .orderBy(F.col("n_matches").desc(), F.col("user_id").asc())
+        .limit(20)
+    )

@@ -1046,3 +1046,78 @@ def q_llm_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("subspace")
     )
+
+
+#: Fixed anchor set for hard-negative mining (bounded, broadcastable —
+#: the q_llm_knn probe convention on a disjoint id set).
+_HARDNEG_ANCHORS = (10, 20, 30, 40, 50)
+_HARDNEG_K = 5
+
+
+@register(
+    "q_llm_hard_negatives",
+    oracle=f"""
+WITH anchors AS (
+  SELECT vec_id AS anchor_id, label AS anchor_label,
+         CAST(embedding AS DOUBLE[]) AS ae
+  FROM embeddings WHERE vec_id IN {_HARDNEG_ANCHORS}
+), scored AS (
+  SELECT anchor_id, anchor_label, e.vec_id, e.label,
+         CAST(list_cosine_similarity(ae, CAST(e.embedding AS DOUBLE[]))
+              AS DOUBLE) AS cos_raw
+  FROM anchors JOIN embeddings e ON e.label <> anchor_label
+)
+SELECT anchor_id, anchor_label, vec_id AS negative_id,
+       label AS negative_label, ROUND(cos_raw, 4) AS cos
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                   ORDER BY cos_raw DESC, vec_id ASC) AS rn
+      FROM scored) t
+WHERE rn <= {_HARDNEG_K}
+ORDER BY anchor_id, cos DESC, negative_id
+""",
+    doc="Hard-negative mining for contrastive training: for each "
+    "anchor embedding, the top-5 most-similar vectors carrying a "
+    "DIFFERENT label — the near-miss negatives that make triplet/"
+    "InfoNCE training informative (random negatives are too easy). "
+    "q_llm_knn's exact cosine top-k with the label-inequality "
+    "predicate swapped in; vec_id tie-break.",
+    scale_notes="Anchors broadcast (bounded set), one linear scan "
+    "of the candidate corpus, per-anchor top-k via WindowGroupLimit "
+    "— identical physics to q_llm_knn. At 100 TB with a LARGE "
+    "anchor set this becomes the llm_knn_blocked mapInPandas "
+    "matmul or the llm_ann_* bucketed paths, with the label filter "
+    "applied inside each block.",
+)
+def q_llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id").isin(*_HARDNEG_ANCHORS)).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("ae"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(F.col("label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "vec_id",
+            "label",
+            cosine(F.col("ae"), F.col("embedding")).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_raw").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _HARDNEG_K)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            F.round("cos_raw", 4).alias("cos"),
+        )
+        .orderBy("anchor_id", F.col("cos").desc(), "negative_id")
+    )

@@ -840,3 +840,70 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "q_tpch_q19",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,6))) AS DOUBLE)
+         AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+       AND l_quantity >= 1 AND l_quantity <= 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+       AND l_quantity >= 10 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 20 AND l_quantity <= 30)
+""",
+    doc="TPC-H Q19 (discounted revenue): three disjunctive "
+    "brand/size/quantity predicate branches OR-ed across the "
+    "lineitem-part join — the spec's test that an optimizer can "
+    "split a cross-relation disjunction into per-side implied "
+    "filters instead of evaluating it post-join on every row. "
+    "Adapted to the synthetic part schema (no container/shipmode "
+    "columns; brand + size + quantity branches only). Money stays "
+    "DECIMAL to the single-row head.",
+    scale_notes="Catalyst factors the disjunction: the part scan "
+    "gets Or(brand/size) pushed filters and lineitem gets the "
+    "quantity-range union pushed, so both scans prune BEFORE the "
+    "join (plan-asserted) and the exact 3-branch predicate "
+    "re-applies post-join. The join then carries only candidate "
+    "rows; single-row reduction. At 100 TB the pushed ranges are "
+    "row-group stats skips on both sides.",
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = read_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    b1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 5)
+        & (F.col("l_quantity") >= 1)
+        & (F.col("l_quantity") <= 11)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 10)
+        & (F.col("l_quantity") >= 10)
+        & (F.col("l_quantity") <= 20)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 15)
+        & (F.col("l_quantity") >= 20)
+        & (F.col("l_quantity") <= 30)
+    )
+    rev = dec2("l_extendedprice") * dec6(F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(b1 | b2 | b3)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )

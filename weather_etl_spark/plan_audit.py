@@ -107,6 +107,10 @@ ALLOW_BNL: dict[str, str] = {
     "customer scan — the q_filter_ts_cursor pattern (tpch.py)",
     "q_llm_bm25": "1-row (N, avgdl) corpus aggregate crossed into the "
     "3-term tf frame — the q_filter_ts_cursor pattern (llm_text.py)",
+    "q_agg_kruskal": "1-row rank-ledger x 1-row tie-term crossJoin — "
+    "the q_agg_mannwhitney moment-frame pattern (drift.py)",
+    "q_llm_hard_negatives": "5-row constant anchor matrix — the "
+    "q_llm_knn bounded-probe pattern (llm_vector.py)",
 }
 
 #: Row-at-a-time Python — only the deliberate slow-path demos that

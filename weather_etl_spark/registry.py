@@ -352,6 +352,10 @@ DRIVER_DEFERRED: frozenset[str] = frozenset({
     # thirty-second late batch (the hard TPC-H correlated-subquery
     # trio / k-sample ANOVA)
     "q_tpch_q21", "q_tpch_q17", "q_tpch_q22", "q_agg_anova",
+    # thirty-third late batch (contrastive mining / sequence pattern
+    # matching / rank-based k-sample test / disjunctive pushdown)
+    "q_llm_hard_negatives", "q_event_pattern", "q_agg_kruskal",
+    "q_tpch_q19",
 })
 
 
