@@ -2328,3 +2328,130 @@ def test_tpch_q19_matches_python(spark):
     row = SPECS["q_tpch_q19"].fn(spark, SF).collect()[0]
     assert row["n_lines"] == len(picked)
     assert row["revenue"] == pytest.approx(rev, rel=1e-9)
+
+
+def test_kneser_ney_matches_python(spark):
+    import collections
+    import math
+
+    docs = spark.read.parquet(SF + "/documents.parquet").collect()
+    c2 = collections.Counter()
+    for r in docs:
+        t = r["text"].split(" ")
+        if len(t) >= 2:
+            for a, b in zip(t, t[1:]):
+                c2[(a, b)] += 1
+    c1 = collections.Counter()
+    n1f = collections.Counter()
+    n1b = collections.Counter()
+    for (a, b), c in c2.items():
+        c1[a] += c
+        n1f[a] += 1
+        n1b[b] += 1
+    B = len(c2)
+    T = sum(c2.values())
+    d = 0.75
+    h_kn = h_mle = 0.0
+    for (a, b), c in c2.items():
+        p = max(c - d, 0) / c1[a] + (d * n1f[a] / c1[a]) * (n1b[b] / B)
+        h_kn += c * -math.log(p)
+        h_mle += c * -math.log(c / c1[a])
+    row = SPECS["q_llm_kneser_ney"].fn(spark, SF).collect()[0]
+    assert row["n_bigrams"] == T and row["n_bigram_types"] == B
+    assert row["h_kn_nats"] == pytest.approx(h_kn / T, abs=2e-4)
+    assert row["h_mle_nats"] == pytest.approx(h_mle / T, abs=2e-4)
+    # smoothing always costs entropy on the training corpus
+    assert row["h_kn_nats"] >= row["h_mle_nats"]
+
+
+def test_time_to_convert_matches_python(spark):
+    import statistics
+
+    ev = spark.read.parquet(SF + "/events.parquet").collect()
+    first_view = {}
+    for r in sorted(ev, key=lambda r: r["ts"]):
+        if r["event_type"] == "view" and r["user_id"] not in first_view:
+            first_view[r["user_id"]] = r["ts"]
+    lat = {}
+    for r in sorted(ev, key=lambda r: r["ts"]):
+        u = r["user_id"]
+        if (
+            r["event_type"] == "purchase"
+            and u in first_view
+            and r["ts"] > first_view[u]
+            and u not in lat
+        ):
+            lat[u] = (r["ts"] - first_view[u]).total_seconds()
+    row = SPECS["q_event_time_to_convert"].fn(spark, SF).collect()[0]
+    assert row["n_viewers"] == len(first_view)
+    assert row["n_converters"] == len(lat)
+    vals = sorted(lat.values())
+    assert row["med_hours"] == pytest.approx(
+        statistics.median(vals) / 3600, abs=1e-3
+    )
+    assert row["avg_hours"] == pytest.approx(
+        sum(vals) / len(vals) / 3600, abs=1e-3
+    )
+    assert row["p90_hours"] >= row["med_hours"]
+
+
+def test_levene_matches_python(spark):
+    import collections
+    import statistics
+
+    ev = spark.read.parquet(SF + "/events.parquet").collect()
+    groups = collections.defaultdict(list)
+    for r in ev:
+        groups[r["event_type"]].append(round(r["value"] * 100))
+    z = {
+        t: [abs(x - statistics.median(v)) for x in v]
+        for t, v in groups.items()
+    }
+    k = len(z)
+    n = sum(len(v) for v in z.values())
+    grand = sum(sum(v) for v in z.values()) / n
+    ssb = sum(len(v) * (sum(v) / len(v) - grand) ** 2 for v in z.values())
+    ssw = sum(
+        sum((x - sum(v) / len(v)) ** 2 for x in v) for v in z.values()
+    )
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    row = SPECS["q_agg_levene"].fn(spark, SF).collect()[0]
+    assert row["k"] == k and row["n_total"] == n
+    assert row["f_bf"] == pytest.approx(f, abs=2e-3)
+
+
+def test_cohort_ltv_matches_python(spark):
+    import collections
+    from datetime import timedelta
+
+    def week(ts):
+        d = ts.date()
+        return d - timedelta(days=d.weekday())
+
+    ev = spark.read.parquet(SF + "/events.parquet").collect()
+    first = {}
+    for r in sorted(ev, key=lambda r: r["ts"]):
+        first.setdefault(r["user_id"], week(r["ts"]))
+    sizes = collections.Counter(first.values())
+    rev = collections.Counter()
+    for r in ev:
+        cw = first[r["user_id"]]
+        age = (week(r["ts"]) - cw).days // 7
+        rev[(cw, age)] += round(r["value"] * 100)
+    got = SPECS["q_cohort_ltv"].fn(spark, SF).collect()
+    assert len(got) > 1, "weekly cohorts must not be degenerate"
+    cum = collections.Counter()
+    seen = set()
+    for r in got:
+        cw = r["cohort_week"]
+        cum[cw] += rev[(cw, r["age"])]
+        seen.add((cw, r["age"]))
+        assert r["n_users"] == sizes[cw]
+        assert r["cum_rev_dollars"] == pytest.approx(
+            cum[cw] / 100, abs=1e-2
+        )
+        assert r["ltv_per_user"] == pytest.approx(
+            cum[cw] / 100 / sizes[cw], abs=1e-3
+        )
+    assert seen == set(rev)
+    assert sum(rev.values()) == sum(cum.values())

@@ -1276,3 +1276,35 @@ def test_tpch_q19_pushes_disjunction_to_both_scans(spark, sf_dir):
     assert "GreaterThanOrEqual(l_quantity,1" in info
     plan = _executed_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_kneser_ney_no_vocab_broadcast_hints(spark, sf_dir):
+    df = SPECS["q_llm_kneser_ney"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan
+    # the only BNL is the 1-row (B, T) totals cross
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_time_to_convert_single_user_shuffle_family(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_event_time_to_convert"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_levene_two_pass_ledger(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_agg_levene"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cohort_ltv_windows_on_ledger(spark, sf_dir):
+    from weather_etl_spark.plan_audit import audit_plan
+
+    df = SPECS["q_cohort_ltv"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan
+    report = audit_plan(df)
+    # two event-table shuffles (cohort assign + revenue join); the
+    # rest exchange only the months^2-bounded (cohort, age) ledger
+    assert report.exchanges <= 6

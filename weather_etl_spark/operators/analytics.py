@@ -1253,3 +1253,97 @@ def q_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             "powered"
         ),
     )
+
+
+@register(
+    "q_cohort_ltv",
+    oracle="""
+WITH first AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_wk
+  FROM events GROUP BY user_id
+), size_ AS (
+  SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM first GROUP BY cohort_wk
+), rev AS (
+  SELECT f.cohort_wk,
+         CAST(date_diff('day', f.cohort_wk,
+                        date_trunc('week', e.ts)) // 7 AS BIGINT) AS age,
+         CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events e JOIN first f USING (user_id)
+  GROUP BY f.cohort_wk, age
+), cum AS (
+  SELECT cohort_wk, age,
+         CAST(SUM(cents) OVER (PARTITION BY cohort_wk ORDER BY age)
+              AS BIGINT) AS cum_cents
+  FROM rev
+)
+SELECT CAST(c.cohort_wk AS DATE) AS cohort_week, c.age,
+       s.n_users,
+       ROUND(c.cum_cents / 100.0, 2) AS cum_rev_dollars,
+       ROUND(c.cum_cents / 100.0 / s.n_users, 4) AS ltv_per_user
+FROM cum c JOIN size_ s USING (cohort_wk)
+ORDER BY cohort_week, age
+""",
+    doc="Cohort LTV curves: users cohorted by first-event week "
+    "(the q_cohort_retention cohort grain), revenue accumulated by "
+    "week-age since acquisition, divided by cohort size — the "
+    "lifetime-value readout that q_cohort_retention's presence "
+    "matrix omits. Revenue is exact integer cents through the "
+    "running sum; only the final per-user division floats.",
+    scale_notes="The user_id shuffle assigns cohorts (shared with "
+    "every other first-touch analytic), the (cohort, age) ledger "
+    "is months^2-bounded whatever the corpus, and the running sum "
+    "windows over that tiny ledger. Incremental refresh appends "
+    "one age column per month — nothing recomputes.",
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_wk")
+    )
+    size = first.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    rev = (
+        ev.join(first, "user_id")
+        .groupBy(
+            "cohort_wk",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")), F.col("cohort_wk")
+                )
+                / 7
+            )
+            .cast("bigint")
+            .alias("age"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_wk")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rev.withColumn(
+            "cum_cents", F.sum("cents").over(w).cast("bigint")
+        )
+        .join(size, "cohort_wk")
+        .select(
+            F.col("cohort_wk").cast("date").alias("cohort_week"),
+            "age",
+            "n_users",
+            F.round(F.col("cum_cents") / 100.0, 2).alias(
+                "cum_rev_dollars"
+            ),
+            F.round(
+                F.col("cum_cents") / 100.0 / F.col("n_users"), 4
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort_week", "age")
+    )

@@ -1938,3 +1938,105 @@ def q_agg_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(h, 4).alias("h"),
         F.round(h / corr, 4).alias("h_corrected"),
     )
+
+
+@register(
+    "q_agg_levene",
+    oracle="""
+WITH s AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v2 FROM events
+), med AS (
+  SELECT event_type,
+         CAST(ROUND(2 * quantile_cont(v2, 0.5)) AS BIGINT) AS m2
+  FROM s GROUP BY event_type
+), z AS (
+  -- Brown-Forsythe spread scores in exact half-cents: |2x - 2*median|
+  SELECT s.event_type, ABS(2 * s.v2 - med.m2) AS z2
+  FROM s JOIN med USING (event_type)
+), g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(z2) AS DECIMAL(38,0)) AS sm,
+         CAST(SUM(z2 * z2) AS DECIMAL(38,0)) AS ss,
+         CAST(ROUND(CAST(SUM(z2) AS DOUBLE) * SUM(z2) / COUNT(*), 6)
+              AS DECIMAL(38,6)) AS sn
+  FROM z GROUP BY event_type
+), t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS n_total,
+         CAST(SUM(sm) AS DECIMAL(38,0)) AS s_all,
+         CAST(SUM(ss) AS DECIMAL(38,0)) AS ss_all,
+         CAST(SUM(sn) AS DECIMAL(38,6)) AS sn_all
+  FROM g
+)
+SELECT k, n_total,
+       ROUND(((CAST(sn_all AS DOUBLE)
+               - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) / n_total)
+              / (k - 1))
+             / ((CAST(ss_all AS DOUBLE) - CAST(sn_all AS DOUBLE))
+                / (n_total - k)), 4) AS f_bf
+FROM t
+""",
+    doc="Brown-Forsythe test (Levene's test with group medians) for "
+    "homogeneity of variance across event types: one-way ANOVA run "
+    "on the spread scores z = |x - median_group| — the robust "
+    "precondition check for q_agg_anova's equal-variance "
+    "assumption. Scores are exact integer half-cents (group "
+    "medians of BIGINT cents are .5-exact, so 2x - 2*median is an "
+    "integer), making every aggregate below the final F exact; F "
+    "is scale-invariant so the x2 factor cancels.",
+    scale_notes="One event_type shuffle for the medians (the "
+    "q_agg_hist_quantile path at 100 TB), a back-join against the "
+    "k-row median ledger (AQE broadcasts it), then the q_agg_anova "
+    "mergeable-triple reduction. Two passes over events, k-row "
+    "ledgers between.",
+)
+def q_agg_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("v2"),
+    )
+    med = s.groupBy("event_type").agg(
+        F.round(2 * F.expr("percentile(v2, 0.5)"))
+        .cast("bigint")
+        .alias("m2")
+    )
+    z = s.join(med, "event_type").select(
+        "event_type",
+        F.abs(2 * F.col("v2") - F.col("m2")).alias("z2"),
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("z2").cast("decimal(38,0)").alias("sm"),
+        F.sum(F.col("z2") * F.col("z2")).cast("decimal(38,0)").alias("ss"),
+        F.round(
+            F.sum("z2").cast("double") * F.sum("z2") / F.count(F.lit(1)),
+            6,
+        )
+        .cast("decimal(38,6)")
+        .alias("sn"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.sum("sm").cast("decimal(38,0)").alias("s_all"),
+        F.sum("ss").cast("decimal(38,0)").alias("ss_all"),
+        F.sum("sn").cast("decimal(38,6)").alias("sn_all"),
+    )
+    ssb = (
+        F.col("sn_all").cast("double")
+        - F.col("s_all").cast("double")
+        * F.col("s_all").cast("double")
+        / F.col("n_total")
+    )
+    ssw = F.col("ss_all").cast("double") - F.col("sn_all").cast("double")
+    return t.select(
+        "k",
+        "n_total",
+        F.round(
+            (ssb / (F.col("k") - 1))
+            / (ssw / (F.col("n_total") - F.col("k"))),
+            4,
+        ).alias("f_bf"),
+    )

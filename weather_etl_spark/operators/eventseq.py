@@ -1481,3 +1481,86 @@ def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_matches").desc(), F.col("user_id").asc())
         .limit(20)
     )
+
+
+@register(
+    "q_event_time_to_convert",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+), p AS (
+  SELECT e.user_id,
+         CAST(date_diff('second', v.t_view, MIN(e.ts)) AS BIGINT)
+           AS lat_sec
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+  GROUP BY e.user_id, v.t_view
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_viewers,
+       CAST(COUNT(*) AS BIGINT) AS n_converters,
+       ROUND(100.0 * COUNT(*)
+             / (SELECT COUNT(*) FROM v), 4) AS conv_pct,
+       ROUND(quantile_cont(lat_sec, 0.5) / 3600, 4) AS med_hours,
+       ROUND(quantile_cont(lat_sec, 0.9) / 3600, 4) AS p90_hours,
+       ROUND(CAST(SUM(lat_sec) AS DOUBLE) / COUNT(*) / 3600, 4)
+         AS avg_hours
+FROM p
+""",
+    doc="Time-to-convert distribution: per user, the latency from "
+    "FIRST view to the first subsequent purchase (strict >, the "
+    "q_funnel ordering contract), summarized as conversion rate "
+    "plus median/p90/mean hours — the product-analytics latency "
+    "readout that q_funnel's stage counts omit. Latencies are "
+    "exact integer seconds; the percentiles are exact "
+    "(quantile_cont on BIGINTs) and only the final /3600 is "
+    "float.",
+    scale_notes="Two user_id-keyed min-aggregates sharing one "
+    "shuffle (AQE reuses the exchange), then a 1-row reduction; "
+    "the exact percentiles become the q_agg_hist_quantile "
+    "mergeable-histogram path at 100 TB. No per-user state beyond "
+    "two timestamps.",
+)
+def q_event_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("ts").alias("t_purchase"))
+        .select(
+            (
+                F.unix_timestamp("t_purchase") - F.unix_timestamp("t_view")
+            )
+            .cast("bigint")
+            .alias("lat_sec")
+        )
+    )
+    nv = v.agg(F.count(F.lit(1)).cast("bigint").alias("n_viewers"))
+    return (
+        p.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_converters"),
+            F.expr("percentile(lat_sec, 0.5)").alias("med_raw"),
+            F.expr("percentile(lat_sec, 0.9)").alias("p90_raw"),
+            F.sum("lat_sec").cast("double").alias("sum_sec"),
+        )
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "n_viewers",
+            "n_converters",
+            F.round(
+                100.0 * F.col("n_converters") / F.col("n_viewers"), 4
+            ).alias("conv_pct"),
+            F.round(F.col("med_raw") / 3600, 4).alias("med_hours"),
+            F.round(F.col("p90_raw") / 3600, 4).alias("p90_hours"),
+            F.round(
+                F.col("sum_sec") / F.col("n_converters") / 3600, 4
+            ).alias("avg_hours"),
+        )
+    )

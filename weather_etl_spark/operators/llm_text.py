@@ -1424,3 +1424,121 @@ def q_llm_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
             bp * F.exp((F.log("p1") + F.log("p2")) / 2), 4
         ).alias("bleu2"),
     )
+
+
+#: Absolute discount for the Kneser-Ney smoothed bigram model.
+_KN_DISCOUNT = 0.75
+
+
+@register(
+    "q_llm_kneser_ney",
+    oracle=f"""
+WITH toks AS (
+  SELECT string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+), pairs AS (
+  SELECT unnest(list_transform(range(1, len(t)),
+                               i -> struct_pack(w1 := t[i],
+                                                w2 := t[i + 1]))) AS p
+  FROM toks
+), bg AS (
+  SELECT p.w1 AS w1, p.w2 AS w2 FROM pairs
+), c2 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY w1, w2
+), g1 AS (
+  SELECT w1, CAST(SUM(c) AS BIGINT) AS c1,
+         CAST(COUNT(*) AS BIGINT) AS n1f
+  FROM c2 GROUP BY w1
+), g2 AS (
+  SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b FROM c2 GROUP BY w2
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS b, CAST(SUM(c) AS BIGINT) AS t
+  FROM c2
+), scored AS (
+  SELECT c2.c,
+         (GREATEST(CAST(c2.c AS DOUBLE) - {_KN_DISCOUNT}, 0) / g1.c1)
+         + (({_KN_DISCOUNT} * g1.n1f / g1.c1)
+            * (CAST(g2.n1b AS DOUBLE) / tot.b)) AS p_kn,
+         CAST(c2.c AS DOUBLE) / g1.c1 AS p_mle
+  FROM c2 JOIN g1 USING (w1) JOIN g2 USING (w2) CROSS JOIN tot
+)
+SELECT tot.t AS n_bigrams, tot.b AS n_bigram_types,
+       ROUND(CAST(SUM(CAST(ROUND(CAST(c AS DOUBLE) * -LN(p_kn), 8)
+                           AS DECIMAL(28,8))) AS DOUBLE) / tot.t, 4)
+         AS h_kn_nats,
+       ROUND(CAST(SUM(CAST(ROUND(CAST(c AS DOUBLE) * -LN(p_mle), 8)
+                           AS DECIMAL(28,8))) AS DOUBLE) / tot.t, 4)
+         AS h_mle_nats
+FROM scored CROSS JOIN tot
+GROUP BY tot.t, tot.b
+""",
+    doc="Kneser-Ney smoothed bigram language model (absolute "
+    f"discount d={_KN_DISCOUNT}): P(w2|w1) = max(c-d,0)/c(w1) + "
+    "d*N1+(w1,.)/c(w1) * N1+(.,w2)/B, where the continuation "
+    "probability counts DISTINCT predecessor types, not tokens — "
+    "the smoothing that q_llm_perplexity's MLE bigram model lacks. "
+    "Emits corpus cross-entropy under both models; smoothing "
+    "necessarily costs entropy on the training corpus itself "
+    "(h_kn >= h_mle, asserted in tests). Per-bigram NLL terms are "
+    "ROUND-8 DECIMAL-summed for order-independence.",
+    scale_notes="All model state lives in three count tables over "
+    "distinct bigram/unigram types — the two vocabulary joins are "
+    "hash joins on w1/w2 with NO broadcast hints (the r5 "
+    "perplexity ruling: vocabulary grows with the corpus), and the "
+    "1-row (B, T) total crosses in broadcast. Shuffles carry "
+    "(gram, count) pairs, never text.",
+)
+def q_llm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bg = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) AS w1,"
+                "             element_at(t, i + 1) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    c2 = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    g1 = c2.groupBy("w1").agg(
+        F.sum("c").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n1f"),
+    )
+    g2 = c2.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1b")
+    )
+    tot = c2.agg(
+        F.count(F.lit(1)).cast("bigint").alias("b"),
+        F.sum("c").cast("bigint").alias("t"),
+    )
+    d = F.lit(_KN_DISCOUNT)
+    p_kn = (
+        F.greatest(F.col("c").cast("double") - d, F.lit(0.0)) / F.col("c1")
+    ) + (
+        (d * F.col("n1f") / F.col("c1"))
+        * (F.col("n1b").cast("double") / F.col("b"))
+    )
+    p_mle = F.col("c").cast("double") / F.col("c1")
+    nll = lambda p: F.sum(  # noqa: E731
+        F.round(F.col("c").cast("double") * -F.log(p), 8).cast(
+            "decimal(28,8)"
+        )
+    ).cast("double")
+    return (
+        c2.join(g1, "w1")
+        .join(g2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.col("t").alias("n_bigrams"),
+            F.col("b").alias("n_bigram_types"),
+        )
+        .agg(
+            F.round(nll(p_kn) / F.first("t"), 4).alias("h_kn_nats"),
+            F.round(nll(p_mle) / F.first("t"), 4).alias("h_mle_nats"),
+        )
+    )

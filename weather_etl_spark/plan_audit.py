@@ -111,6 +111,12 @@ ALLOW_BNL: dict[str, str] = {
     "the q_agg_mannwhitney moment-frame pattern (drift.py)",
     "q_llm_hard_negatives": "5-row constant anchor matrix — the "
     "q_llm_knn bounded-probe pattern (llm_vector.py)",
+    "q_llm_kneser_ney": "1-row (B, T) bigram-total aggregate crossed "
+    "into the count-table join — the q_llm_entropy_rate pattern "
+    "(llm_text.py)",
+    "q_event_time_to_convert": "1-row viewer-count aggregate crossed "
+    "into the 1-row latency ledger — the q_filter_ts_cursor pattern "
+    "(eventseq.py)",
 }
 
 #: Row-at-a-time Python — only the deliberate slow-path demos that

@@ -356,6 +356,10 @@ DRIVER_DEFERRED: frozenset[str] = frozenset({
     # matching / rank-based k-sample test / disjunctive pushdown)
     "q_llm_hard_negatives", "q_event_pattern", "q_agg_kruskal",
     "q_tpch_q19",
+    # thirty-fourth late batch (smoothed LM / conversion latency /
+    # variance homogeneity / LTV curves)
+    "q_llm_kneser_ney", "q_event_time_to_convert", "q_agg_levene",
+    "q_cohort_ltv",
 })
 
 
