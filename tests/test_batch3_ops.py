@@ -2455,3 +2455,103 @@ def test_cohort_ltv_matches_python(spark):
         )
     assert seen == set(rev)
     assert sum(rev.values()) == sum(cum.values())
+
+
+def test_span_corruption_matches_python(spark):
+    import collections
+
+    docs = spark.read.parquet(SF + "/documents.parquet").collect()
+    buckets = collections.defaultdict(
+        lambda: [0, 0, 0, 0, 0, 0]
+    )  # docs, tokens, masked, chars, input, target
+    for r in docs:
+        t = r["text"].split(" ")
+        masked = [x for j, x in enumerate(t) if j % 9 in (3, 4, 5)]
+        spans = sum(1 for j in range(len(t)) if j % 9 == 3)
+        b = buckets[spans]
+        b[0] += 1
+        b[1] += len(t)
+        b[2] += len(masked)
+        b[3] += sum(len(x) for x in masked)
+        b[4] += len(t) - len(masked) + spans
+        b[5] += len(masked) + spans
+    got = {r["n_spans"]: r for r in SPECS["q_llm_span_corruption"].fn(spark, SF).collect()}
+    assert set(got) == set(buckets)
+    for spans, b in buckets.items():
+        g = got[spans]
+        assert (
+            g["n_docs"],
+            g["tot_tokens"],
+            g["tot_masked"],
+            g["tot_masked_chars"],
+            g["tot_input_tokens"],
+            g["tot_target_tokens"],
+        ) == tuple(b)
+        assert g["mask_ratio"] == pytest.approx(b[2] / b[1], abs=2e-4)
+        # span geometry: ~1/3 of tokens masked for long docs
+        if b[1] / b[0] > 50:
+            assert 0.2 < g["mask_ratio"] < 0.42
+
+
+def test_preference_pairs_matches_python(spark):
+    docs = spark.read.parquet(SF + "/documents.parquet").collect()
+    ttr = {}
+    for r in docs:
+        toks = [x for x in r["text"].split(" ") if x]
+        ttr[r["doc_id"]] = len(set(toks)) / len(toks)
+    pairs = []
+    by_pair = {}
+    for d in sorted(ttr):
+        by_pair.setdefault(d // 2, []).append(d)
+    for pid, ds in by_pair.items():
+        if len(ds) != 2:
+            continue
+        a, b = ds
+        if (ttr[a], -a) >= (ttr[b], -b):
+            chosen, rejected = a, b
+        else:
+            chosen, rejected = b, a
+        pairs.append(
+            (-round(abs(ttr[a] - ttr[b]), 4), pid, chosen, rejected)
+        )
+    pairs.sort()
+    got = SPECS["q_llm_preference_pairs"].fn(spark, SF).collect()
+    assert len(got) == 15
+    for r, (negm, pid, c, rej) in zip(got, pairs[:15]):
+        assert r["pair_id"] == pid
+        assert r["chosen_id"] == c and r["rejected_id"] == rej
+        assert r["margin"] == pytest.approx(-negm, abs=1e-4)
+        assert ttr[r["chosen_id"]] >= ttr[r["rejected_id"]]
+
+
+def test_assortativity_matches_python(spark):
+    import math
+
+    orders = spark.read.parquet(SF + "/orders.parquet").collect()
+    li = spark.read.parquet(SF + "/lineitem.parquet").collect()
+    custof = {r["o_orderkey"]: r["o_custkey"] for r in orders}
+    edges = {
+        (custof[r["l_orderkey"]] * 2, r["l_suppkey"] * 2 + 1) for r in li
+    }
+    deg = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    xs = []
+    for u, v in edges:
+        xs.append((deg[u], deg[v]))
+        xs.append((deg[v], deg[u]))
+    m = len(xs)
+    sx = sum(x for x, _ in xs)
+    sy = sum(y for _, y in xs)
+    sxx = sum(x * x for x, _ in xs)
+    syy = sum(y * y for _, y in xs)
+    sxy = sum(x * y for x, y in xs)
+    r_want = (m * sxy - sx * sy) / math.sqrt(
+        (m * sxx - sx * sx) * (m * syy - sy * sy)
+    )
+    row = SPECS["q_graph_assortativity"].fn(spark, SF).collect()[0]
+    assert row["n_edges"] == len(edges)
+    assert row["assortativity"] == pytest.approx(r_want, abs=2e-4)
+    # bipartite customer-supplier graphs mix disassortatively or ~0
+    assert row["assortativity"] < 0.5

@@ -1308,3 +1308,26 @@ def test_cohort_ltv_windows_on_ledger(spark, sf_dir):
     # two event-table shuffles (cohort assign + revenue join); the
     # rest exchange only the months^2-bounded (cohort, age) ledger
     assert report.exchanges <= 6
+
+
+def test_span_corruption_no_explode_no_shuffle_before_ledger(spark, sf_dir):
+    from weather_etl_spark.plan_audit import audit_plan
+
+    df = SPECS["q_llm_span_corruption"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "Generate" not in plan, "span accounting must not explode"
+    report = audit_plan(df)
+    assert report.exchanges <= 2  # spans-bucket ledger + final sort
+
+
+def test_preference_pairs_hash_self_join(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_llm_preference_pairs"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_assortativity_two_hash_joins(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_graph_assortativity"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -679,3 +679,91 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in out_rows[1:]:
         out = out.unionByName(s)
     return out.orderBy("round")
+
+
+@register(
+    "q_graph_assortativity",
+    oracle=f"""
+WITH e AS ({_EDGE_SQL}),
+edges AS (
+  SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+), deg AS (
+  SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY u
+), pairs AS (
+  SELECT du.d AS x, dv.d AS y
+  FROM edges JOIN deg du ON edges.u = du.u
+             JOIN deg dv ON edges.v = dv.u
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(y * y) AS DECIMAL(38,0)) AS syy,
+         CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy
+  FROM pairs
+)
+SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+       ROUND((m * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+             / SQRT((m * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                    * (m * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * sy)), 4) AS assortativity
+FROM s
+""",
+    doc="Degree assortativity of the customer-supplier transaction "
+    "graph: the Pearson correlation of endpoint degrees over every "
+    "edge (both orientations, the Newman definition) — positive "
+    "means hubs transact with hubs, negative means hub-leaf "
+    "(bipartite graphs typically skew negative). Exact integer "
+    "sufficient statistics (DECIMAL(38,0) sums of degree "
+    "products); one float expression at the head.",
+    scale_notes="Distinct edges once, degrees once, two hash joins "
+    "edge->degree keyed on node id, then a mergeable 6-tuple "
+    "reduction — the q_agg_anova two-level shape on the edge "
+    "list. Degree skew concentrates the join on hub keys; at "
+    "100 TB the deg table pre-aggregates so hubs carry one row "
+    "each.",
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _pairs(spark, sf_dir)
+    edges = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = edges.groupBy("u").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    pairs = (
+        edges.join(deg.withColumnRenamed("u", "n1"), F.col("u") == F.col("n1"))
+        .select(F.col("v"), F.col("d").alias("x"))
+        .join(
+            deg.select(
+                F.col("u").alias("n2"), F.col("d").alias("y")
+            ),
+            F.col("v") == F.col("n2"),
+        )
+        .select("x", "y")
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    num = F.col("m") * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy")
+    den = F.sqrt(
+        (
+            F.col("m") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx")
+        )
+        * (
+            F.col("m") * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy")
+        )
+    )
+    return s.select(
+        (F.col("m") / 2).cast("bigint").alias("n_edges"),
+        F.round(num / den, 4).alias("assortativity"),
+    )

@@ -1463,3 +1463,187 @@ def q_llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+#: Span-corruption geometry: within every 9-token window, the 3-token
+#: run at offsets 3..5 is masked (deterministic stand-in for T5's
+#: ~15% random span sampling; one sentinel per span).
+_SPAN_MOD = 9
+_SPAN_OFFSETS = (3, 4, 5)
+
+
+@register(
+    "q_llm_span_corruption",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(t, (x, i) -> (i - 1) % {_SPAN_MOD}
+                                           IN {_SPAN_OFFSETS}))
+              AS BIGINT) AS n_masked,
+         CAST(len(list_filter(t, (x, i) -> (i - 1) % {_SPAN_MOD}
+                                           = {_SPAN_OFFSETS[0]}))
+              AS BIGINT) AS n_spans,
+         CAST(COALESCE(list_sum(list_transform(
+                list_filter(t, (x, i) -> (i - 1) % {_SPAN_MOD}
+                                         IN {_SPAN_OFFSETS}),
+                x -> length(x))), 0) AS BIGINT) AS masked_chars
+  FROM d
+)
+SELECT n_spans,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+       CAST(SUM(n_masked) AS BIGINT) AS tot_masked,
+       CAST(SUM(masked_chars) AS BIGINT) AS tot_masked_chars,
+       CAST(SUM(n_tokens - n_masked + n_spans) AS BIGINT)
+         AS tot_input_tokens,
+       CAST(SUM(n_masked + n_spans) AS BIGINT) AS tot_target_tokens,
+       ROUND(CAST(SUM(n_masked) AS DOUBLE) / SUM(n_tokens), 4)
+         AS mask_ratio
+FROM m GROUP BY n_spans ORDER BY n_spans
+""",
+    doc="T5-style span corruption accounting: every 9-token window "
+    "masks the 3-token run at offsets 3-5 (a deterministic proxy "
+    "for the ~15% random-span sampling), each span replaced by ONE "
+    "sentinel on the input side and emitted with its sentinel on "
+    "the target side. Per span-count bucket: documents, masked "
+    "token/char volume, resulting encoder-input and decoder-target "
+    "lengths, and the realized mask ratio — the numbers that size "
+    "a denoising pretraining batch. Indexed-lambda list ops "
+    "(0-based in Spark, 1-based in DuckDB, offsets aligned).",
+    scale_notes="Zero-shuffle codegen'd higher-order functions over "
+    "the token array (no explode — the array never leaves the "
+    "row), then a spans-bucket ledger aggregation whose "
+    "cardinality is max_doc_len/9. Scan-bound at any corpus "
+    "size.",
+)
+def q_llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    offs = ", ".join(str(o) for o in _SPAN_OFFSETS)
+    masked = f"filter(t, (x, i) -> i % {_SPAN_MOD} IN ({offs}))"
+    m = docs.select(
+        F.split("text", " ").alias("t")
+    ).select(
+        F.size("t").cast("bigint").alias("n_tokens"),
+        F.expr(f"size({masked})").cast("bigint").alias("n_masked"),
+        F.expr(
+            f"size(filter(t, (x, i) -> i % {_SPAN_MOD}"
+            f" = {_SPAN_OFFSETS[0]}))"
+        )
+        .cast("bigint")
+        .alias("n_spans"),
+        F.expr(f"aggregate({masked}, 0, (a, x) -> a + length(x))")
+        .cast("bigint")
+        .alias("masked_chars"),
+    )
+    return (
+        m.groupBy("n_spans")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("tot_tokens"),
+            F.sum("n_masked").cast("bigint").alias("tot_masked"),
+            F.sum("masked_chars").cast("bigint").alias("tot_masked_chars"),
+            F.sum(
+                F.col("n_tokens") - F.col("n_masked") + F.col("n_spans")
+            )
+            .cast("bigint")
+            .alias("tot_input_tokens"),
+            F.sum(F.col("n_masked") + F.col("n_spans"))
+            .cast("bigint")
+            .alias("tot_target_tokens"),
+            F.round(
+                F.sum("n_masked").cast("double") / F.sum("n_tokens"), 4
+            ).alias("mask_ratio"),
+        )
+        .orderBy("n_spans")
+    )
+
+
+#: Top pairs reported by the preference miner.
+_PREF_TOP = 15
+
+
+@register(
+    "q_llm_preference_pairs",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, doc_id // 2 AS pair_id,
+         CAST(len(list_distinct(list_filter(string_split(text, ' '),
+                                            x -> x <> ''))) AS DOUBLE)
+           / len(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS ttr
+  FROM documents
+), pairs AS (
+  SELECT a.pair_id,
+         CASE WHEN a.ttr > b.ttr OR (a.ttr = b.ttr
+                                     AND a.doc_id < b.doc_id)
+              THEN a.doc_id ELSE b.doc_id END AS chosen_id,
+         CASE WHEN a.ttr > b.ttr OR (a.ttr = b.ttr
+                                     AND a.doc_id < b.doc_id)
+              THEN b.doc_id ELSE a.doc_id END AS rejected_id,
+         ABS(a.ttr - b.ttr) AS margin
+  FROM scored a JOIN scored b
+    ON a.pair_id = b.pair_id AND a.doc_id < b.doc_id
+)
+SELECT pair_id, chosen_id, rejected_id, ROUND(margin, 4) AS margin
+FROM pairs
+ORDER BY margin DESC, pair_id ASC
+LIMIT {_PREF_TOP}
+""",
+    doc="Preference-pair construction for reward-model/DPO training: "
+    "sibling documents (doc_id pair convention shared with "
+    "q_llm_rouge) are ranked by lexical diversity (type-token "
+    "ratio, the q_llm_ttr score) into (chosen, rejected) with the "
+    "score margin; deterministic doc_id tie-break. Emits the "
+    f"top-{_PREF_TOP} widest-margin pairs — the high-signal "
+    "training examples a margin-weighted loss upweights.",
+    scale_notes="Per-doc scoring is zero-shuffle HOF arithmetic; "
+    "the sibling self-join is hash-keyed on pair_id (one shuffle "
+    "of (pair, score) tuples, never text) and the head is "
+    "TakeOrderedAndProject. Any learned scorer slots in by "
+    "swapping the ttr expression.",
+)
+def q_llm_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    nonempty = "filter(split(text, ' '), x -> x <> '')"
+    scored = docs.select(
+        "doc_id",
+        F.expr("doc_id DIV 2").alias("pair_id"),
+        (
+            F.expr(f"size(array_distinct({nonempty}))").cast("double")
+            / F.expr(f"size({nonempty})")
+        ).alias("ttr"),
+    )
+    a = scored.alias("a")
+    b = scored.alias("b")
+    better = (F.col("a.ttr") > F.col("b.ttr")) | (
+        (F.col("a.ttr") == F.col("b.ttr"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.pair_id") == F.col("b.pair_id"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.pair_id").alias("pair_id"),
+            F.when(better, F.col("a.doc_id"))
+            .otherwise(F.col("b.doc_id"))
+            .alias("chosen_id"),
+            F.when(better, F.col("b.doc_id"))
+            .otherwise(F.col("a.doc_id"))
+            .alias("rejected_id"),
+            F.abs(F.col("a.ttr") - F.col("b.ttr")).alias("margin_raw"),
+        )
+        .select(
+            "pair_id",
+            "chosen_id",
+            "rejected_id",
+            F.round("margin_raw", 4).alias("margin"),
+        )
+        .orderBy(F.col("margin").desc(), F.col("pair_id").asc())
+        .limit(_PREF_TOP)
+    )

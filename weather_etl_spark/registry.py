@@ -360,6 +360,10 @@ DRIVER_DEFERRED: frozenset[str] = frozenset({
     # variance homogeneity / LTV curves)
     "q_llm_kneser_ney", "q_event_time_to_convert", "q_agg_levene",
     "q_cohort_ltv",
+    # thirty-fifth late batch (denoising-pretraining accounting /
+    # preference mining / graph mixing structure)
+    "q_llm_span_corruption", "q_llm_preference_pairs",
+    "q_graph_assortativity",
 })
 
 
