@@ -2555,3 +2555,124 @@ def test_assortativity_matches_python(spark):
     assert row["assortativity"] == pytest.approx(r_want, abs=2e-4)
     # bipartite customer-supplier graphs mix disassortatively or ~0
     assert row["assortativity"] < 0.5
+
+
+def test_minhash_eval_matches_python(spark):
+    import collections
+    import hashlib
+
+    docs = spark.read.parquet(SF + "/documents.parquet").collect()
+    sh = {}
+    for r in docs:
+        t = r["text"].split(" ")
+        if len(t) >= 3:
+            sh[r["doc_id"]] = {
+                " ".join(t[i : i + 3]) for i in range(len(t) - 2)
+            }
+    inv = collections.defaultdict(set)
+    for d, ss in sh.items():
+        for s in ss:
+            inv[s].add(d)
+    cand_truth = set()
+    for ds in inv.values():
+        for a in ds:
+            for b in ds:
+                if a < b:
+                    cand_truth.add((a, b))
+    truth = {
+        (a, b)
+        for a, b in cand_truth
+        if len(sh[a] & sh[b]) / len(sh[a] | sh[b]) >= 0.5
+    }
+
+    def mh(doc, i):
+        return min(
+            int(hashlib.md5(f"{i}:{s}".encode()).hexdigest()[:15], 16)
+            for s in sh[doc]
+        )
+
+    bands = collections.defaultdict(set)
+    for d in sh:
+        for band in range(4):
+            key = (band, tuple(mh(d, band * 3 + j) for j in range(3)))
+            bands[key].add(d)
+    cand = set()
+    for ds in bands.values():
+        for a in ds:
+            for b in ds:
+                if a < b:
+                    cand.add((a, b))
+    row = SPECS["q_llm_minhash_eval"].fn(spark, SF).collect()[0]
+    tp = len(truth & cand)
+    assert row["n_truth"] == len(truth)
+    assert row["n_candidates"] == len(cand)
+    assert row["tp"] == tp
+    assert row["precision"] == pytest.approx(tp / len(cand), abs=1e-4)
+    assert row["recall"] == pytest.approx(tp / len(truth), abs=1e-4)
+    # banding at J>=0.5 must beat the theoretical floor at J=0.5
+    assert row["recall"] >= 0.414
+
+
+def test_collate_matches_python(spark):
+    import collections
+
+    docs = spark.read.parquet(SF + "/documents.parquet").collect()
+    groups = collections.defaultdict(list)
+    for r in docs:
+        s = r["source"]
+        if r["doc_id"] % 3 == 0:
+            v = s.upper()
+        elif r["doc_id"] % 3 == 1:
+            v = s[:1].upper() + s[1:]
+        else:
+            v = s
+        groups[v.lower()].append(v)
+    got = SPECS["q_fn_collate"].fn(spark, SF).collect()
+    assert [r["key_ci"] for r in got] == sorted(groups)
+    for r in got:
+        vs = groups[r["key_ci"]]
+        assert r["n_rows"] == len(vs)
+        assert r["n_case_variants"] == len(set(vs))
+        assert r["first_binary"] == min(vs)
+        assert r["n_case_variants"] >= 2  # the variants actually vary
+
+
+def test_next_pred_matches_python(spark):
+    import collections
+    from datetime import datetime
+
+    ev = spark.read.parquet(SF + "/events.parquet").collect()
+    split = datetime(2024, 1, 20)
+    byuser = collections.defaultdict(list)
+    for r in ev:
+        byuser[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    train = collections.Counter()
+    test = []
+    for items in byuser.values():
+        items.sort()
+        for (_, _, a), (ts2, _, b) in zip(items, items[1:]):
+            if ts2 < split:
+                train[(a, b)] += 1
+            else:
+                test.append((a, b))
+    model = {}
+    for (a, b), c in sorted(
+        train.items(), key=lambda kv: (kv[0][0], -kv[1], kv[0][1])
+    ):
+        model.setdefault(a, b)
+    per = collections.defaultdict(lambda: [0, 0])
+    for a, b in test:
+        if a in model:
+            per[a][0] += 1
+            per[a][1] += int(model[a] == b)
+    got = SPECS["q_event_next_pred"].fn(spark, SF).collect()
+    assert [r["prev"] for r in got] == sorted(per)
+    for r in got:
+        n, c = per[r["prev"]]
+        assert r["predicted"] == model[r["prev"]]
+        assert r["n_test"] == n and r["n_correct"] == c
+        assert r["accuracy"] == pytest.approx(c / n, abs=1e-4)
+    # a fitted argmax model must beat the 1/k uniform baseline overall
+    tot_n = sum(v[0] for v in per.values())
+    tot_c = sum(v[1] for v in per.values())
+    assert tot_c / tot_n > 1.0 / 5

@@ -1331,3 +1331,26 @@ def test_assortativity_two_hash_joins(spark, sf_dir):
     plan = _executed_plan(SPECS["q_graph_assortativity"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_eval_no_cartesian(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_llm_minhash_eval"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # only the two 1-row metric crosses may nest-loop
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_collate_single_shuffle(spark, sf_dir):
+    from weather_etl_spark.plan_audit import audit_plan
+
+    df = SPECS["q_fn_collate"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan
+    report = audit_plan(df)
+    assert report.exchanges <= 3  # collated-key agg + distinct + sort
+
+
+def test_next_pred_model_broadcasts_back(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_event_next_pred"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -825,3 +825,76 @@ def q_fn_date_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.weekofyear(d).alias("iso_week"),
         F.next_day(d, "Mon").alias("next_monday"),
     )
+
+
+@register(
+    "q_fn_collate",
+    oracle="""
+WITH v AS (
+  SELECT doc_id,
+         CASE doc_id % 3
+           WHEN 0 THEN upper(source)
+           WHEN 1 THEN upper(substr(source, 1, 1)) || substr(source, 2)
+           ELSE source
+         END AS s
+  FROM documents
+)
+SELECT lower(s) AS key_ci,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT s) AS BIGINT) AS n_case_variants,
+       MIN(s) AS first_binary
+FROM v
+GROUP BY lower(s)
+ORDER BY key_ci
+""",
+    doc="Collation-aware grouping (the Spark 4 COLLATE surface): "
+    "deterministic case variants of the source domain (UPPER / "
+    "Initcap / raw by doc_id mod 3) are grouped under the "
+    "UTF8_LCASE collation, so all spellings of one domain land in "
+    "one group while COUNT(DISTINCT raw) still sees the binary "
+    "variants. The oracle expresses the same semantics via "
+    "lower() grouping — UTF8_LCASE equality and ASCII "
+    "lowercase-equality coincide on this fixture's ASCII domain "
+    "names, which is exactly the contract the test pins. Group "
+    "key emitted as lower() in both engines (a collated group's "
+    "representative value is engine-dependent).",
+    scale_notes="Collation compares run inside codegen'd hash "
+    "aggregation — one shuffle on the collated key, identical "
+    "physics to a binary groupBy. No normalization pass "
+    "materializes: the collation IS the comparator.",
+)
+def q_fn_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    s = (
+        F.when(
+            F.col("doc_id") % 3 == 0, F.upper("source")
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.upper(F.substring("source", 1, 1)),
+                F.expr("substring(source, 2)"),
+            ),
+        )
+        .otherwise(F.col("source"))
+    )
+    return (
+        docs.select(F.col("doc_id"), s.alias("s"))
+        .groupBy(F.collate(F.col("s"), "UTF8_LCASE").alias("k"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count_distinct(F.collate(F.col("s"), "UTF8_BINARY"))
+            .cast("bigint")
+            .alias("n_case_variants"),
+            F.min(F.collate(F.col("s"), "UTF8_BINARY")).alias(
+                "first_binary"
+            ),
+        )
+        .select(
+            F.lower(F.col("k")).alias("key_ci"),
+            "n_rows",
+            "n_case_variants",
+            F.col("first_binary").cast("string").alias("first_binary"),
+        )
+        .orderBy("key_ci")
+    )

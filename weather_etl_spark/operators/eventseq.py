@@ -1564,3 +1564,106 @@ def q_event_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_hours"),
         )
     )
+
+
+#: Train/test split instant for the next-event backtest (the corpus
+#: spans January 2024; the last third is held out).
+_NEXTPRED_SPLIT = "2024-01-20"
+
+
+@register(
+    "q_event_next_pred",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type,
+         LEAD(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS next_ts
+  FROM events
+), trans AS (
+  SELECT event_type AS prev, next_type, next_ts
+  FROM seq WHERE next_type IS NOT NULL
+), model AS (
+  SELECT prev, next_type AS predicted
+  FROM (
+    SELECT prev, next_type, COUNT(*) AS c,
+           ROW_NUMBER() OVER (PARTITION BY prev
+                              ORDER BY COUNT(*) DESC, next_type ASC)
+             AS rn
+    FROM trans WHERE next_ts < TIMESTAMP '{_NEXTPRED_SPLIT}'
+    GROUP BY prev, next_type
+  ) WHERE rn = 1
+), test AS (
+  SELECT prev, next_type FROM trans
+  WHERE next_ts >= TIMESTAMP '{_NEXTPRED_SPLIT}'
+)
+SELECT test.prev,
+       ANY_VALUE(model.predicted) AS predicted,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(SUM(CASE WHEN test.next_type = model.predicted
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       ROUND(CAST(SUM(CASE WHEN test.next_type = model.predicted
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 4) AS accuracy
+FROM test JOIN model USING (prev)
+GROUP BY test.prev
+ORDER BY test.prev
+""",
+    doc="Next-event prediction backtest: a first-order Markov "
+    "argmax model (most frequent successor per event type, "
+    "lexicographic tie-break) is fit on transitions completing "
+    f"before {_NEXTPRED_SPLIT} and scored top-1 on the held-out "
+    "tail — the in-engine eval loop for q_event_transitions' "
+    "transition matrix, split by time so training never sees the "
+    "future (the q_time_backtest discipline applied to "
+    "sequences).",
+    scale_notes="One user_id window pass builds transitions; the "
+    "model is a k^2 ledger reduced to k argmax rows and joins "
+    "back broadcast-size. Refit = re-aggregate the ledger; the "
+    "eval join never reshuffles events.",
+)
+def q_event_next_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            F.col("event_type").alias("prev"),
+            F.lead("event_type").over(w).alias("next_type"),
+            F.lead("ts").over(w).alias("next_ts"),
+        )
+        .filter(F.col("next_type").isNotNull())
+    )
+    split = F.lit(_NEXTPRED_SPLIT).cast("timestamp")
+    counts = (
+        trans.filter(F.col("next_ts") < split)
+        .groupBy("prev", "next_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wm = Window.partitionBy("prev").orderBy(
+        F.col("c").desc(), F.col("next_type").asc()
+    )
+    model = (
+        counts.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+        .select("prev", F.col("next_type").alias("predicted"))
+    )
+    test = trans.filter(F.col("next_ts") >= split).select(
+        "prev", "next_type"
+    )
+    hit = F.when(
+        F.col("next_type") == F.col("predicted"), 1
+    ).otherwise(0)
+    return (
+        test.join(model, "prev")
+        .groupBy("prev")
+        .agg(
+            F.any_value(F.col("predicted")).alias("predicted"),
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(hit).cast("bigint").alias("n_correct"),
+            F.round(F.sum(hit).cast("double") / F.count(F.lit(1)), 4).alias(
+                "accuracy"
+            ),
+        )
+        .orderBy("prev")
+    )

@@ -1281,3 +1281,173 @@ def q_llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_ingested"),
     )
+
+
+@register(
+    "q_llm_minhash_eval",
+    oracle="""
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           generate_series(1, len(string_split(text, ' ')) - 2),
+           i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+         )) AS shingle
+  FROM documents
+), card AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), truth AS (
+  SELECT id_a, id_b
+  FROM pairs
+  JOIN card ca ON ca.doc_id = pairs.id_a
+  JOIN card cb ON cb.doc_id = pairs.id_b
+  WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.5
+), mh AS (
+  SELECT doc_id, g.i,
+         MIN(CAST('0x' || substr(md5(g.i || ':' || shingle), 1, 15)
+                  AS BIGINT)) AS mh
+  FROM sh CROSS JOIN generate_series(0, 11) g(i)
+  GROUP BY doc_id, g.i
+), bands AS (
+  SELECT doc_id, i // 3 AS band,
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bkey
+  FROM mh GROUP BY doc_id, i // 3
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+), m AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM truth
+          JOIN cand USING (id_a, id_b)) AS tp
+)
+SELECT n_truth, n_candidates, tp,
+       ROUND(CAST(tp AS DOUBLE) / n_candidates, 4) AS precision,
+       ROUND(CAST(tp AS DOUBLE) / n_truth, 4) AS recall
+FROM m
+""",
+    doc="Candidate-set quality evaluation of the banded MinHash "
+    "pipeline: the 4x3-banded candidate pairs (llm_minhash_banded's "
+    "generator, pre-verification) scored against the TRUE "
+    "Jaccard>=0.5 pair set (q_llm_ngram_jaccard's inverted-index "
+    "ground truth) — precision/recall of the approximate index "
+    "itself, computed exactly inside the engine. The theoretical "
+    "recall floor at J=0.5 is 1-(1-0.5^3)^4 = 0.414; measured "
+    "recall above it confirms the banding constants, measured "
+    "precision prices the verification pass that follows.",
+    scale_notes="Shares llm_minhash_banded's signature/band physics "
+    "and q_llm_ngram_jaccard's Σdf(shingle)^2 truth join — the "
+    "truth side is the expensive leg and exists ONLY for "
+    "evaluation (run on a sample at 100 TB; the metrics are "
+    "ratios, not corpus state). Ledger joins on (id_a, id_b) "
+    "pairs; 1-row head.",
+)
+def q_llm_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_perm, band_rows = 12, 3
+    shingles = shingles3(spark, sf_dir).localCheckpoint()
+    # --- truth: exact Jaccard >= 0.5 via the inverted-index join ---
+    card = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shingles.alias("ta")
+    b = shingles.alias("tb")
+    pairs = (
+        a.join(
+            b,
+            (F.col("ta.shingle") == F.col("tb.shingle"))
+            & (F.col("ta.doc_id") < F.col("tb.doc_id")),
+        )
+        .groupBy(
+            F.col("ta.doc_id").alias("id_a"),
+            F.col("tb.doc_id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    ca = card.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    cb = card.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    jac = F.col("common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("common")
+    )
+    truth = (
+        pairs.join(ca, "id_a")
+        .join(cb, "id_b")
+        .filter(jac >= 0.5)
+        .select("id_a", "id_b")
+    )
+    # --- candidates: the banded-LSH generator, pre-verification ---
+    perms = spark.range(n_perm).select(F.col("id").cast("int").alias("i"))
+    mh = (
+        shingles.crossJoin(F.broadcast(perms))
+        .select(
+            "doc_id",
+            "i",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(":", F.col("i"), F.col("shingle"))
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("h"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min("h").alias("mh"))
+    )
+    bands = (
+        mh.withColumn("band", (F.col("i") / band_rows).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "mh"))),
+                    lambda s: s.getField("mh").cast("string"),
+                ),
+            ).alias("bkey")
+        )
+    )
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.bkey") == F.col("bb.bkey"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("id_a"),
+            F.col("bb.doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    merged = truth.withColumn("t", F.lit(1)).join(
+        cand.withColumn("c", F.lit(1)), ["id_a", "id_b"], "full"
+    )
+    return merged.agg(
+        F.sum(F.coalesce(F.col("t"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_truth"),
+        F.sum(F.coalesce(F.col("c"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_candidates"),
+        F.sum(F.coalesce(F.col("t") * F.col("c"), F.lit(0)))
+        .cast("bigint")
+        .alias("tp"),
+    ).select(
+        "n_truth",
+        "n_candidates",
+        "tp",
+        F.round(
+            F.col("tp").cast("double") / F.col("n_candidates"), 4
+        ).alias("precision"),
+        F.round(F.col("tp").cast("double") / F.col("n_truth"), 4).alias(
+            "recall"
+        ),
+    )

@@ -117,6 +117,9 @@ ALLOW_BNL: dict[str, str] = {
     "q_event_time_to_convert": "1-row viewer-count aggregate crossed "
     "into the 1-row latency ledger — the q_filter_ts_cursor pattern "
     "(eventseq.py)",
+    "q_llm_minhash_eval": "12-row constant permutation axis crossed "
+    "into the shingle table — llm_minhash_banded's signature build "
+    "(llm_dedup.py)",
 }
 
 #: Row-at-a-time Python — only the deliberate slow-path demos that

@@ -364,6 +364,9 @@ DRIVER_DEFERRED: frozenset[str] = frozenset({
     # preference mining / graph mixing structure)
     "q_llm_span_corruption", "q_llm_preference_pairs",
     "q_graph_assortativity",
+    # thirty-sixth late batch (approximate-index eval / collation
+    # surface / sequence-model backtest)
+    "q_llm_minhash_eval", "q_fn_collate", "q_event_next_pred",
 })
 
 
