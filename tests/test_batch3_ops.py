@@ -2676,3 +2676,100 @@ def test_next_pred_matches_python(spark):
     tot_n = sum(v[0] for v in per.values())
     tot_c = sum(v[1] for v in per.values())
     assert tot_c / tot_n > 1.0 / 5
+
+
+def test_tpch_q4_matches_python(spark):
+    import collections
+    from datetime import datetime, timedelta
+
+    orders = spark.read.parquet(SF + "/orders.parquet").collect()
+    li = spark.read.parquet(SF + "/lineitem.parquet").collect()
+    ship = collections.defaultdict(list)
+    for r in li:
+        ship[r["l_orderkey"]].append(r["l_shipdate"])
+    lo, hi = datetime(1997, 7, 1), datetime(1997, 10, 1)
+    want = collections.Counter()
+    for o in orders:
+        if lo <= o["o_orderdate"] < hi and any(
+            s > o["o_orderdate"] + timedelta(days=60)
+            for s in ship.get(o["o_orderkey"], [])
+        ):
+            want[o["o_orderpriority"]] += 1
+    got = SPECS["q_tpch_q4"].fn(spark, SF).collect()
+    assert {(r["o_orderpriority"], r["order_count"]) for r in got} == set(
+        want.items()
+    )
+    assert [r["o_orderpriority"] for r in got] == sorted(want)
+
+
+def test_tpch_q6_matches_python(spark):
+    from datetime import datetime
+
+    li = spark.read.parquet(SF + "/lineitem.parquet").collect()
+    lo, hi = datetime(1997, 1, 1), datetime(1998, 1, 1)
+    picked = [
+        r
+        for r in li
+        if lo <= r["l_shipdate"] < hi
+        and 0.05 <= r["l_discount"] <= 0.07
+        and r["l_quantity"] < 24
+    ]
+    rev = sum(
+        round(r["l_extendedprice"] * 100) * round(r["l_discount"] * 1e6)
+        for r in picked
+    ) / 1e8
+    row = SPECS["q_tpch_q6"].fn(spark, SF).collect()[0]
+    assert row["n_lines"] == len(picked)
+    assert row["revenue"] == pytest.approx(rev, rel=1e-9)
+
+
+def test_quantile_eval_matches_python(spark):
+    import statistics
+
+    li = spark.read.parquet(SF + "/lineitem.parquet").collect()
+    cents = sorted(round(r["l_extendedprice"] * 100) for r in li)
+    n = len(cents)
+    got = {r["q"]: r for r in SPECS["q_agg_quantile_eval"].fn(spark, SF).collect()}
+    assert set(got) == {50, 90, 99}
+    qc = statistics.quantiles(cents, n=100, method="inclusive")
+    for q in (50, 90, 99):
+        exact = qc[q - 1]
+        g = got[q]
+        assert g["exact_dollars"] == pytest.approx(exact / 100, abs=5e-2)
+        # crossing rule: first bin whose cumulative reaches q% of rows
+        target = q * n
+        cum = 0
+        for b in range(64):
+            lo, hi = b * 200000, (b + 1) * 200000 if b < 63 else 1 << 62
+            cum += sum(1 for c in cents if lo <= c < hi)
+            if cum * 100 >= target:
+                assert g["est_lower_edge"] == b * 2000
+                break
+        assert g["rel_err"] < 0.5
+        assert isinstance(g["within_half_bin"], bool)
+
+
+def test_dq_embeddings_matches_python(spark):
+    import collections
+    import math
+
+    emb = spark.read.parquet(SF + "/embeddings.parquet").collect()
+    per = collections.defaultdict(list)
+    for r in emb:
+        per[r["label"]].append(r["embedding"])
+    got = {r["label"]: r for r in SPECS["q_dq_embeddings"].fn(spark, SF).collect()}
+    assert set(got) == set(per)
+    for lab, vecs in per.items():
+        g = got[lab]
+        norms = [
+            round(math.sqrt(sum(float(x) * float(x) for x in v)), 6)
+            for v in vecs
+        ]
+        assert g["n_vecs"] == len(vecs)
+        assert g["min_dim"] == g["max_dim"] == 64
+        assert g["n_bad"] == 0 and g["n_zero_norm"] == 0
+        assert g["min_norm"] == pytest.approx(min(norms), abs=2e-4)
+        assert g["max_norm"] == pytest.approx(max(norms), abs=2e-4)
+        assert g["mean_norm"] == pytest.approx(
+            sum(norms) / len(norms), abs=2e-4
+        )

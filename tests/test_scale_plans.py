@@ -1354,3 +1354,39 @@ def test_next_pred_model_broadcasts_back(spark, sf_dir):
     plan = _executed_plan(SPECS["q_event_next_pred"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q4_pushes_quarter_and_semi_joins(spark, sf_dir):
+    df = SPECS["q_tpch_q4"].fn(spark, sf_dir)
+    info = _optimized_scan_info(df)
+    assert "GreaterThanOrEqual(o_orderdate" in info
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q6_pushes_every_predicate(spark, sf_dir):
+    df = SPECS["q_tpch_q6"].fn(spark, sf_dir)
+    info = _optimized_scan_info(df)
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThan(l_quantity,24",
+    ):
+        assert frag in info, f"missing pushed filter {frag}"
+    plan = _executed_plan(df)
+    assert "Exchange" in plan and plan.count("Exchange") == 1
+
+
+def test_quantile_eval_bounded_bnl(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_agg_quantile_eval"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_dq_embeddings_no_explode(spark, sf_dir):
+    from weather_etl_spark.plan_audit import audit_plan
+
+    df = SPECS["q_dq_embeddings"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "Generate" not in plan, "vector audit must not explode"
+    report = audit_plan(df)
+    assert report.exchanges <= 2

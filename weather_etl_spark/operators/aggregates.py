@@ -1529,3 +1529,113 @@ def q_agg_hll_rollup(spark, sf_dir):
             "merged_est",
         )
     )
+
+
+@register(
+    "q_agg_quantile_eval",
+    oracle="""
+WITH cents AS (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem
+), b AS (
+  SELECT LEAST(CAST(FLOOR(c / 200000) AS BIGINT), 63) AS bin,
+         COUNT(*) AS cnt
+  FROM cents GROUP BY 1
+), tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM b),
+cum AS (
+  SELECT bin, CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum FROM b
+), qs AS (SELECT unnest([50, 90, 99]) AS q),
+est AS (
+  SELECT qs.q AS q, MIN(cum.bin) AS qbin
+  FROM qs JOIN cum ON cum.cum * 100 >= qs.q * (SELECT n FROM tot)
+  GROUP BY qs.q
+), exact AS (
+  SELECT 50 AS q, quantile_cont(c, 0.50) AS e FROM cents
+  UNION ALL
+  SELECT 90, quantile_cont(c, 0.90) FROM cents
+  UNION ALL
+  SELECT 99, quantile_cont(c, 0.99) FROM cents
+)
+SELECT est.q AS q,
+       ROUND(exact.e / 100, 4) AS exact_dollars,
+       CAST(est.qbin * 2000 AS BIGINT) AS est_lower_edge,
+       CAST(est.qbin * 2000 + 1000 AS BIGINT) AS est_mid,
+       ROUND(ABS(est.qbin * 200000 + 100000 - exact.e) / exact.e, 4)
+         AS rel_err,
+       ABS(est.qbin * 200000 + 100000 - exact.e) <= 100000
+         AS within_half_bin
+FROM est JOIN exact USING (q)
+ORDER BY q
+""",
+    doc="Sketch-accuracy evaluation of the portable histogram "
+    "quantile (q_agg_hist_quantile's 64x$2000-bin estimator) "
+    "against the EXACT percentiles, in-engine: per quantile, the "
+    "exact value, the bin estimate (lower edge + midpoint), the "
+    "relative error, and the within-half-bin guarantee check — "
+    "the q_llm_minhash_eval QA discipline applied to the numeric "
+    "sketch family. Exact percentiles run on integer cents so "
+    "both engines agree to the half-cent.",
+    scale_notes="The sketch leg is the mergeable 64-bin aggregate "
+    "(constant state); the exact leg is the expensive "
+    "eval-only reference (sampled at 100 TB — the metrics are "
+    "ratios). 3-row head.",
+)
+def q_agg_quantile_eval(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c")
+    )
+    b = cents.select(
+        F.least(
+            F.floor(F.col("c") / 200000).cast("bigint"),
+            F.lit(63).cast("bigint"),
+        ).alias("bin")
+    ).groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = b.withColumn("cum", F.sum("cnt").over(w).cast("bigint"))
+    tot = b.agg(F.sum("cnt").cast("bigint").alias("n"))
+    qs = spark.range(3).select(
+        F.element_at(
+            F.array(F.lit(50), F.lit(90), F.lit(99)),
+            (F.col("id") + 1).cast("int"),
+        ).alias("q")
+    )
+    est = (
+        qs.crossJoin(F.broadcast(tot))
+        .join(cum, F.col("cum") * 100 >= F.col("q") * F.col("n"))
+        .groupBy("q")
+        .agg(F.min("bin").alias("qbin"))
+    )
+    exact = cents.agg(
+        F.expr("percentile(c, 0.50)").alias("e50"),
+        F.expr("percentile(c, 0.90)").alias("e90"),
+        F.expr("percentile(c, 0.99)").alias("e99"),
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(50).alias("q"), F.col("e50").alias("e")),
+                F.struct(F.lit(90).alias("q"), F.col("e90").alias("e")),
+                F.struct(F.lit(99).alias("q"), F.col("e99").alias("e")),
+            )
+        ).alias("x")
+    ).select("x.q", "x.e")
+    mid = F.col("qbin") * 200000 + 100000
+    return (
+        est.join(exact, "q")
+        .select(
+            "q",
+            F.round(F.col("e") / 100, 4).alias("exact_dollars"),
+            (F.col("qbin") * 2000).cast("bigint").alias("est_lower_edge"),
+            (F.col("qbin") * 2000 + 1000)
+            .cast("bigint")
+            .alias("est_mid"),
+            F.round(F.abs(mid - F.col("e")) / F.col("e"), 4).alias(
+                "rel_err"
+            ),
+            (F.abs(mid - F.col("e")) <= 100000).alias("within_half_bin"),
+        )
+        .orderBy("q")
+    )

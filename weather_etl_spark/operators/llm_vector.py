@@ -1121,3 +1121,86 @@ def q_llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_id", F.col("cos").desc(), "negative_id")
     )
+
+
+@register(
+    "q_dq_embeddings",
+    oracle="""
+WITH v AS (
+  SELECT label, len(embedding) AS dim,
+         CAST(ROUND(SQRT(list_sum(list_transform(
+                CAST(embedding AS DOUBLE[]), x -> x * x))), 6)
+              AS DECIMAL(18,6)) AS nrm,
+         len(list_filter(CAST(embedding AS DOUBLE[]),
+                         x -> isnan(x) OR x IS NULL)) > 0 AS bad
+  FROM embeddings
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(MIN(dim) AS BIGINT) AS min_dim,
+       CAST(MAX(dim) AS BIGINT) AS max_dim,
+       CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+       CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero_norm,
+       ROUND(CAST(MIN(nrm) AS DOUBLE), 4) AS min_norm,
+       ROUND(CAST(MAX(nrm) AS DOUBLE), 4) AS max_norm,
+       ROUND(CAST(SUM(nrm) AS DOUBLE) / COUNT(*), 4) AS mean_norm
+FROM v GROUP BY label ORDER BY label
+""",
+    doc="Embedding-column data-quality audit (the q_dq_audit "
+    "discipline applied to vectors): per label, vector counts, "
+    "dimension consistency (min=max dim or the batch is "
+    "malformed), NaN/NULL-element detection, zero-norm vectors "
+    "(which poison cosine math downstream), and the L2-norm "
+    "range/mean. Norms are ROUND-6 DECIMAL so the mean is "
+    "order-independent; elements promote float->double before "
+    "squaring in both engines.",
+    scale_notes="Zero-shuffle per-vector arithmetic (list HOFs "
+    "over the array column — no explode) + one label-keyed "
+    "mergeable aggregation. The audit any vector-ingest job runs "
+    "before an index build; scan-bound at any scale.",
+)
+def q_dq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    dbl = "transform(embedding, x -> CAST(x AS DOUBLE))"
+    v = emb.select(
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.sqrt(
+                F.expr(
+                    f"aggregate({dbl}, CAST(0.0 AS DOUBLE),"
+                    " (a, x) -> a + x * x)"
+                )
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("nrm"),
+        (
+            F.expr(
+                f"size(filter({dbl}, x -> isnan(x) OR x IS NULL))"
+            )
+            > 0
+        ).alias("bad"),
+    )
+    return (
+        v.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.min("dim").cast("bigint").alias("min_dim"),
+            F.max("dim").cast("bigint").alias("max_dim"),
+            F.sum(F.when(F.col("bad"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_bad"),
+            F.sum(F.when(F.col("nrm") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_zero_norm"),
+            F.round(F.min("nrm").cast("double"), 4).alias("min_norm"),
+            F.round(F.max("nrm").cast("double"), 4).alias("max_norm"),
+            F.round(
+                F.sum("nrm").cast("double") / F.count(F.lit(1)), 4
+            ).alias("mean_norm"),
+        )
+        .orderBy("label")
+    )

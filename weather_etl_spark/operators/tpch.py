@@ -907,3 +907,92 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(rev).cast("double").alias("revenue"),
         )
     )
+
+
+@register(
+    "q_tpch_q4",
+    oracle="""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o_orderdate <  TIMESTAMP '1997-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    doc="TPC-H Q4 (order priority checking): orders placed in one "
+    "quarter with at least one line still shipping 60+ days after "
+    "the order date (the synthetic schema's stand-in for the "
+    "spec's commitdate < receiptdate lateness), counted per "
+    "priority — the canonical correlated-EXISTS-to-semi-join "
+    "rewrite.",
+    scale_notes="The quarter predicate pushes into the orders scan "
+    "(partition prune on a date-partitioned lake); the EXISTS leg "
+    "is a semi join probing lineitem with the pushed quarter's "
+    "keys under AQE, and the correlated date comparison rides the "
+    "join condition — no second pass. 5-row ledger out.",
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q_tpch_q6",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+    doc="TPC-H Q6 (forecasting revenue change): one year of "
+    "lineitem, a discount band and a quantity cap, summing "
+    "extendedprice x discount — the spec's pure-scan aggregate "
+    "that benchmarks predicate pushdown with zero joins. Money "
+    "stays DECIMAL to the single-row head.",
+    scale_notes="The fastest possible shape: every predicate "
+    "pushes to the parquet scan (plan-asserted), the aggregate is "
+    "a map-side partial reduced through one 1-row exchange. At "
+    "100 TB this is pure row-group skipping on the shipdate stats "
+    "plus a scan of the survivors.",
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(dec2("l_extendedprice") * dec6(F.col("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+    )

@@ -367,6 +367,9 @@ DRIVER_DEFERRED: frozenset[str] = frozenset({
     # thirty-sixth late batch (approximate-index eval / collation
     # surface / sequence-model backtest)
     "q_llm_minhash_eval", "q_fn_collate", "q_event_next_pred",
+    # thirty-seventh late batch (TPC-H scan/EXISTS classics /
+    # sketch-accuracy eval / vector data quality)
+    "q_tpch_q4", "q_tpch_q6", "q_agg_quantile_eval", "q_dq_embeddings",
 })
 
 
