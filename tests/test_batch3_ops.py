@@ -2773,3 +2773,63 @@ def test_dq_embeddings_matches_python(spark):
         assert g["mean_norm"] == pytest.approx(
             sum(norms) / len(norms), abs=2e-4
         )
+
+
+def test_tpch_q13_matches_python(spark):
+    import collections
+
+    cust = spark.read.parquet(SF + "/customer.parquet").collect()
+    orders = spark.read.parquet(SF + "/orders.parquet").collect()
+    per = collections.Counter()
+    for o in orders:
+        if o["o_orderpriority"] != "5-LOW":
+            per[o["o_custkey"]] += 1
+    dist = collections.Counter(per.get(c["c_custkey"], 0) for c in cust)
+    got = SPECS["q_tpch_q13"].fn(spark, SF).collect()
+    assert [(r["c_count"], r["custdist"]) for r in got] == sorted(
+        ((c, d) for c, d in dist.items()), key=lambda t: (-t[1], -t[0])
+    )
+    # zero-order customers are histogrammed too (outer-join contract)
+    assert sum(r["custdist"] for r in got) == len(cust)
+
+
+def test_tpch_q16_matches_python(spark):
+    import collections
+
+    li = spark.read.parquet(SF + "/lineitem.parquet").collect()
+    part = {
+        r["p_partkey"]: (r["p_brand"], r["p_type"], r["p_size"])
+        for r in spark.read.parquet(SF + "/part.parquet").collect()
+    }
+    bad = {
+        r["s_suppkey"]
+        for r in spark.read.parquet(SF + "/supplier.parquet").collect()
+        if r["s_acctbal"] < 0
+    }
+    sizes = {1, 4, 9, 16, 25, 36, 49}
+    combo = collections.defaultdict(set)
+    for r in li:
+        if r["l_suppkey"] in bad:
+            continue
+        brand, ptype, size = part[r["l_partkey"]]
+        if brand != "Brand#1" and size in sizes:
+            combo[(brand, ptype, size)].add(r["l_suppkey"])
+    want = sorted(
+        ((len(v), b, t, s) for (b, t, s), v in combo.items()),
+        key=lambda x: (-x[0], x[1], x[2], x[3]),
+    )[:50]
+    got = SPECS["q_tpch_q16"].fn(spark, SF).collect()
+    assert [
+        (r["supplier_cnt"], r["p_brand"], r["p_type"], r["p_size"])
+        for r in got
+    ] == want
+
+
+def test_minhash_mae_matches_python(spark):
+    row = SPECS["q_llm_minhash_mae"].fn(spark, SF).collect()[0]
+    assert row["n_pairs"] > 0
+    # 12 permutations: sd <= 0.145, so MAE well under one sd's worth
+    assert 0 <= row["mae"] <= 0.2
+    assert abs(row["bias"]) <= row["mae"]
+    # the 0.25 band holds for the vast majority of pairs
+    assert row["n_within_025"] >= 0.8 * row["n_pairs"]

@@ -1390,3 +1390,25 @@ def test_dq_embeddings_no_explode(spark, sf_dir):
     assert "Generate" not in plan, "vector audit must not explode"
     report = audit_plan(df)
     assert report.exchanges <= 2
+
+
+def test_tpch_q13_outer_join_single_custkey_shuffle(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_tpch_q13"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q16_pushes_part_predicates(spark, sf_dir):
+    df = SPECS["q_tpch_q16"].fn(spark, sf_dir)
+    info = _optimized_scan_info(df)
+    assert "p_size" in info and "Not(EqualTo(p_brand,Brand#1))" in info
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_minhash_mae_candidates_only(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_llm_minhash_mae"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # only the constant permutation-axis cross may nest-loop
+    assert plan.count("BroadcastNestedLoopJoin") <= 1

@@ -1451,3 +1451,209 @@ def q_llm_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall"
         ),
     )
+
+
+@register(
+    "q_llm_minhash_mae",
+    oracle="""
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           generate_series(1, len(string_split(text, ' ')) - 2),
+           i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+         )) AS shingle
+  FROM documents
+), card AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), mh AS (
+  SELECT doc_id, g.i,
+         MIN(CAST('0x' || substr(md5(g.i || ':' || shingle), 1, 15)
+                  AS BIGINT)) AS mh
+  FROM sh CROSS JOIN generate_series(0, 11) g(i)
+  GROUP BY doc_id, g.i
+), bands AS (
+  SELECT doc_id, i // 3 AS band,
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bkey
+  FROM mh GROUP BY doc_id, i // 3
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+), est AS (
+  SELECT cand.id_a, cand.id_b,
+         CAST(SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS DOUBLE)
+           / 12 AS est_j
+  FROM cand
+  JOIN mh ma ON ma.doc_id = cand.id_a
+  JOIN mh mb ON mb.doc_id = cand.id_b AND mb.i = ma.i
+  GROUP BY cand.id_a, cand.id_b
+), exact AS (
+  SELECT cand.id_a, cand.id_b,
+         CAST(COUNT(*) AS DOUBLE)
+           / (ca.n + cb.n - COUNT(*)) AS true_j
+  FROM cand
+  JOIN sh a ON a.doc_id = cand.id_a
+  JOIN sh b ON b.doc_id = cand.id_b AND b.shingle = a.shingle
+  JOIN card ca ON ca.doc_id = cand.id_a
+  JOIN card cb ON cb.doc_id = cand.id_b
+  GROUP BY cand.id_a, cand.id_b, ca.n, cb.n
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(SUM(CAST(ROUND(ABS(est.est_j - exact.true_j), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4)
+         AS mae,
+       ROUND(CAST(SUM(CAST(ROUND(est.est_j - exact.true_j, 6)
+                           AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4)
+         AS bias,
+       CAST(SUM(CASE WHEN ABS(est.est_j - exact.true_j) <= 0.25
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_within_025
+FROM est JOIN exact USING (id_a, id_b)
+""",
+    doc="MinHash ESTIMATOR accuracy (the per-pair companion of "
+    "q_llm_minhash_eval's set-level precision/recall): for every "
+    "banded candidate pair, the signature-agreement Jaccard "
+    "estimate (matching coordinates / 12) against the exact "
+    "Jaccard — MAE, signed bias, and the share within the "
+    "+-0.25 band that 12 permutations guarantee with ~87% "
+    "probability per pair (sd = sqrt(J(1-J)/12) <= 0.145). "
+    "Per-pair error terms are ROUND-6 DECIMAL-summed.",
+    scale_notes="Signature-agreement joins run on the 12-long "
+    "(doc, i, mh) table keyed by doc — ledger-sized; the exact-J "
+    "leg touches only candidate pairs (banding bounds it). "
+    "Eval-only at 100 TB (sample), like every QA row. 1-row "
+    "head.",
+)
+def q_llm_minhash_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_perm, band_rows = 12, 3
+    shingles = shingles3(spark, sf_dir).localCheckpoint()
+    perms = spark.range(n_perm).select(F.col("id").cast("int").alias("i"))
+    mh = (
+        shingles.crossJoin(F.broadcast(perms))
+        .select(
+            "doc_id",
+            "i",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(":", F.col("i"), F.col("shingle"))
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("h"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min("h").alias("mh"))
+        .localCheckpoint()
+    )
+    bands = (
+        mh.withColumn("band", (F.col("i") / band_rows).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "mh"))),
+                    lambda s: s.getField("mh").cast("string"),
+                ),
+            ).alias("bkey")
+        )
+    )
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.bkey") == F.col("bb.bkey"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("id_a"),
+            F.col("bb.doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    ma = mh.select(
+        F.col("doc_id").alias("id_a"), "i", F.col("mh").alias("mh_a")
+    )
+    mb = mh.select(
+        F.col("doc_id").alias("mb_doc"),
+        F.col("i").alias("i_b"),
+        F.col("mh").alias("mh_b"),
+    )
+    est = (
+        cand.join(ma, "id_a")
+        .join(
+            mb,
+            (F.col("id_b") == F.col("mb_doc"))
+            & (F.col("i") == F.col("i_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0)
+                ).cast("double")
+                / n_perm
+            ).alias("est_j")
+        )
+    )
+    card = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = shingles.alias("sa")
+    sb = shingles.alias("sb")
+    common = (
+        cand.join(sa, F.col("sa.doc_id") == F.col("id_a"))
+        .join(
+            sb,
+            (F.col("sb.doc_id") == F.col("id_b"))
+            & (F.col("sb.shingle") == F.col("sa.shingle")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = (
+        common.join(
+            card.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            card.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("c").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("c"))
+            ).alias("true_j"),
+        )
+    )
+    err = F.col("est_j") - F.col("true_j")
+    return (
+        est.join(exact, ["id_a", "id_b"])
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(
+                F.sum(
+                    F.round(F.abs(err), 6).cast("decimal(18,6)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mae"),
+            F.round(
+                F.sum(F.round(err, 6).cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                4,
+            ).alias("bias"),
+            F.sum(F.when(F.abs(err) <= 0.25, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_within_025"),
+        )
+    )

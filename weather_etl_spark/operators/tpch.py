@@ -996,3 +996,116 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+@register(
+    "q_tpch_q13",
+    oracle="""
+WITH c_orders AS (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    doc="TPC-H Q13 (customer distribution): orders per customer "
+    "histogrammed, INCLUDING zero-order customers — the spec's "
+    "test that an outer join with a join-side-only predicate "
+    "(adapted: priority <> '5-LOW' stands in for the comment "
+    "NOT LIKE) keeps unmatched rows and that COUNT(column) "
+    "counts matches, not rows. Two stacked aggregations.",
+    scale_notes="The left join shuffles both sides on custkey "
+    "once (the predicate prunes orders BEFORE the join, riding "
+    "the join condition, never filtering customers away); the "
+    "count-of-counts ledger is orders_per_customer-bounded. The "
+    "canonical outer-join-aggregate benchmark shape.",
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    c_orders = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "5-LOW"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return (
+        c_orders.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q_tpch_q16",
+    oracle="""
+WITH excluded AS (
+  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+), ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM excluded)
+)
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM ps JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 50
+""",
+    doc="TPC-H Q16 (parts/supplier relationship): distinct "
+    "suppliers able to supply each qualifying (brand, type, size) "
+    "combination, excluding flagged suppliers — adapted to the "
+    "synthetic schema: the partsupp relation is derived as "
+    "DISTINCT (part, supplier) pairs from lineitem, the complaint "
+    "filter becomes a negative account balance, and the size list "
+    "keeps the spec's 7-value IN. NOT IN + anti join + "
+    "conditional distinct-count composition.",
+    scale_notes="The distinct pair projection is the one "
+    "fact-volume shuffle (16-byte keys); the tiny excluded list "
+    "anti-joins broadcast, brand/size predicates push into the "
+    "part scan, and the distinct supplier count expands inside "
+    "one (brand, type, size) aggregation. Top-50 is "
+    "TakeOrderedAndProject.",
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    excluded = (
+        read_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    ps = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(
+            excluded, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+        )
+        .distinct()
+    )
+    part = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    return (
+        ps.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(
+            F.count_distinct("l_suppkey")
+            .cast("bigint")
+            .alias("supplier_cnt")
+        )
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+        .limit(50)
+    )

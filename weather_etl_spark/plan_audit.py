@@ -123,6 +123,9 @@ ALLOW_BNL: dict[str, str] = {
     "q_agg_quantile_eval": "constant 3-row quantile axis x <=64-bin "
     "cumulative ledger — the q_agg_hist_quantile crossing pattern "
     "(aggregates.py)",
+    "q_llm_minhash_mae": "12-row constant permutation axis crossed "
+    "into the shingle table — llm_minhash_banded's signature build "
+    "(llm_dedup.py)",
 }
 
 #: Row-at-a-time Python — only the deliberate slow-path demos that

@@ -370,6 +370,9 @@ DRIVER_DEFERRED: frozenset[str] = frozenset({
     # thirty-seventh late batch (TPC-H scan/EXISTS classics /
     # sketch-accuracy eval / vector data quality)
     "q_tpch_q4", "q_tpch_q6", "q_agg_quantile_eval", "q_dq_embeddings",
+    # thirty-eighth late batch (outer-join custdist / derived-partsupp
+    # distinct counts / per-pair estimator accuracy)
+    "q_tpch_q13", "q_tpch_q16", "q_llm_minhash_mae",
 })
 
 
