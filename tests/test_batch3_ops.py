@@ -2833,3 +2833,119 @@ def test_minhash_mae_matches_python(spark):
     assert abs(row["bias"]) <= row["mae"]
     # the 0.25 band holds for the vast majority of pairs
     assert row["n_within_025"] >= 0.8 * row["n_pairs"]
+
+
+def test_tpch_q7_matches_python(spark):
+    import collections
+    from datetime import datetime
+
+    nat = {
+        r["n_nationkey"]: r["n_name"]
+        for r in spark.read.parquet(SF + "/nation.parquet").collect()
+    }
+    custn = {
+        r["c_custkey"]: nat[r["c_nationkey"]]
+        for r in spark.read.parquet(SF + "/customer.parquet").collect()
+    }
+    suppn = {
+        r["s_suppkey"]: nat[r["s_nationkey"]]
+        for r in spark.read.parquet(SF + "/supplier.parquet").collect()
+    }
+    ocust = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in spark.read.parquet(SF + "/orders.parquet").collect()
+    }
+    lo, hi = datetime(1996, 1, 1), datetime(1998, 1, 1)
+    agg = collections.defaultdict(lambda: [0, 0])
+    for r in spark.read.parquet(SF + "/lineitem.parquet").collect():
+        if not (lo <= r["l_shipdate"] < hi):
+            continue
+        sn = suppn[r["l_suppkey"]]
+        cn = custn[ocust[r["l_orderkey"]]]
+        if {sn, cn} != {"NATION_1", "NATION_2"}:
+            continue
+        key = (sn, cn, r["l_shipdate"].year)
+        agg[key][0] += 1
+        agg[key][1] += round(r["l_extendedprice"] * 100) * round(
+            (1 - r["l_discount"]) * 1e6
+        )
+    got = SPECS["q_tpch_q7"].fn(spark, SF).collect()
+    assert [(r["supp_nation"], r["cust_nation"], r["l_year"]) for r in got] == sorted(agg)
+    for r in got:
+        n, cents = agg[(r["supp_nation"], r["cust_nation"], r["l_year"])]
+        assert r["n_lines"] == n
+        assert r["revenue"] == pytest.approx(cents / 1e8, rel=1e-9)
+
+
+def test_tpch_q8_matches_python(spark):
+    import collections
+    from datetime import datetime
+
+    nat = {
+        r["n_nationkey"]: (r["n_name"], r["n_regionkey"])
+        for r in spark.read.parquet(SF + "/nation.parquet").collect()
+    }
+    asia = {
+        r["r_regionkey"]
+        for r in spark.read.parquet(SF + "/region.parquet").collect()
+        if r["r_name"] == "ASIA"
+    }
+    cust_ok = {
+        r["c_custkey"]
+        for r in spark.read.parquet(SF + "/customer.parquet").collect()
+        if nat[r["c_nationkey"]][1] in asia
+    }
+    promo = {
+        r["p_partkey"]
+        for r in spark.read.parquet(SF + "/part.parquet").collect()
+        if r["p_type"] == "PROMO"
+    }
+    suppn = {
+        r["s_suppkey"]: nat[r["s_nationkey"]][0]
+        for r in spark.read.parquet(SF + "/supplier.parquet").collect()
+    }
+    omap = {
+        r["o_orderkey"]: (r["o_custkey"], r["o_orderdate"])
+        for r in spark.read.parquet(SF + "/orders.parquet").collect()
+    }
+    lo, hi = datetime(1996, 1, 1), datetime(1998, 1, 1)
+    per = collections.defaultdict(lambda: [0, 0])
+    for r in spark.read.parquet(SF + "/lineitem.parquet").collect():
+        ck, od = omap[r["l_orderkey"]]
+        if not (lo <= od < hi):
+            continue
+        if ck not in cust_ok or r["l_partkey"] not in promo:
+            continue
+        v = round(r["l_extendedprice"] * 100) * round(
+            (1 - r["l_discount"]) * 1e6
+        )
+        per[od.year][1] += v
+        if suppn[r["l_suppkey"]] == "NATION_3":
+            per[od.year][0] += v
+    got = SPECS["q_tpch_q8"].fn(spark, SF).collect()
+    assert [r["o_year"] for r in got] == sorted(per)
+    for r in got:
+        nv, tv = per[r["o_year"]]
+        assert r["nation_volume"] == pytest.approx(nv / 1e8, rel=1e-9)
+        assert r["total_volume"] == pytest.approx(tv / 1e8, rel=1e-9)
+        assert r["mkt_share"] == pytest.approx(nv / tv, abs=2e-4)
+
+
+def test_tpch_q15_matches_python(spark):
+    import collections
+    from datetime import datetime
+
+    lo, hi = datetime(1997, 1, 1), datetime(1997, 4, 1)
+    rev = collections.Counter()
+    for r in spark.read.parquet(SF + "/lineitem.parquet").collect():
+        if lo <= r["l_shipdate"] < hi:
+            rev[r["l_suppkey"]] += round(r["l_extendedprice"] * 100) * round(
+                (1 - r["l_discount"]) * 1e6
+            )
+    best = max(rev.values())
+    winners = sorted(k for k, v in rev.items() if v == best)
+    got = SPECS["q_tpch_q15"].fn(spark, SF).collect()
+    assert [r["s_suppkey"] for r in got] == winners
+    for r in got:
+        assert r["total_revenue"] == pytest.approx(best / 1e8, abs=1e-3)
+        assert r["s_name"] == f"Supplier#{r['s_suppkey']:09d}"

@@ -1412,3 +1412,25 @@ def test_minhash_mae_candidates_only(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # only the constant permutation-axis cross may nest-loop
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_tpch_q7_pushes_window_no_cartesian(spark, sf_dir):
+    df = SPECS["q_tpch_q7"].fn(spark, sf_dir)
+    info = _optimized_scan_info(df)
+    assert "GreaterThanOrEqual(l_shipdate" in info
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q8_semi_prunes_both_fact_filters(spark, sf_dir):
+    df = SPECS["q_tpch_q8"].fn(spark, sf_dir)
+    info = _optimized_scan_info(df)
+    assert "EqualTo(p_type,PROMO)" in info
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q15_reuses_revenue_ledger(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_tpch_q15"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1

@@ -1109,3 +1109,260 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(50)
     )
+
+
+@register(
+    "q_tpch_q7",
+    oracle="""
+WITH shipping AS (
+  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * CAST(1 - l.l_discount AS DECIMAL(18,6)) AS volume
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+  WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+      OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+)
+SELECT supp_nation, cust_nation, l_year,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+    doc="TPC-H Q7 (volume shipping): bilateral trade between two "
+    "nations — lines whose supplier sits in one and customer in "
+    "the other, in either direction, over a two-year shipdate "
+    "window, revenue per (direction, year). The spec's 6-way "
+    "join with a cross-relation disjunctive nation predicate.",
+    scale_notes="The shipdate window pushes into the fact scan; "
+    "nation/supplier/customer are unhinted dims (AQE broadcasts; "
+    "the nation pair prunes suppliers and customers to ~2/25 "
+    "BEFORE their joins, and the disjunction re-checks post-join). "
+    "One orderkey shuffle joins the two fact legs; the output "
+    "ledger is 2 x years.",
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    nat = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    cust = (
+        read_table(spark, sf_dir, "customer")
+        .join(
+            nat.withColumnRenamed("n_name", "cust_nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+        .select("c_custkey", "cust_nation")
+    )
+    supp = (
+        read_table(spark, sf_dir, "supplier")
+        .join(
+            nat.withColumnRenamed("n_name", "supp_nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+        .select("s_suppkey", "supp_nation")
+    )
+    vol = dec2("l_extendedprice") * dec6(F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(vol).cast("double").alias("revenue"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q_tpch_q8",
+    oracle="""
+WITH all_sales AS (
+  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * CAST(1 - l.l_discount AS DECIMAL(18,6)) AS volume,
+         sn.n_name AS supp_nation
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = cn.n_regionkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+)
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         AS nation_volume,
+       CAST(SUM(volume) AS DOUBLE) AS total_volume,
+       ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE), 4) AS mkt_share
+FROM all_sales GROUP BY o_year ORDER BY o_year
+""",
+    doc="TPC-H Q8 (national market share): NATION_3's share of "
+    "PROMO-part revenue sold into ASIA customers per order year — "
+    "the spec's 8-way join with a conditional-share head. Region "
+    "filters the CUSTOMER side, the share condition tests the "
+    "SUPPLIER side, so both nation joins must stay distinct. "
+    "Money stays DECIMAL until each year's final ratio.",
+    scale_notes="Both date predicates and the part-type equality "
+    "push to scans; all five dims are unhinted (AQE broadcasts "
+    "small, shuffles at 100x — the q_tpch_q10 ruling). One "
+    "orderkey shuffle carries the two fact legs; the share CASE "
+    "rides the final years-bounded ledger.",
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    nat = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    cust = (
+        read_table(spark, sf_dir, "customer")
+        .join(
+            nat.select("n_nationkey", "n_regionkey"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    part = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    supp = (
+        read_table(spark, sf_dir, "supplier")
+        .join(
+            nat.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    vol = dec2("l_extendedprice") * dec6(F.lit(1) - F.col("l_discount"))
+    nation_vol = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+            F.lit(0).cast("decimal(18,2)")
+        )
+    ).cast("double")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            nation_vol.alias("nation_volume"),
+            F.sum(vol).cast("double").alias("total_volume"),
+        )
+        .select(
+            "o_year",
+            "nation_volume",
+            "total_volume",
+            F.round(
+                F.col("nation_volume") / F.col("total_volume"), 4
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q_tpch_q15",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(1 - l_discount AS DECIMAL(18,6))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       ROUND(CAST(r.total_revenue AS DOUBLE), 4) AS total_revenue
+FROM revenue r
+JOIN supplier s ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+""",
+    doc="TPC-H Q15 (top supplier): one quarter's discounted "
+    "revenue per supplier (the spec's revenue VIEW, here a CTE) "
+    "and the supplier(s) achieving the maximum — the "
+    "scalar-subquery-against-an-aggregate shape. Revenue stays "
+    "an exact DECIMAL through the MAX-equality comparison, so "
+    "ties are real ties, not float accidents; all maximal "
+    "suppliers return (suppkey order).",
+    scale_notes="The quarter predicate pushes to the scan; one "
+    "suppkey shuffle builds the revenue ledger, its 1-row MAX "
+    "broadcasts back (Catalyst materializes the CTE once under "
+    "AQE exchange reuse), and the supplier dim join is "
+    "ledger-sized. The spec's VIEW semantics = exchange reuse, "
+    "demonstrated.",
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                dec2("l_extendedprice")
+                * dec6(F.lit(1) - F.col("l_discount"))
+            ).alias("total_revenue")
+        )
+    )
+    top = rev.agg(F.max("total_revenue").alias("mx"))
+    supp = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_revenue").cast("double"), 4).alias(
+                "total_revenue"
+            ),
+        )
+        .orderBy("s_suppkey")
+    )

@@ -126,6 +126,9 @@ ALLOW_BNL: dict[str, str] = {
     "q_llm_minhash_mae": "12-row constant permutation axis crossed "
     "into the shingle table — llm_minhash_banded's signature build "
     "(llm_dedup.py)",
+    "q_tpch_q15": "1-row MAX(total_revenue) aggregate crossed into "
+    "the supplier revenue ledger — the q_filter_ts_cursor pattern "
+    "(tpch.py)",
 }
 
 #: Row-at-a-time Python — only the deliberate slow-path demos that

@@ -373,6 +373,9 @@ DRIVER_DEFERRED: frozenset[str] = frozenset({
     # thirty-eighth late batch (outer-join custdist / derived-partsupp
     # distinct counts / per-pair estimator accuracy)
     "q_tpch_q13", "q_tpch_q16", "q_llm_minhash_mae",
+    # thirty-ninth late batch (bilateral trade / market share / top
+    # supplier — the multi-dim TPC-H joins)
+    "q_tpch_q7", "q_tpch_q8", "q_tpch_q15",
 })
 
 
