@@ -2949,3 +2949,203 @@ def test_tpch_q15_matches_python(spark):
     for r in got:
         assert r["total_revenue"] == pytest.approx(best / 1e8, abs=1e-3)
         assert r["s_name"] == f"Supplier#{r['s_suppkey']:09d}"
+
+
+def test_tpch_q2_matches_python(spark):
+    import collections
+
+    li = spark.read.parquet(SF + "/lineitem.parquet").collect()
+    nat = {
+        r["n_nationkey"]: (r["n_name"], r["n_regionkey"])
+        for r in spark.read.parquet(SF + "/nation.parquet").collect()
+    }
+    europe = {
+        r["r_regionkey"]
+        for r in spark.read.parquet(SF + "/region.parquet").collect()
+        if r["r_name"] == "EUROPE"
+    }
+    supp = {
+        r["s_suppkey"]: r
+        for r in spark.read.parquet(SF + "/supplier.parquet").collect()
+        if nat[r["s_nationkey"]][1] in europe
+    }
+    parts = {
+        r["p_partkey"]: r["p_type"]
+        for r in spark.read.parquet(SF + "/part.parquet").collect()
+        if r["p_size"] == 15 and r["p_type"] == "STANDARD"
+    }
+    cost = collections.defaultdict(lambda: float("inf"))
+    for r in li:
+        if r["l_partkey"] in parts and r["l_suppkey"] in supp:
+            cost[(r["l_partkey"], r["l_suppkey"])] = min(
+                cost[(r["l_partkey"], r["l_suppkey"])],
+                round(r["l_extendedprice"] * 100),
+            )
+    best = collections.defaultdict(lambda: float("inf"))
+    for (pk, sk), c in cost.items():
+        best[pk] = min(best[pk], c)
+    rows = []
+    for (pk, sk), c in cost.items():
+        if c == best[pk]:
+            s = supp[sk]
+            rows.append(
+                (
+                    -s["s_acctbal"],
+                    nat[s["s_nationkey"]][0],
+                    s["s_name"],
+                    pk,
+                    c,
+                )
+            )
+    rows.sort()
+    got = SPECS["q_tpch_q2"].fn(spark, SF).collect()
+    assert len(got) == min(25, len(rows))
+    for g, (negbal, nname, sname, pk, c) in zip(got, rows[:25]):
+        assert g["s_acctbal"] == pytest.approx(-negbal, abs=1e-6)
+        assert (g["n_name"], g["s_name"], g["p_partkey"]) == (
+            nname,
+            sname,
+            pk,
+        )
+        assert g["supply_cost"] == pytest.approx(c / 100, abs=1e-6)
+
+
+def test_tpch_q9_matches_python(spark):
+    import collections
+
+    parts = {
+        r["p_partkey"]: r["p_retailprice"]
+        for r in spark.read.parquet(SF + "/part.parquet").collect()
+        if "widget" in r["p_name"]
+    }
+    nat = {
+        r["n_nationkey"]: r["n_name"]
+        for r in spark.read.parquet(SF + "/nation.parquet").collect()
+    }
+    suppn = {
+        r["s_suppkey"]: nat[r["s_nationkey"]]
+        for r in spark.read.parquet(SF + "/supplier.parquet").collect()
+    }
+    oyear = {
+        r["o_orderkey"]: r["o_orderdate"].year
+        for r in spark.read.parquet(SF + "/orders.parquet").collect()
+    }
+    per = collections.defaultdict(lambda: [0, 0.0])
+    for r in spark.read.parquet(SF + "/lineitem.parquet").collect():
+        if r["l_partkey"] not in parts:
+            continue
+        key = (suppn[r["l_suppkey"]], oyear[r["l_orderkey"]])
+        rev = (
+            round(r["l_extendedprice"] * 100)
+            * round((1 - r["l_discount"]) * 1e6)
+            / 1e8
+        )
+        cost = (
+            round(parts[r["l_partkey"]] * 100)
+            * round(r["l_quantity"])
+            / 1000
+        )
+        per[key][0] += 1
+        per[key][1] += rev - cost
+    got = SPECS["q_tpch_q9"].fn(spark, SF).collect()
+    assert [(r["nation"], r["o_year"]) for r in got] == sorted(
+        per, key=lambda k: (k[0], -k[1])
+    )
+    for r in got:
+        n, p = per[(r["nation"], r["o_year"])]
+        assert r["n_lines"] == n
+        assert r["sum_profit"] == pytest.approx(p, abs=1e-2)
+
+
+def test_tpch_q12_matches_python(spark):
+    import collections
+    from datetime import datetime, timedelta
+
+    omap = {
+        r["o_orderkey"]: (r["o_orderdate"], r["o_orderpriority"])
+        for r in spark.read.parquet(SF + "/orders.parquet").collect()
+    }
+    lo, hi = datetime(1997, 1, 1), datetime(1998, 1, 1)
+    per = collections.defaultdict(lambda: [0, 0])
+    for r in spark.read.parquet(SF + "/lineitem.parquet").collect():
+        if not (lo <= r["l_shipdate"] < hi):
+            continue
+        od, pri = omap[r["l_orderkey"]]
+        if r["l_shipdate"] <= od + timedelta(days=30):
+            cls = "FAST"
+        elif r["l_shipdate"] <= od + timedelta(days=180):
+            cls = "REGULAR"
+        else:
+            cls = "SLOW"
+        per[cls][0 if pri in ("1-URGENT", "2-HIGH") else 1] += 1
+    got = SPECS["q_tpch_q12"].fn(spark, SF).collect()
+    assert [r["ship_class"] for r in got] == sorted(per)
+    for r in got:
+        hi_c, lo_c = per[r["ship_class"]]
+        assert (r["high_line_count"], r["low_line_count"]) == (hi_c, lo_c)
+
+
+def test_tpch_q11_matches_python(spark):
+    import collections
+
+    nat = {
+        r["n_nationkey"]: r["n_name"]
+        for r in spark.read.parquet(SF + "/nation.parquet").collect()
+    }
+    nsup = {
+        r["s_suppkey"]
+        for r in spark.read.parquet(SF + "/supplier.parquet").collect()
+        if nat[r["s_nationkey"]] == "NATION_5"
+    }
+    val = collections.Counter()
+    for r in spark.read.parquet(SF + "/lineitem.parquet").collect():
+        if r["l_suppkey"] in nsup:
+            val[r["l_partkey"]] += round(r["l_extendedprice"] * 100)
+    total = sum(val.values())
+    want = sorted(
+        ((v, pk) for pk, v in val.items() if v * 1000 > 2 * total),
+        key=lambda t: (-t[0], t[1]),
+    )
+    got = SPECS["q_tpch_q11"].fn(spark, SF).collect()
+    assert [(r["ps_partkey"]) for r in got] == [pk for _, pk in want]
+    for r, (v, pk) in zip(got, want):
+        assert r["part_value"] == pytest.approx(v / 100, abs=1e-2)
+
+
+def test_tpch_q20_matches_python(spark):
+    import collections
+    from datetime import datetime
+
+    brand = {
+        r["p_partkey"]
+        for r in spark.read.parquet(SF + "/part.parquet").collect()
+        if r["p_brand"] == "Brand#3"
+    }
+    nat = {
+        r["n_nationkey"]: r["n_name"]
+        for r in spark.read.parquet(SF + "/nation.parquet").collect()
+    }
+    supp = {
+        r["s_suppkey"]: r
+        for r in spark.read.parquet(SF + "/supplier.parquet").collect()
+        if nat[r["s_nationkey"]] == "NATION_4"
+    }
+    lo, hi = datetime(1997, 1, 1), datetime(1998, 1, 1)
+    tot = collections.Counter()
+    y97 = collections.Counter()
+    for r in spark.read.parquet(SF + "/lineitem.parquet").collect():
+        if r["l_partkey"] not in brand:
+            continue
+        k = (r["l_partkey"], r["l_suppkey"])
+        q = round(r["l_quantity"])
+        tot[k] += q
+        if lo <= r["l_shipdate"] < hi:
+            y97[k] += q
+    per = collections.Counter()
+    for k in tot:
+        if k[1] in supp and y97[k] * 10 > tot[k] * 3:
+            per[supp[k[1]]["s_name"]] += 1
+    got = SPECS["q_tpch_q20"].fn(spark, SF).collect()
+    assert [r["s_name"] for r in got] == sorted(per)
+    for r in got:
+        assert r["n_heavy_parts"] == per[r["s_name"]]

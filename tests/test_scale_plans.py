@@ -1434,3 +1434,34 @@ def test_tpch_q15_reuses_revenue_ledger(spark, sf_dir):
     plan = _executed_plan(SPECS["q_tpch_q15"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_tpch_q2_min_decorrelates_on_same_key(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_tpch_q2"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q9_pushes_like_to_part_scan(spark, sf_dir):
+    df = SPECS["q_tpch_q9"].fn(spark, sf_dir)
+    info = _optimized_scan_info(df)
+    assert "StringContains(p_name,widget)" in info
+    assert "CartesianProduct" not in _executed_plan(df)
+
+
+def test_tpch_q12_single_orderkey_shuffle(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_tpch_q12"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q11_total_broadcasts_back(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_tpch_q11"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_tpch_q20_brand_semi_prunes_scan(spark, sf_dir):
+    plan = _executed_plan(SPECS["q_tpch_q20"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

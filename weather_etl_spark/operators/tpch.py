@@ -1366,3 +1366,396 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+#: Q2's supply-cost proxy on this schema: the minimum observed line
+#: price (integer cents) per DISTINCT (part, supplier) pair derived
+#: from lineitem — partsupp does not exist, and min line price is a
+#: deterministic, integer-exact stand-in for ps_supplycost.
+_Q2_COST_SQL = """
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         CAST(MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS cost_cents
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+"""
+
+
+@register(
+    "q_tpch_q2",
+    oracle=f"""
+WITH ps AS ({_Q2_COST_SQL}),
+eu_supp AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE'
+), cand AS (
+  SELECT p.p_partkey, p.p_type, ps.ps_suppkey, ps.cost_cents
+  FROM part p
+  JOIN ps ON ps.ps_partkey = p.p_partkey
+  JOIN eu_supp e ON e.s_suppkey = ps.ps_suppkey
+  WHERE p.p_size = 15 AND p.p_type = 'STANDARD'
+), best AS (
+  SELECT p_partkey, MIN(cost_cents) AS min_cost FROM cand
+  GROUP BY p_partkey
+)
+SELECT e.s_acctbal, e.s_name, e.n_name, c.p_partkey, c.p_type,
+       ROUND(c.cost_cents / 100.0, 2) AS supply_cost
+FROM cand c
+JOIN best b ON b.p_partkey = c.p_partkey AND c.cost_cents = b.min_cost
+JOIN eu_supp e ON e.s_suppkey = c.ps_suppkey
+ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, c.p_partkey
+LIMIT 25
+""",
+    doc="TPC-H Q2 (minimum cost supplier): for size-15 STANDARD "
+    "parts, the EUROPE supplier(s) quoting the minimum supply "
+    "cost — the spec's correlated MIN subquery over partsupp, "
+    "re-expressed on this schema with partsupp derived as the "
+    "min observed line price (integer cents, so the per-part MIN "
+    "equality is exact) per DISTINCT (part, supplier) pair. Top "
+    "25 by account balance.",
+    scale_notes="The derived partsupp is one (part, supplier) "
+    "shuffle of the fact (16-byte keys + a bigint); the "
+    "correlated MIN decorrelates to a per-part aggregate joined "
+    "back on the SAME key (exchange reuse); region prunes the "
+    "supplier dim before its join. Top-25 is "
+    "TakeOrderedAndProject.",
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(
+            F.min(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("cost_cents")
+        )
+    )
+    nat = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    eu = (
+        read_table(spark, sf_dir, "supplier")
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    cand = (
+        part.join(ps, F.col("ps_partkey") == F.col("p_partkey"))
+        .join(eu, F.col("ps_suppkey") == F.col("s_suppkey"), "left_semi")
+        .select("p_partkey", "p_type", "ps_suppkey", "cost_cents")
+    )
+    best = cand.groupBy(F.col("p_partkey").alias("bk")).agg(
+        F.min("cost_cents").alias("min_cost")
+    )
+    return (
+        cand.join(
+            best,
+            (F.col("p_partkey") == F.col("bk"))
+            & (F.col("cost_cents") == F.col("min_cost")),
+        )
+        .join(eu, F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            F.round(F.col("cost_cents") / 100.0, 2).alias("supply_cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(25)
+    )
+
+
+@register(
+    "q_tpch_q9",
+    oracle="""
+WITH profit AS (
+  SELECT sn.n_name AS nation,
+         CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * CAST(1 - l.l_discount AS DECIMAL(18,6))
+           - CAST(p.p_retailprice AS DECIMAL(18,2))
+             * CAST(ROUND(l.l_quantity) AS BIGINT) * 0.1 AS amount
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+  WHERE p.p_name LIKE '%widget%'
+)
+SELECT nation, o_year,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(CAST(SUM(amount) AS DOUBLE), 4) AS sum_profit
+FROM profit GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""",
+    doc="TPC-H Q9 (product type profit): per supplier nation and "
+    "order year, the profit on widget parts — revenue minus a "
+    "cost term (the spec's ps_supplycost * quantity becomes 10% "
+    "of retail price x quantity on this schema, DECIMAL-exact). "
+    "The spec's LIKE '%green%' part-name scan predicate and "
+    "5-way fact-dims join are preserved.",
+    scale_notes="The LIKE predicate prunes part BEFORE its join "
+    "(pushed as a string contains filter); the one orderkey "
+    "shuffle carries both fact legs and the profit expression is "
+    "codegen'd DECIMAL arithmetic. nations x years ledger out.",
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    part = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    amount = dec2("l_extendedprice") * dec6(
+        F.lit(1) - F.col("l_discount")
+    ) - dec2("p_retailprice") * F.round("l_quantity").cast(
+        "bigint"
+    ) * F.lit(0.1).cast("decimal(2,1)")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "nation",
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.round(F.sum(amount).cast("double"), 4).alias("sum_profit"),
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@register(
+    "q_tpch_q12",
+    oracle="""
+WITH classed AS (
+  SELECT CASE
+           WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY THEN 'FAST'
+           WHEN l_shipdate <= o_orderdate + INTERVAL 180 DAY THEN 'REGULAR'
+           ELSE 'SLOW'
+         END AS ship_class,
+         o_orderpriority
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+)
+SELECT ship_class,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM classed GROUP BY ship_class ORDER BY ship_class
+""",
+    doc="TPC-H Q12 (shipping modes and order priority): one year "
+    "of lines bucketed into shipping-speed classes (the synthetic "
+    "schema has no l_shipmode — FAST/REGULAR/SLOW derive from "
+    "ship-lag thresholds at 30/180 days), counting "
+    "urgent-or-high vs other priorities per class — the spec's "
+    "conditional two-way counts over a fact join.",
+    scale_notes="Year predicate pushed to the lineitem scan; one "
+    "orderkey shuffle joins priorities on; the CASE bucketing and "
+    "both conditional counts are map-side partials into a 3-row "
+    "ledger.",
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    cls = (
+        F.when(
+            F.col("l_shipdate")
+            <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+            "FAST",
+        )
+        .when(
+            F.col("l_shipdate")
+            <= F.col("o_orderdate") + F.expr("INTERVAL 180 DAYS"),
+            "REGULAR",
+        )
+        .otherwise("SLOW")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(cls.alias("ship_class"), "o_orderpriority")
+        .groupBy("ship_class")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+@register(
+    "q_tpch_q11",
+    oracle="""
+WITH nsup AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_5'
+), val AS (
+  SELECT l_partkey AS ps_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value_
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM nsup)
+  GROUP BY l_partkey
+)
+SELECT ps_partkey, CAST(value_ AS DOUBLE) AS part_value
+FROM val
+WHERE value_ > 0.002 * (SELECT SUM(value_) FROM val)
+ORDER BY part_value DESC, ps_partkey ASC
+""",
+    doc="TPC-H Q11 (important stock identification): parts whose "
+    "stock value at one nation's suppliers exceeds a fraction of "
+    "that nation's total — the spec's scalar-aggregate-subquery-"
+    "in-HAVING shape. Adapted: stock value is the DECIMAL-exact "
+    "sum of line prices from the nation's suppliers (no partsupp "
+    "availqty on this schema) and the significance fraction is "
+    "0.2%. The value stays DECIMAL through both the per-part and "
+    "the total aggregation, so the threshold comparison is "
+    "exact.",
+    scale_notes="One partkey shuffle builds the value ledger; its "
+    "1-row grand total broadcasts back (exchange reuse — the "
+    "HAVING decorrelation); the nation's supplier list semi-joins "
+    "broadcast. Ledger-sized everything after the first "
+    "aggregate.",
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = read_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_5"
+    )
+    nsup = (
+        read_table(spark, sf_dir, "supplier")
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select("s_suppkey")
+    )
+    val = (
+        read_table(spark, sf_dir, "lineitem")
+        .join(nsup, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(F.sum(dec2("l_extendedprice")).alias("value_"))
+    )
+    tot = val.agg(F.sum("value_").alias("grand"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("value_")
+            > F.lit(0.002).cast("decimal(4,3)") * F.col("grand")
+        )
+        .select(
+            "ps_partkey",
+            F.col("value_").cast("double").alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), F.col("ps_partkey").asc())
+    )
+
+
+@register(
+    "q_tpch_q20",
+    oracle="""
+WITH brand_parts AS (
+  SELECT p_partkey FROM part WHERE p_brand = 'Brand#3'
+), ps AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS tot,
+         CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                        AND l_shipdate <  TIMESTAMP '1998-01-01'
+                       THEN CAST(ROUND(l_quantity) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS qty97
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM brand_parts)
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s.s_name, s.s_acctbal,
+       CAST(COUNT(*) AS BIGINT) AS n_heavy_parts
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN ps ON ps.l_suppkey = s.s_suppkey
+WHERE n.n_name = 'NATION_4' AND ps.qty97 * 10 > ps.tot * 3
+GROUP BY s.s_name, s.s_acctbal
+ORDER BY s.s_name
+""",
+    doc="TPC-H Q20 (potential part promotion): suppliers in one "
+    "nation who concentrated their Brand#3 part shipments in "
+    "1997 — the spec's nested-IN (parts by name) plus correlated "
+    "half-of-shipments aggregate, adapted to the derived "
+    "(part, supplier) relation: a pair qualifies when its 1997 "
+    "quantity exceeds 30% of its all-time quantity, compared "
+    "all-integer (qty97*10 > tot*3, no float threshold). Counts "
+    "qualifying parts per supplier, name order.",
+    scale_notes="The brand IN prunes the fact scan via a semi "
+    "join before the (part, supplier) shuffle; the correlated "
+    "year-share condition is a same-key conditional aggregate — "
+    "one shuffle computes both sides. The nation dim prunes "
+    "suppliers broadcast-side. Ledger joins after.",
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    brand = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#3")
+        .select("p_partkey")
+    )
+    li = read_table(spark, sf_dir, "lineitem").join(
+        brand, F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    in97 = (
+        F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")
+    ) & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    qty = F.round("l_quantity").cast("bigint")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(qty).cast("bigint").alias("tot"),
+        F.sum(F.when(in97, qty).otherwise(0))
+        .cast("bigint")
+        .alias("qty97"),
+    )
+    nat = read_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_4"
+    )
+    supp = (
+        read_table(spark, sf_dir, "supplier")
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    return (
+        ps.filter(F.col("qty97") * 10 > F.col("tot") * 3)
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name", "s_acctbal")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_heavy_parts"))
+        .orderBy("s_name")
+    )

@@ -129,6 +129,8 @@ ALLOW_BNL: dict[str, str] = {
     "q_tpch_q15": "1-row MAX(total_revenue) aggregate crossed into "
     "the supplier revenue ledger — the q_filter_ts_cursor pattern "
     "(tpch.py)",
+    "q_tpch_q11": "1-row grand-total aggregate crossed into the "
+    "part-value ledger — the HAVING decorrelation (tpch.py)",
 }
 
 #: Row-at-a-time Python — only the deliberate slow-path demos that

@@ -376,6 +376,9 @@ DRIVER_DEFERRED: frozenset[str] = frozenset({
     # thirty-ninth late batch (bilateral trade / market share / top
     # supplier — the multi-dim TPC-H joins)
     "q_tpch_q7", "q_tpch_q8", "q_tpch_q15",
+    # fortieth late batch (the derived-partsupp and lateness-class
+    # adaptations completing all 22 TPC-H shapes)
+    "q_tpch_q2", "q_tpch_q9", "q_tpch_q12", "q_tpch_q11", "q_tpch_q20",
 })
 
 
