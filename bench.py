@@ -66,6 +66,17 @@ LLM_SECTION = [
     "q_llm_bpe_train",
 ]
 
+#: Third section (late r6): representative rows of the completed
+#: TPC-H suite — the hardest correlated shape (Q21), the widest
+#: multi-dim join (Q9), and the outer-join histogram (Q13).  Like
+#: `llm_total`, kept OUT of the lineage "value"; round 6 is the
+#: baseline round for `tpch_total`.
+TPCH_SECTION = [
+    "q_tpch_q21",
+    "q_tpch_q9",
+    "q_tpch_q13",
+]
+
 
 def _bench_n() -> int:
     return max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "5")))
@@ -105,9 +116,10 @@ def main() -> None:
     specs = load_all()
     names = [n for n in HEADLINE if n in specs] or sorted(specs)[:5]
     llm_names = [n for n in LLM_SECTION if n in specs]
+    tpch_names = [n for n in TPCH_SECTION if n in specs]
 
     timings: dict[str, float] = {}
-    for name in names + llm_names:
+    for name in names + llm_names + tpch_names:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--single", name],
             capture_output=True, text=True, timeout=900,
@@ -128,6 +140,7 @@ def main() -> None:
 
     head = {n: timings[n] for n in names}
     llm = {n: timings[n] for n in llm_names}
+    tpch = {n: timings[n] for n in tpch_names}
     total = round(sum(head.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -139,6 +152,8 @@ def main() -> None:
                 "queries": head,
                 "llm_queries": llm,
                 "llm_total": round(sum(llm.values()), 3),
+                "tpch_queries": tpch,
+                "tpch_total": round(sum(tpch.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "method": "isolated-session-per-query",
                 "runs_per_query": _bench_n(),
