@@ -2040,3 +2040,78 @@ def q_agg_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("f_bf"),
     )
+
+
+@register(
+    "q_agg_cohens_kappa",
+    oracle=r"""
+WITH rated AS (
+  SELECT CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS ra,
+         CASE WHEN len(regexp_extract_all(text, '\bthe\b')) >= 2
+              THEN 1 ELSE 0 END AS rb
+  FROM documents
+), c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(ra) AS BIGINT) AS a1,
+         CAST(SUM(rb) AS BIGINT) AS b1,
+         CAST(SUM(ra * rb) AS BIGINT) AS n11
+  FROM rated
+)
+SELECT n AS n_docs, a1 AS n_rater_a, b1 AS n_rater_b, n11 AS n_both,
+       ROUND(CAST(2 * n11 + n - a1 - b1 AS DOUBLE) / n, 4) AS p_o,
+       ROUND((CAST(a1 AS DOUBLE) * b1 + CAST(n - a1 AS DOUBLE) * (n - b1))
+             / (CAST(n AS DOUBLE) * n), 4) AS p_e,
+       ROUND((CAST(2 * n11 + n - a1 - b1 AS DOUBLE) / n
+              - (CAST(a1 AS DOUBLE) * b1
+                 + CAST(n - a1 AS DOUBLE) * (n - b1))
+                / (CAST(n AS DOUBLE) * n))
+             / (1 - (CAST(a1 AS DOUBLE) * b1
+                     + CAST(n - a1 AS DOUBLE) * (n - b1))
+                    / (CAST(n AS DOUBLE) * n)), 4) AS kappa
+FROM c
+""",
+    doc="Cohen's kappa inter-rater agreement between two independent "
+    "binary quality raters over the documents table — rater A the "
+    "length heuristic (n_chars >= 250), rater B the stopword-density "
+    "heuristic (>= 2 occurrences of 'the') — the label-QA statistic "
+    "every annotation/autorater pipeline reports before trusting a "
+    "quality classifier's training labels (chance-corrected, unlike "
+    "raw percent agreement). Everything reduces to four exact integer "
+    "counts (n, per-rater positives, joint positives); p_o, p_e and "
+    "kappa = (p_o - p_e)/(1 - p_e) are computed from those in double "
+    "and rounded once at the end, so the reduction is "
+    "order-independent by construction.",
+    scale_notes="Zero-shuffle codegen'd flags + one 4-counter global "
+    "aggregate (map-side combine to a single row). The same shape "
+    "extends to k raters / multi-class via per-pair counters — "
+    "counters stay O(1) regardless of corpus size.",
+)
+def q_agg_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    ra = F.when(F.col("n_chars") >= 250, 1).otherwise(0)
+    rb = F.when(
+        F.size(F.regexp_extract_all("text", F.lit(r"\bthe\b"), 0)) >= 2, 1
+    ).otherwise(0)
+    c = docs.select(ra.alias("ra"), rb.alias("rb")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("ra").cast("bigint").alias("a1"),
+        F.sum("rb").cast("bigint").alias("b1"),
+        F.sum(F.col("ra") * F.col("rb")).cast("bigint").alias("n11"),
+    )
+    p_o = (2 * F.col("n11") + F.col("n") - F.col("a1") - F.col("b1")).cast(
+        "double"
+    ) / F.col("n")
+    p_e = (
+        F.col("a1").cast("double") * F.col("b1")
+        + (F.col("n") - F.col("a1")).cast("double")
+        * (F.col("n") - F.col("b1"))
+    ) / (F.col("n").cast("double") * F.col("n"))
+    return c.select(
+        F.col("n").alias("n_docs"),
+        F.col("a1").alias("n_rater_a"),
+        F.col("b1").alias("n_rater_b"),
+        F.col("n11").alias("n_both"),
+        F.round(p_o, 4).alias("p_o"),
+        F.round(p_e, 4).alias("p_e"),
+        F.round((p_o - p_e) / (1 - p_e), 4).alias("kappa"),
+    )

@@ -1204,3 +1204,297 @@ def q_dq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "q_llm_retrieval_eval",
+    oracle="""
+WITH probes AS (
+  SELECT vec_id AS probe_id, label AS plabel,
+         CAST(embedding AS DOUBLE[]) AS pe
+  FROM embeddings WHERE vec_id < 10
+), corpus AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id >= 10
+), nrel AS (
+  SELECT probe_id, plabel, COUNT(*) AS n_rel
+  FROM probes JOIN corpus ON corpus.label = probes.plabel
+  GROUP BY probe_id, plabel
+), ranked AS (
+  SELECT probe_id, plabel, vec_id,
+         CASE WHEN label = plabel THEN 1 ELSE 0 END AS rel,
+         ROW_NUMBER() OVER (PARTITION BY probe_id
+           ORDER BY list_cosine_similarity(pe, e) DESC, vec_id ASC) AS rn
+  FROM probes JOIN corpus ON TRUE
+), top10 AS (
+  SELECT * FROM ranked WHERE rn <= 10
+), m AS (
+  SELECT t.probe_id, t.plabel, nrel.n_rel,
+         CAST(SUM(t.rel) AS BIGINT) AS hits10,
+         SUM(CAST(ROUND(CAST(t.rel AS DOUBLE) / LOG2(t.rn + 1), 8)
+                  AS DECIMAL(18,8))) AS dcg,
+         SUM(CASE WHEN t.rn <= LEAST(10, nrel.n_rel)
+                  THEN CAST(ROUND(1.0 / LOG2(t.rn + 1), 8)
+                            AS DECIMAL(18,8))
+                  ELSE CAST(0 AS DECIMAL(18,8)) END) AS idcg,
+         MAX(CAST(t.rel AS DOUBLE) / t.rn) AS rr
+  FROM top10 t JOIN nrel ON nrel.probe_id = t.probe_id
+  GROUP BY t.probe_id, t.plabel, nrel.n_rel
+)
+SELECT probe_id, plabel AS label, CAST(n_rel AS BIGINT) AS n_rel, hits10,
+       ROUND(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 4) AS ndcg10,
+       ROUND(rr, 4) AS mrr10,
+       ROUND(CAST(hits10 AS DOUBLE) / n_rel, 4) AS recall10
+FROM m ORDER BY probe_id
+""",
+    doc="Retrieval-quality evaluation (NDCG@10, MRR@10, recall@10) "
+    "for an embedding model: probes vec_id<10 query the rest of the "
+    "corpus, graded relevance = label match, ranking by exact cosine "
+    "(vec_id tie-break). DCG/IDCG terms are rounded to 8 decimals "
+    "and DECIMAL-summed so the per-probe reduction is "
+    "order-independent; IDCG uses the ideal min(10, n_rel)-term "
+    "prefix. The eval every embedding/recall pipeline runs before "
+    "trusting an index — the quality gate for llm_ann_lsh/llm_ann_ivf "
+    "style indexes (those measure recall vs q_llm_knn; this measures "
+    "usefulness vs labels).",
+    scale_notes="Probe set broadcast (bounded eval panel), one linear "
+    "scan of the corpus, per-probe top-10 via WindowGroupLimit — the "
+    "q_llm_knn physical shape plus a constant-size metric reduction. "
+    "At 100 TB the panel stays fixed and the scan parallelizes; "
+    "nothing quadratic, no driver collect.",
+)
+def q_llm_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("plabel"),
+        F.col("embedding").alias("pe"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    nrel = (
+        corpus.join(
+            F.broadcast(probes.select("probe_id", "plabel")),
+            F.col("label") == F.col("plabel"),
+        )
+        .groupBy("probe_id", "plabel")
+        .agg(F.count(F.lit(1)).alias("n_rel"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_raw").desc(), F.col("vec_id").asc()
+    )
+    top10 = (
+        corpus.crossJoin(F.broadcast(probes))
+        .select(
+            "probe_id",
+            "plabel",
+            "vec_id",
+            F.when(F.col("label") == F.col("plabel"), 1)
+            .otherwise(0)
+            .alias("rel"),
+            cosine(F.col("pe"), F.col("embedding")).alias("cos_raw"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+    )
+    dcg_term = F.round(
+        F.col("rel").cast("double") / F.log2(F.col("rn") + 1), 8
+    ).cast("decimal(18,8)")
+    idcg_term = F.when(
+        F.col("rn") <= F.least(F.lit(10), F.col("n_rel")),
+        F.round(F.lit(1.0) / F.log2(F.col("rn") + 1), 8).cast(
+            "decimal(18,8)"
+        ),
+    ).otherwise(F.lit(0).cast("decimal(18,8)"))
+    return (
+        top10.join(F.broadcast(nrel), ["probe_id", "plabel"])
+        .groupBy("probe_id", "plabel", "n_rel")
+        .agg(
+            F.sum("rel").cast("bigint").alias("hits10"),
+            F.sum(dcg_term).alias("dcg"),
+            F.sum(idcg_term).alias("idcg"),
+            F.max(F.col("rel").cast("double") / F.col("rn")).alias("rr"),
+        )
+        .select(
+            "probe_id",
+            F.col("plabel").alias("label"),
+            F.col("n_rel").cast("bigint").alias("n_rel"),
+            "hits10",
+            F.round(
+                F.col("dcg").cast("double") / F.col("idcg").cast("double"),
+                4,
+            ).alias("ndcg10"),
+            F.round("rr", 4).alias("mrr10"),
+            F.round(
+                F.col("hits10").cast("double") / F.col("n_rel"), 4
+            ).alias("recall10"),
+        )
+        .orderBy("probe_id")
+    )
+
+
+def _mmr_oracle() -> str:
+    """Unrolled 5-stage MMR oracle: sel_t accumulates picks, each stage
+    scores the remaining candidates by relevance minus redundancy
+    (lambda=0.7) against the running selection and takes the argmax
+    (vec_id tie-break). Generated, not hand-copied, so the stage count
+    stays in one place."""
+    stages = []
+    sel = "s1"
+    stages.append("""s1 AS (
+  SELECT probe_id, vec_id, rel AS score, 1 AS pick FROM (
+    SELECT probe_id, vec_id, rel,
+           ROW_NUMBER() OVER (PARTITION BY probe_id
+                              ORDER BY rel DESC, vec_id ASC) AS rn
+    FROM cand) t WHERE rn = 1
+)""")
+    for t in range(2, 6):
+        prev = sel
+        stages.append(f"""sel{t - 1} AS (
+  SELECT probe_id, vec_id FROM {prev}
+  {"" if t == 2 else f"UNION ALL SELECT probe_id, vec_id FROM sel{t - 2}"}
+), s{t} AS (
+  SELECT probe_id, vec_id, score, {t} AS pick FROM (
+    SELECT c.probe_id, c.vec_id,
+           0.7 * c.rel - 0.3 * MAX(cc.sim) AS score,
+           ROW_NUMBER() OVER (PARTITION BY c.probe_id
+             ORDER BY 0.7 * c.rel - 0.3 * MAX(cc.sim) DESC,
+                      c.vec_id ASC) AS rn
+    FROM cand c
+    JOIN cc ON cc.probe_id = c.probe_id AND cc.id_a = c.vec_id
+    JOIN sel{t - 1} s ON s.probe_id = c.probe_id AND s.vec_id = cc.id_b
+    WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{t - 1} x
+                           WHERE x.probe_id = c.probe_id)
+    GROUP BY c.probe_id, c.vec_id, c.rel) t WHERE rn = 1
+)""")
+        sel = f"s{t}"
+    union = " UNION ALL ".join(
+        f"SELECT * FROM s{t}" for t in range(1, 6)
+    )
+    return f"""
+WITH probes AS (
+  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pe
+  FROM embeddings WHERE vec_id IN (1, 2, 3)
+), cand AS (
+  SELECT probe_id, vec_id, rel FROM (
+    SELECT probe_id, e.vec_id,
+           CAST(list_cosine_similarity(pe, CAST(e.embedding AS DOUBLE[]))
+                AS DOUBLE) AS rel,
+           ROW_NUMBER() OVER (PARTITION BY probe_id
+             ORDER BY list_cosine_similarity(
+                        pe, CAST(e.embedding AS DOUBLE[])) DESC,
+                      e.vec_id ASC) AS rn
+    FROM probes JOIN embeddings e ON e.vec_id <> probe_id) t
+  WHERE rn <= 20
+), cc AS (
+  SELECT a.probe_id, a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                     CAST(eb.embedding AS DOUBLE[]))
+              AS DOUBLE) AS sim
+  FROM cand a
+  JOIN cand b ON a.probe_id = b.probe_id AND a.vec_id <> b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+), {", ".join(stages)}
+SELECT probe_id, CAST(pick AS BIGINT) AS pick,
+       CAST(vec_id AS BIGINT) AS vec_id, ROUND(score, 4) AS score
+FROM ({union}) u ORDER BY probe_id, pick
+"""
+
+
+@register(
+    "q_llm_mmr_select",
+    oracle=_mmr_oracle(),
+    doc="Maximal-marginal-relevance diversified selection (lambda=0.7, "
+    "k=5 picks from the top-20 cosine candidates per probe): greedy "
+    "argmax of 0.7*relevance - 0.3*max-similarity-to-selected, vec_id "
+    "tie-break — the dedup-aware exemplar/eval-set sampler (Carbonell "
+    "& Goldstein 1998). First pick is the pure-relevance argmax; each "
+    "later pick penalizes redundancy against everything already "
+    "chosen, so near-duplicate neighbors (q_llm_cosine_pairs' "
+    "clusters) cannot fill the panel. Spark side runs the greedy loop "
+    "in one Arrow batch per probe via applyInPandas over the "
+    "DISTRIBUTED top-20 candidate cut; the oracle is the same "
+    "recurrence unrolled into 5 SQL stages. Both sides share "
+    "left-to-right IEEE cosine reductions, so scores and therefore "
+    "argmaxes are bit-identical.",
+    scale_notes="The candidate cut (top-20 per probe) is the "
+    "q_llm_knn linear-scan shape: probes broadcast, one corpus scan, "
+    "WindowGroupLimit. The greedy loop then touches only k*20 rows "
+    "per probe inside one Arrow batch — O(k^2 * dim) per probe, "
+    "independent of corpus size. At 100 TB only the candidate scan "
+    "grows; the selection never leaves the executors.",
+)
+def q_llm_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id").isin(1, 2, 3)).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("rel").desc(), F.col("vec_id").asc()
+    )
+    cand = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            cosine(F.col("pe"), F.col("embedding")).alias("rel"),
+            F.col("embedding").alias("e"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("probe_id", "vec_id", "rel", "e")
+    )
+
+    def _ltr(m: "np.ndarray") -> "np.ndarray":
+        acc = m[:, 0].copy()
+        for i in range(1, m.shape[1]):
+            acc += m[:, i]
+        return acc
+
+    def mmr(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        mat = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+        # pairwise cosine, left-to-right reduction (oracle-identical)
+        norms = np.sqrt(_ltr(mat * mat))
+        n = len(pdf)
+        sim = np.empty((n, n))
+        for i in range(n):
+            sim[i] = _ltr(mat[i][None, :] * mat) / (norms[i] * norms)
+        rel = pdf["rel"].to_numpy()
+        ids = pdf["vec_id"].to_numpy()
+        chosen: list[int] = []
+        scores: list[float] = []
+        for _pick in range(5):
+            best, best_score = -1, None
+            for j in range(n):  # ids ascending -> first strict max wins
+                if j in chosen:
+                    continue
+                if _pick == 0:
+                    s = rel[j]
+                else:
+                    s = 0.7 * rel[j] - 0.3 * max(
+                        sim[j][c] for c in chosen
+                    )
+                if best_score is None or s > best_score:
+                    best, best_score = j, s
+            chosen.append(best)
+            scores.append(float(best_score))
+        return pd.DataFrame(
+            {
+                "probe_id": pdf["probe_id"].iloc[0],
+                "pick": np.arange(1, 6, dtype=np.int64),
+                "vec_id": ids[chosen].astype(np.int64),
+                "score": scores,
+            }
+        )
+
+    out = cand.groupBy("probe_id").applyInPandas(
+        mmr, "probe_id bigint, pick bigint, vec_id bigint, score double"
+    )
+    return out.select(
+        "probe_id", "pick", "vec_id", F.round("score", 4).alias("score")
+    ).orderBy("probe_id", "pick")

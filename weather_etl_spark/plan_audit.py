@@ -31,6 +31,10 @@ ALLOW_BNL: dict[str, str] = {
     "q_llm_zipf": "1-row token-total aggregate (llm_prep.py)",
     "q_llm_tfidf": "1-row n_docs aggregate (llm_text.py:101)",
     "q_llm_knn": "5-row constant probe matrix (llm_vector.py:156)",
+    "q_llm_retrieval_eval": "10-row constant probe panel crossed into "
+    "the corpus scan — the q_llm_knn pattern (llm_vector.py)",
+    "q_llm_mmr_select": "3-row constant probe set crossed into the "
+    "candidate scan — the q_llm_knn pattern (llm_vector.py)",
     "q_time_interp": "bounded generated day axis per the gapfill grid "
     "(aggregates.py:797)",
     "llm_minhash_banded": "constant permutation table, bands x rows "

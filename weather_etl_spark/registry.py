@@ -379,6 +379,9 @@ DRIVER_DEFERRED: frozenset[str] = frozenset({
     # fortieth late batch (the derived-partsupp and lateness-class
     # adaptations completing all 22 TPC-H shapes)
     "q_tpch_q2", "q_tpch_q9", "q_tpch_q12", "q_tpch_q11", "q_tpch_q20",
+    # forty-first late batch (retrieval-quality eval / diversified
+    # MMR selection / inter-rater label QA)
+    "q_llm_retrieval_eval", "q_llm_mmr_select", "q_agg_cohens_kappa",
 })
 
 
