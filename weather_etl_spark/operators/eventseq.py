@@ -1667,3 +1667,139 @@ def q_event_next_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev")
     )
+
+
+@register(
+    "q_time_changepoint",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY event_type, day
+), idx AS (
+  SELECT event_type, day, y,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS k,
+         CAST(SUM(y) OVER (PARTITION BY event_type ORDER BY day)
+              AS BIGINT) AS s,
+         CAST(SUM(y * y) OVER (PARTITION BY event_type ORDER BY day)
+              AS BIGINT) AS ss,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+         CAST(SUM(y) OVER (PARTITION BY event_type) AS BIGINT) AS st,
+         CAST(SUM(y * y) OVER (PARTITION BY event_type) AS BIGINT) AS sst
+  FROM daily
+), cand AS (
+  SELECT event_type, day, k, n,
+         (ss - CAST(s AS DOUBLE) * s / k)
+           + ((sst - ss)
+              - CAST(st - s AS DOUBLE) * (st - s) / (n - k)) AS sse,
+         sst - CAST(st AS DOUBLE) * st / n AS sse0,
+         -- exact integer half-up: round(100*s/k) = (200s + k) // (2k);
+         -- double ROUND would disagree across engines on .93875-style
+         -- dyadic boundaries (k = 8, 16 divides cents exactly)
+         (200 * s + k) // (2 * k) AS mean_left_x4,
+         (200 * (st - s) + (n - k)) // (2 * (n - k)) AS mean_right_x4
+  FROM idx WHERE k >= 7 AND k <= n - 7
+)
+SELECT event_type, day AS split_day, CAST(k AS BIGINT) AS k,
+       CAST(n AS BIGINT) AS n_days,
+       CAST(mean_left_x4 AS DOUBLE) / 10000 AS mean_left,
+       CAST(mean_right_x4 AS DOUBLE) / 10000 AS mean_right,
+       ROUND(1 - sse / sse0, 4) AS var_explained
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY sse ASC, day ASC) AS rn
+      FROM cand) t
+WHERE rn = 1 ORDER BY event_type
+""",
+    doc="Single changepoint localization per event type (binary "
+    "segmentation, the first split of CBS/PELT): over each type's "
+    "daily-revenue series, the split k minimizing total two-segment "
+    "SSE, found in closed form from exact integer prefix sums "
+    "(sum and sum-of-squares of cents) — SSE(k) = (ss_k - s_k^2/k) + "
+    "((SS - ss_k) - (S - s_k)^2/(n - k)), min segment 7 days, "
+    "earliest-day tie-break. Reports the segment means and the "
+    "variance explained by the split — the localization complement "
+    "of q_time_cusum's drift ALARM (cusum says 'something moved'; "
+    "this says where).",
+    scale_notes="One event_type shuffle to the daily ledger; prefix "
+    "sums and the argmin are windows over the ledger (days-bounded "
+    "rows, never events). Recursing to multiple changepoints re-runs "
+    "the same ledger pass per segment — O(rounds) ledger scans, no "
+    "O(n^2). Integer prefix sums stay exact below 2^53 cents^2-days; "
+    "beyond that the sufficient statistics move to DECIMAL(38,0) "
+    "like q_agg_levene's.",
+)
+def q_time_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    wa = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(wo).alias("k"),
+        F.sum("y").over(wo).cast("bigint").alias("s"),
+        F.sum(F.col("y") * F.col("y")).over(wo).cast("bigint").alias("ss"),
+        F.count(F.lit(1)).over(wa).cast("bigint").alias("n"),
+        F.sum("y").over(wa).cast("bigint").alias("st"),
+        F.sum(F.col("y") * F.col("y"))
+        .over(wa)
+        .cast("bigint")
+        .alias("sst"),
+    )
+    sse = (
+        F.col("ss") - F.col("s").cast("double") * F.col("s") / F.col("k")
+    ) + (
+        (F.col("sst") - F.col("ss"))
+        - (F.col("st") - F.col("s")).cast("double")
+        * (F.col("st") - F.col("s"))
+        / (F.col("n") - F.col("k"))
+    )
+    cand = idx.filter(
+        (F.col("k") >= 7) & (F.col("k") <= F.col("n") - 7)
+    ).select(
+        "event_type",
+        "day",
+        "k",
+        "n",
+        sse.alias("sse"),
+        (
+            F.col("sst") - F.col("st").cast("double") * F.col("st") / F.col("n")
+        ).alias("sse0"),
+        # exact integer half-up rounding (see oracle comment)
+        F.expr("(200 * s + k) div (2 * k)").alias("mean_left_x4"),
+        F.expr(
+            "(200 * (st - s) + (n - k)) div (2 * (n - k))"
+        ).alias("mean_right_x4"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("sse").asc(), F.col("day").asc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("split_day"),
+            "k",
+            F.col("n").alias("n_days"),
+            (F.col("mean_left_x4").cast("double") / 10000).alias(
+                "mean_left"
+            ),
+            (F.col("mean_right_x4").cast("double") / 10000).alias(
+                "mean_right"
+            ),
+            F.round(1 - F.col("sse") / F.col("sse0"), 4).alias(
+                "var_explained"
+            ),
+        )
+        .orderBy("event_type")
+    )

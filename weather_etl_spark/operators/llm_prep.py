@@ -1647,3 +1647,111 @@ def q_llm_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("margin").desc(), F.col("pair_id").asc())
         .limit(_PREF_TOP)
     )
+
+
+#: Planted boilerplate phrase (the crawl artifact q_llm_boilerplate
+#: detects) appended to every 0-mod-7 document — the q_llm_prefix_dup
+#: salting convention, so the detector has true positives at every SF.
+_BOILER_SALT = " subscribe to our newsletter today for updates"
+
+
+@register(
+    "q_llm_boilerplate",
+    oracle=f"""
+WITH salted AS (
+  SELECT doc_id, source,
+         text || CASE WHEN doc_id % 7 = 0 THEN '{_BOILER_SALT}'
+                      ELSE '' END AS text
+  FROM documents
+), nd AS (
+  SELECT source, COUNT(*) AS n_docs FROM salted GROUP BY source
+), toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM salted
+), g AS (
+  SELECT DISTINCT doc_id, source,
+         unnest(list_transform(range(1, len(t) - 1),
+                i -> array_to_string(t[i:i + 2], ' '))) AS gram
+  FROM toks WHERE len(t) >= 3
+), df AS (
+  SELECT source, gram, CAST(COUNT(*) AS BIGINT) AS df
+  FROM g GROUP BY source, gram
+), ranked AS (
+  SELECT source, gram, df,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY df DESC, gram ASC) AS rank
+  FROM df WHERE df >= 3
+)
+SELECT r.source, CAST(r.rank AS BIGINT) AS rank, r.gram, r.df,
+       nd.n_docs,
+       ROUND(CAST(r.df AS DOUBLE) / nd.n_docs, 4) AS doc_share
+FROM ranked r JOIN nd USING (source)
+WHERE r.rank <= 10
+""",
+    doc="Boilerplate-lexicon mining (the CCNet/RefinedWeb removal "
+    "list): per source domain, the 3-gram shingles appearing in >= 3 "
+    "distinct documents of that source, top-10 by document frequency "
+    "(gram tie-break) with the doc-share ratio — the corpus-level "
+    "frequent-fragment complement of q_llm_gram_novelty's per-doc "
+    "novelty score (that ranks documents; this extracts the shared "
+    "fragments a cleaner would strip). Documents with doc_id % 7 = 0 "
+    "carry a planted 'subscribe to our newsletter' phrase so every "
+    "source has true boilerplate to find (the q_llm_prefix_dup "
+    "salting convention).",
+    scale_notes="Shuffles carry DISTINCT (source, gram, doc_id) "
+    "pairs and the (source, gram) ledger, never documents; the df "
+    "filter prunes before ranking, and the per-source top-10 is a "
+    "WindowGroupLimit over the ledger. At 100 TB the same shape "
+    "feeds the removal pass as a broadcast lexicon per domain shard.",
+)
+def q_llm_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(_BOILER_SALT)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    nd = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    toks = docs.select(
+        "doc_id", "source", F.split("text", " ").alias("t")
+    ).filter(F.size("t") >= 3)
+    grams = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.col("t")[i],
+                    F.col("t")[i + 1],
+                    F.col("t")[i + 2],
+                ),
+            )
+        ).alias("gram"),
+    ).distinct()
+    df = grams.groupBy("source", "gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("df").desc(), F.col("gram").asc()
+    )
+    return (
+        df.filter(F.col("df") >= 3)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+        .join(F.broadcast(nd), "source")
+        .select(
+            "source",
+            "rank",
+            "gram",
+            "df",
+            "n_docs",
+            F.round(F.col("df").cast("double") / F.col("n_docs"), 4).alias(
+                "doc_share"
+            ),
+        )
+    )

@@ -754,3 +754,115 @@ def llm_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "dist")
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "llm_mm_scenechange",
+    oracle="""
+WITH v AS (
+  SELECT doc_id,
+         hex(encode(text || CASE WHEN doc_id % 5 = 0
+                                 THEN repeat('=', 120) ELSE '' END)) AS hx,
+         octet_length(encode(text))
+           + CASE WHEN doc_id % 5 = 0 THEN 120 ELSE 0 END AS len
+  FROM documents WHERE doc_id <= 60
+), f AS (
+  SELECT doc_id, unnest(range(0, len, 100)) AS off, hx, len FROM v
+), feat AS (
+  SELECT doc_id, CAST(off // 100 AS BIGINT) AS frame_idx,
+         CAST(off AS BIGINT) AS byte_off,
+         CAST(len(list_filter(
+                range(0, CAST(LEAST(100, len - off) AS INT)),
+                i -> substr(hx, CAST(2 * (off + i) + 1 AS BIGINT), 2)
+                     = '20')) AS DOUBLE)
+           / LEAST(100, len - off) AS dens
+  FROM f
+), d AS (
+  SELECT doc_id, frame_idx, byte_off, dens,
+         LAG(dens) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS pdens
+  FROM feat
+)
+SELECT doc_id, frame_idx, byte_off,
+       ROUND(pdens, 4) AS prev_density, ROUND(dens, 4) AS density,
+       ROUND(ABS(dens - pdens), 4) AS delta
+FROM d
+WHERE pdens IS NOT NULL AND ABS(dens - pdens) >= 0.08
+""",
+    doc="Video scene-change detection over binary payloads (frames = "
+    "consecutive 100-byte windows, feature = space-byte DENSITY per "
+    "frame — length-normalized so partial tail frames don't "
+    "false-positive; boundary where the frame-to-frame density jump "
+    ">= 0.08): the smarter sibling of llm_mm_framesample's fixed "
+    "stride — real pipelines sample at scene boundaries, not every "
+    "Nth frame. Docs with doc_id % 5 = 0 carry a planted 120-byte "
+    "'=' credits segment (zero spaces) so the detector has true "
+    "scene cuts to find, mirroring q_llm_prefix_dup's salting. The "
+    "oracle recomputes every frame over the hex encoding of the SAME "
+    "bytes (space = '20'), so both sides index bytes — parity holds "
+    "for non-ASCII payloads, not just the ASCII fixture.",
+    scale_notes="Same executor-side expansion contract as "
+    "llm_mm_framesample/audio_window: payload bytes are read once "
+    "per Arrow batch, frame features computed in the batch, and only "
+    "boundary rows (doc, frame, densities) ever move. The LAG is "
+    "computed inside the per-payload loop, not as a Spark window — "
+    "zero shuffle beyond the final presentation.",
+)
+def llm_mm_scenechange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frame_bytes, threshold = 100, 0.08
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") <= 60)
+        .withColumn(
+            "text",
+            F.concat(
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 5 == 0, F.lit("=" * 120)
+                ).otherwise(F.lit("")),
+            ),
+        )
+    )
+    media = to_media_frame(docs)
+
+    def detect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [],
+                "frame_idx": [],
+                "byte_off": [],
+                "prev_density": [],
+                "density": [],
+                "delta": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                prev = None
+                for idx, off in enumerate(range(0, len(buf), frame_bytes)):
+                    seg = buf[off : off + frame_bytes]
+                    dens = seg.count(0x20) / len(seg)
+                    if prev is not None and abs(dens - prev) >= threshold:
+                        rows["doc_id"].append(doc_id)
+                        rows["frame_idx"].append(idx)
+                        rows["byte_off"].append(off)
+                        # raw doubles; rounding happens in Spark so the
+                        # HALF_UP semantics match the oracle (python
+                        # round() is banker's — wrong on exact .5s)
+                        rows["prev_density"].append(prev)
+                        rows["density"].append(dens)
+                        rows["delta"].append(abs(dens - prev))
+                    prev = dens
+            yield pd.DataFrame(rows)
+
+    raw = media.mapInPandas(
+        detect,
+        "doc_id long, frame_idx long, byte_off long, "
+        "prev_density double, density double, delta double",
+    )
+    return raw.select(
+        "doc_id",
+        "frame_idx",
+        "byte_off",
+        F.round("prev_density", 4).alias("prev_density"),
+        F.round("density", 4).alias("density"),
+        F.round("delta", 4).alias("delta"),
+    )

@@ -382,6 +382,9 @@ DRIVER_DEFERRED: frozenset[str] = frozenset({
     # forty-first late batch (retrieval-quality eval / diversified
     # MMR selection / inter-rater label QA)
     "q_llm_retrieval_eval", "q_llm_mmr_select", "q_agg_cohens_kappa",
+    # forty-second late batch (scene-boundary frame sampling /
+    # boilerplate-lexicon mining / changepoint localization)
+    "llm_mm_scenechange", "q_llm_boilerplate", "q_time_changepoint",
 })
 
 
