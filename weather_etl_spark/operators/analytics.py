@@ -1347,3 +1347,138 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "age")
     )
+
+
+@register(
+    "q_ldiversity",
+    oracle="""
+WITH de AS (
+  SELECT d.lang, d.source, e.label
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+), cell AS (
+  SELECT lang, source, label, CAST(COUNT(*) AS BIGINT) AS c
+  FROM de GROUP BY lang, source, label
+), grp AS (
+  SELECT lang, source, CAST(SUM(c) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS l_distinct
+  FROM cell GROUP BY lang, source
+), gl AS (
+  SELECT label, CAST(SUM(c) AS BIGINT) AS gc,
+         CAST(SUM(SUM(c)) OVER () AS BIGINT) AS nt
+  FROM cell GROUP BY label
+), m AS (
+  SELECT cell.lang, cell.source, grp.n, grp.l_distinct,
+         SUM(CAST(ROUND(-(CAST(cell.c AS DOUBLE) / grp.n)
+                        * LN(CAST(cell.c AS DOUBLE) / grp.n), 8)
+                  AS DECIMAL(18,8))) AS h,
+         SUM(CAST(ROUND(ABS(CAST(cell.c AS DOUBLE) / grp.n
+                            - CAST(gl.gc AS DOUBLE) / gl.nt), 8)
+                  AS DECIMAL(18,8))) AS tv_present
+  FROM cell
+  JOIN grp ON grp.lang = cell.lang AND grp.source = cell.source
+  JOIN gl ON gl.label = cell.label
+  GROUP BY cell.lang, cell.source, grp.n, grp.l_distinct
+), miss AS (
+  SELECT grp.lang, grp.source,
+         SUM(CAST(ROUND(CAST(gl.gc AS DOUBLE) / gl.nt, 8)
+                  AS DECIMAL(18,8))) AS tv_missing
+  FROM grp CROSS JOIN gl
+  LEFT JOIN cell ON cell.lang = grp.lang AND cell.source = grp.source
+                AND cell.label = gl.label
+  WHERE cell.label IS NULL
+  GROUP BY grp.lang, grp.source
+)
+SELECT m.lang, m.source, m.n AS n_docs, m.l_distinct,
+       CAST(m.l_distinct >= 3 AS BOOLEAN) AS l_safe,
+       ROUND(EXP(CAST(m.h AS DOUBLE)), 4) AS entropy_l,
+       ROUND(0.5 * CAST(m.tv_present
+                        + COALESCE(miss.tv_missing, 0) AS DOUBLE), 4)
+         AS t_closeness
+FROM m LEFT JOIN miss ON miss.lang = m.lang AND miss.source = m.source
+ORDER BY m.lang, m.source
+""",
+    doc="l-diversity + t-closeness privacy audit (Machanavajjhala "
+    "2007 / Li 2007), extending q_kanonymity's class-size gate to "
+    "the SENSITIVE-attribute distribution: per (lang, source) "
+    "quasi-identifier class over the joined sensitive label "
+    "(embeddings.label via vec_id = doc_id), reports distinct-l, "
+    "the l>=3 flag, entropy-l (exp of the label entropy — the "
+    "effective number of well-represented sensitive values), and "
+    "t-closeness (total-variation distance between the class's "
+    "label distribution and the corpus-wide one, absent labels "
+    "contributing their global mass). A class can pass k-anonymity "
+    "yet fail here when all its members share one label. Entropy "
+    "and TV terms are ROUND-8 DECIMAL-summed (order-independent).",
+    scale_notes="Everything reduces at the (QI, label) ledger — "
+    "cardinality bounded by the QI-domain x label product, never "
+    "corpus-sized. The missing-label completion is a QI x label "
+    "grid built from two broadcast-size ledgers (the q_agg_chisq "
+    "zero-cell pattern). Generalization loops re-run the same "
+    "ledger pass.",
+)
+def q_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    de = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "label"), "doc_id"
+    ).select("lang", "source", "label")
+    cell = de.groupBy("lang", "source", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    grp = cell.groupBy("lang", "source").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("l_distinct"),
+    )
+    glob = cell.groupBy("label").agg(
+        F.sum("c").cast("bigint").alias("gc")
+    )
+    nt = glob.agg(F.sum("gc").cast("bigint").alias("nt"))
+    glob = glob.crossJoin(F.broadcast(nt))
+    p = F.col("c").cast("double") / F.col("n")
+    gp = F.col("gc").cast("double") / F.col("nt")
+    h_term = F.round(-p * F.log(p), 8).cast("decimal(18,8)")
+    tv_term = F.round(F.abs(p - gp), 8).cast("decimal(18,8)")
+    m = (
+        cell.join(grp, ["lang", "source"])
+        .join(F.broadcast(glob), "label")
+        .groupBy("lang", "source", "n", "l_distinct")
+        .agg(
+            F.sum(h_term).alias("h"),
+            F.sum(tv_term).alias("tv_present"),
+        )
+    )
+    miss = (
+        grp.crossJoin(F.broadcast(glob))
+        .join(cell, ["lang", "source", "label"], "left_anti")
+        .groupBy("lang", "source")
+        .agg(
+            F.sum(F.round(gp, 8).cast("decimal(18,8)")).alias(
+                "tv_missing"
+            )
+        )
+    )
+    return (
+        m.join(miss, ["lang", "source"], "left")
+        .select(
+            "lang",
+            "source",
+            F.col("n").alias("n_docs"),
+            "l_distinct",
+            (F.col("l_distinct") >= 3).alias("l_safe"),
+            F.round(F.exp(F.col("h").cast("double")), 4).alias(
+                "entropy_l"
+            ),
+            F.round(
+                0.5
+                * (
+                    F.col("tv_present")
+                    + F.coalesce(
+                        F.col("tv_missing"),
+                        F.lit(0).cast("decimal(18,8)"),
+                    )
+                ).cast("double"),
+                4,
+            ).alias("t_closeness"),
+        )
+        .orderBy("lang", "source")
+    )

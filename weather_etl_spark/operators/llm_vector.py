@@ -1498,3 +1498,221 @@ def q_llm_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "probe_id", "pick", "vec_id", F.round("score", 4).alias("score")
     ).orderBy("probe_id", "pick")
+
+
+@register(
+    "q_llm_ood_score",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label, unnest(CAST(embedding AS DOUBLE[])) AS val,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+), stats AS (
+  SELECT label, pos, ROUND(AVG(val), 6) AS mu,
+         ROUND(AVG(val * val), 6) AS msq
+  FROM e GROUP BY label, pos
+), terms AS (
+  SELECT e.vec_id, e.label,
+         CAST(ROUND(POW(e.val - s.mu, 2)
+                    / (s.msq - s.mu * s.mu + 0.01), 8)
+              AS DECIMAL(20,8)) AS z2
+  FROM e JOIN stats s ON s.label = e.label AND s.pos = e.pos
+), scored AS (
+  SELECT vec_id, label, SUM(z2) AS score FROM terms
+  GROUP BY vec_id, label
+)
+SELECT vec_id, label, ROUND(CAST(score AS DOUBLE), 4) AS ood_score
+FROM scored
+ORDER BY score DESC, vec_id ASC LIMIT 20
+""",
+    doc="Embedding OOD/outlier screen (diagonal-Mahalanobis distance "
+    "to the own-label centroid): per (label, dim) mean and second "
+    "moment (both ROUND-6 so downstream arithmetic is "
+    "engine-identical), per-vector score = sum over dims of "
+    "(x - mu)^2 / (var + 0.01), terms ROUND-8 DECIMAL-summed "
+    "(order-independent), top-20 most-out-of-distribution vectors — "
+    "the DISTRIBUTIONAL complement of llm_doc_embed_cohesion's "
+    "cosine-to-centroid (variance-normalized per dimension, so a "
+    "tight cluster flags small absolute deviations) and of "
+    "q_dq_embeddings' structural checks. The screen a curation "
+    "pipeline runs to drop mislabeled / corrupted vectors before "
+    "training.",
+    scale_notes="Shuffle carries (label, pos) partial moments — "
+    "labels x dim rows, corpus-size independent; the 640-row stats "
+    "ledger broadcasts back onto one posexplode pass. Top-20 is "
+    "TakeOrderedAndProject. Same envelope as q_llm_centroid.",
+)
+def q_llm_ood_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos0", "val"
+        ),
+    ).select(
+        "vec_id", "label", (F.col("pos0") + 1).alias("pos"), "val"
+    )
+    stats = e.groupBy("label", "pos").agg(
+        F.round(F.avg("val"), 6).alias("mu"),
+        F.round(F.avg(F.col("val") * F.col("val")), 6).alias("msq"),
+    )
+    z2 = F.round(
+        F.pow(F.col("val") - F.col("mu"), 2)
+        / (F.col("msq") - F.col("mu") * F.col("mu") + 0.01),
+        8,
+    ).cast("decimal(20,8)")
+    return (
+        e.join(F.broadcast(stats), ["label", "pos"])
+        .select("vec_id", "label", z2.alias("z2"))
+        .groupBy("vec_id", "label")
+        .agg(F.sum("z2").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(20)
+        .select(
+            "vec_id",
+            "label",
+            F.round(F.col("score").cast("double"), 4).alias("ood_score"),
+        )
+    )
+
+
+@register(
+    "q_llm_prf_expand",
+    oracle="""
+WITH probes AS (
+  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pe
+  FROM embeddings WHERE vec_id IN (1, 2, 3)
+), r0 AS (
+  SELECT probe_id, vec_id, rn0 FROM (
+    SELECT probe_id, e.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY probe_id
+             ORDER BY list_cosine_similarity(
+                        pe, CAST(e.embedding AS DOUBLE[])) DESC,
+                      e.vec_id ASC) AS rn0
+    FROM probes JOIN embeddings e ON e.vec_id <> probe_id) t
+  WHERE rn0 <= 10
+), fb AS (
+  SELECT r0.probe_id, pos, ROUND(AVG(val), 6) AS fbv
+  FROM r0
+  JOIN (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS val,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings) x ON x.vec_id = r0.vec_id
+  GROUP BY r0.probe_id, pos
+), q2 AS (
+  SELECT p.probe_id,
+         array_agg(ROUND(0.7 * pe[fb.pos] + 0.3 * fb.fbv, 6)
+                   ORDER BY fb.pos) AS pe2
+  FROM probes p JOIN fb ON fb.probe_id = p.probe_id
+  GROUP BY p.probe_id
+), r2 AS (
+  SELECT probe_id, vec_id, cos2, rn2 FROM (
+    SELECT q2.probe_id, e.vec_id,
+           CAST(list_cosine_similarity(pe2, CAST(e.embedding AS DOUBLE[]))
+                AS DOUBLE) AS cos2,
+           ROW_NUMBER() OVER (PARTITION BY q2.probe_id
+             ORDER BY list_cosine_similarity(
+                        pe2, CAST(e.embedding AS DOUBLE[])) DESC,
+                      e.vec_id ASC) AS rn2
+    FROM q2 JOIN embeddings e ON e.vec_id <> q2.probe_id) t
+  WHERE rn2 <= 5
+)
+SELECT r2.probe_id, CAST(r2.rn2 AS BIGINT) AS rank, r2.vec_id,
+       ROUND(r2.cos2, 4) AS cos,
+       CAST(COALESCE(r0.rn0, -1) AS BIGINT) AS prev_rank
+FROM r2 LEFT JOIN r0 ON r0.probe_id = r2.probe_id
+                    AND r0.vec_id = r2.vec_id
+ORDER BY r2.probe_id, rank
+""",
+    doc="Pseudo-relevance-feedback query expansion (Rocchio, "
+    "beta-only): round-1 exact-cosine top-10 per probe feeds a "
+    "per-dimension feedback centroid (ROUND-6), the expanded query "
+    "q' = round6(0.7 q + 0.3 centroid) re-ranks the corpus, and the "
+    "new top-5 is reported with each hit's round-1 rank (-1 = pulled "
+    "in by expansion) — the classic two-pass retrieval refinement "
+    "(Rocchio 1971) on embedding space. Complements "
+    "q_llm_retrieval_eval: that MEASURES ranking quality, this is "
+    "the standard trick for IMPROVING it.",
+    scale_notes="Two q_llm_knn-shaped passes: probes broadcast, one "
+    "corpus scan each, per-probe WindowGroupLimit; between them a "
+    "probes x dim feedback ledger (30 rows). Nothing quadratic; at "
+    "100 TB both passes ride the same ANN index (llm_ann_lsh/ivf) "
+    "instead of the linear scan.",
+)
+def q_llm_prf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id").isin(1, 2, 3)).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    w0 = Window.partitionBy("probe_id").orderBy(
+        F.col("cos0").desc(), F.col("vec_id").asc()
+    )
+    r0 = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            cosine(F.col("pe"), F.col("embedding")).alias("cos0"),
+        )
+        .withColumn("rn0", F.row_number().over(w0))
+        .filter(F.col("rn0") <= 10)
+        .select("probe_id", "vec_id", "rn0")
+    )
+    x = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos0", "val"
+        ),
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "val")
+    fb = (
+        r0.join(x, "vec_id")
+        .groupBy("probe_id", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("fbv"))
+    )
+    q2 = (
+        fb.join(F.broadcast(probes), "probe_id")
+        .select(
+            "probe_id",
+            "pos",
+            F.round(
+                0.7 * F.element_at(F.col("pe").cast("array<double>"), F.col("pos"))
+                + 0.3 * F.col("fbv"),
+                6,
+            ).alias("v"),
+        )
+        .groupBy("probe_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                lambda s: s.getField("v"),
+            ).alias("pe2")
+        )
+    )
+    w2 = Window.partitionBy("probe_id").orderBy(
+        F.col("cos2").desc(), F.col("vec_id").asc()
+    )
+    r2 = (
+        emb.crossJoin(F.broadcast(q2))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            cosine(F.col("pe2"), F.col("embedding")).alias("cos2"),
+        )
+        .withColumn("rn2", F.row_number().over(w2))
+        .filter(F.col("rn2") <= 5)
+    )
+    return (
+        r2.join(r0, ["probe_id", "vec_id"], "left")
+        .select(
+            "probe_id",
+            F.col("rn2").cast("bigint").alias("rank"),
+            "vec_id",
+            F.round("cos2", 4).alias("cos"),
+            F.coalesce(F.col("rn0"), F.lit(-1)).cast("bigint").alias(
+                "prev_rank"
+            ),
+        )
+        .orderBy("probe_id", "rank")
+    )

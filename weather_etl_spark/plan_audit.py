@@ -35,6 +35,12 @@ ALLOW_BNL: dict[str, str] = {
     "the corpus scan — the q_llm_knn pattern (llm_vector.py)",
     "q_llm_mmr_select": "3-row constant probe set crossed into the "
     "candidate scan — the q_llm_knn pattern (llm_vector.py)",
+    "q_llm_prf_expand": "3-row probe / expanded-query panels crossed "
+    "into the two corpus scans — the q_llm_knn pattern, twice "
+    "(llm_vector.py)",
+    "q_ldiversity": "1-row label-total aggregate + the QI x label "
+    "zero-cell grid from broadcast ledgers — the q_agg_chisq "
+    "pattern (analytics.py)",
     "q_time_interp": "bounded generated day axis per the gapfill grid "
     "(aggregates.py:797)",
     "llm_minhash_banded": "constant permutation table, bands x rows "

@@ -385,6 +385,9 @@ DRIVER_DEFERRED: frozenset[str] = frozenset({
     # forty-second late batch (scene-boundary frame sampling /
     # boilerplate-lexicon mining / changepoint localization)
     "llm_mm_scenechange", "q_llm_boilerplate", "q_time_changepoint",
+    # forty-third late batch (embedding OOD screen / PRF query
+    # expansion / l-diversity + t-closeness privacy audit)
+    "q_llm_ood_score", "q_llm_prf_expand", "q_ldiversity",
 })
 
 
