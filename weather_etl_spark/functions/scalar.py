@@ -898,3 +898,84 @@ def q_fn_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key_ci")
     )
+
+
+@register(
+    "q_fn_geo",
+    oracle="""
+WITH pts AS (
+  SELECT vec_id, CAST(embedding[1] AS DOUBLE) * 90 AS lat,
+         CAST(embedding[2] AS DOUBLE) * 180 AS lon
+  FROM embeddings WHERE vec_id <= 50
+), anchor AS (
+  SELECT lat AS alat, lon AS alon FROM pts WHERE vec_id = 0
+)
+SELECT vec_id, ROUND(lat, 4) AS lat, ROUND(lon, 4) AS lon,
+       ROUND(2 * 6371.0 * ASIN(SQRT(
+           POW(SIN(RADIANS(lat - alat) / 2), 2)
+           + COS(RADIANS(alat)) * COS(RADIANS(lat))
+             * POW(SIN(RADIANS(lon - alon) / 2), 2))), 4) AS dist_km,
+       ROUND(FMOD(DEGREES(ATAN2(
+           SIN(RADIANS(lon - alon)) * COS(RADIANS(lat)),
+           COS(RADIANS(alat)) * SIN(RADIANS(lat))
+           - SIN(RADIANS(alat)) * COS(RADIANS(lat))
+             * COS(RADIANS(lon - alon)))) + 360, 360), 4) AS bearing_deg,
+       (lat BETWEEN -20 AND 20) AND (lon BETWEEN -40 AND 40) AS in_box
+FROM pts CROSS JOIN anchor ORDER BY vec_id
+""",
+    doc="Geodesic scalar-function surface: coordinates fabricated "
+    "from the first two embedding dimensions (lat = e1 x 90, lon = "
+    "e2 x 180 — the q_join_spatial_grid convention), haversine "
+    "great-circle distance and initial bearing from the vec_id-0 "
+    "anchor (radians/degrees/trig/atan2 built-ins in both engines), "
+    "plus a bounding-box membership flag — the geo expressions a "
+    "location-tagged corpus needs for distance filtering and "
+    "geo-dedup. All trig emitted ROUND-4.",
+    scale_notes="Embarrassingly parallel codegen'd JVM trig, zero "
+    "shuffle; the 1-row anchor is the q_filter_ts_cursor crossJoin. "
+    "A geo-radius JOIN composes this distance with "
+    "q_join_spatial_grid's cell blocking — never a cross join.",
+)
+def q_fn_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    pts = emb.filter(F.col("vec_id") <= 50).select(
+        "vec_id",
+        (F.element_at("embedding", 1).cast("double") * 90).alias("lat"),
+        (F.element_at("embedding", 2).cast("double") * 180).alias("lon"),
+    )
+    anchor = pts.filter(F.col("vec_id") == 0).select(
+        F.col("lat").alias("alat"), F.col("lon").alias("alon")
+    )
+    dlon = F.radians(F.col("lon") - F.col("alon"))
+    hav = (
+        F.pow(F.sin(F.radians(F.col("lat") - F.col("alat")) / 2), 2)
+        + F.cos(F.radians("alat"))
+        * F.cos(F.radians("lat"))
+        * F.pow(F.sin(dlon / 2), 2)
+    )
+    bearing = F.degrees(
+        F.atan2(
+            F.sin(dlon) * F.cos(F.radians("lat")),
+            F.cos(F.radians("alat")) * F.sin(F.radians("lat"))
+            - F.sin(F.radians("alat"))
+            * F.cos(F.radians("lat"))
+            * F.cos(dlon),
+        )
+    )
+    return (
+        pts.crossJoin(F.broadcast(anchor))
+        .select(
+            "vec_id",
+            F.round("lat", 4).alias("lat"),
+            F.round("lon", 4).alias("lon"),
+            F.round(2 * 6371.0 * F.asin(F.sqrt(hav)), 4).alias("dist_km"),
+            F.round(F.pmod(bearing + 360, F.lit(360.0)), 4).alias(
+                "bearing_deg"
+            ),
+            (
+                F.col("lat").between(-20, 20)
+                & F.col("lon").between(-40, 40)
+            ).alias("in_box"),
+        )
+        .orderBy("vec_id")
+    )

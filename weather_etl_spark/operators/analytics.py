@@ -1482,3 +1482,102 @@ def q_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+_PVM_SPLIT = "2024-01-16"
+
+
+@register(
+    "q_event_pvm_decomp",
+    oracle=f"""
+WITH p AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN ts < TIMESTAMP '{_PVM_SPLIT}'
+                       THEN CAST(ROUND(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS rev0,
+         CAST(SUM(CASE WHEN ts < TIMESTAMP '{_PVM_SPLIT}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS vol0,
+         CAST(SUM(CASE WHEN ts >= TIMESTAMP '{_PVM_SPLIT}'
+                       THEN CAST(ROUND(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS rev1,
+         CAST(SUM(CASE WHEN ts >= TIMESTAMP '{_PVM_SPLIT}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS vol1
+  FROM events GROUP BY event_type
+), r AS (
+  SELECT event_type, rev0, vol0, rev1, vol1,
+         -- integer half-up dollars x 1e4 rates: round(100*rev/vol)
+         (200 * rev0 + vol0) // (2 * vol0) AS rate0_x4,
+         (200 * rev1 + vol1) // (2 * vol1) AS rate1_x4
+  FROM p WHERE vol0 > 0 AND vol1 > 0
+)
+SELECT event_type,
+       CAST(ROUND(rev0 / 100.0, 2) AS DOUBLE) AS rev0_dollars,
+       CAST(ROUND(rev1 / 100.0, 2) AS DOUBLE) AS rev1_dollars,
+       CAST(ROUND((rev1 - rev0) / 100.0, 2) AS DOUBLE) AS delta_dollars,
+       CAST((vol1 - vol0) * rate0_x4 AS DOUBLE) / 10000 AS volume_effect,
+       CAST(vol0 * (rate1_x4 - rate0_x4) AS DOUBLE) / 10000
+         AS rate_effect,
+       CAST((vol1 - vol0) * (rate1_x4 - rate0_x4) AS DOUBLE) / 10000
+         AS cross_effect
+FROM r ORDER BY event_type
+""",
+    doc="Price-volume-mix revenue bridge per event type between the "
+    f"two halves of the window (split {_PVM_SPLIT}): delta = "
+    "volume effect (dVol x rate0) + rate effect (vol0 x dRate) + "
+    "cross term — the standard FP&A decomposition of WHY revenue "
+    "moved, complementing q_time_changepoint's WHEN. Rates are "
+    "integer-half-up rounded to 1e-4 dollars BEFORE the effect "
+    "products, so every emitted effect is an exact integer/10^4 — "
+    "no cross-engine double-rounding surface anywhere (the "
+    "q_time_changepoint mean_x4 trick applied to a bridge).",
+    scale_notes="One conditional map-combined aggregate to a "
+    "types-row ledger; all bridge arithmetic on the ledger. "
+    "Extending to (type x region x month) mix terms keeps the same "
+    "single-shuffle shape with a dims-product ledger.",
+)
+def q_event_pvm_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    split = F.lit(_PVM_SPLIT).cast("timestamp")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    pre = F.col("ts") < split
+    p = ev.groupBy("event_type").agg(
+        F.sum(F.when(pre, cents).otherwise(0)).cast("bigint").alias("rev0"),
+        F.sum(F.when(pre, 1).otherwise(0)).cast("bigint").alias("vol0"),
+        F.sum(F.when(~pre, cents).otherwise(0))
+        .cast("bigint")
+        .alias("rev1"),
+        F.sum(F.when(~pre, 1).otherwise(0)).cast("bigint").alias("vol1"),
+    )
+    r = p.filter((F.col("vol0") > 0) & (F.col("vol1") > 0)).withColumns(
+        {
+            "rate0_x4": F.expr("(200 * rev0 + vol0) div (2 * vol0)"),
+            "rate1_x4": F.expr("(200 * rev1 + vol1) div (2 * vol1)"),
+        }
+    )
+    return r.select(
+        "event_type",
+        F.round(F.col("rev0") / 100.0, 2).alias("rev0_dollars"),
+        F.round(F.col("rev1") / 100.0, 2).alias("rev1_dollars"),
+        F.round((F.col("rev1") - F.col("rev0")) / 100.0, 2).alias(
+            "delta_dollars"
+        ),
+        (
+            ((F.col("vol1") - F.col("vol0")) * F.col("rate0_x4")).cast(
+                "double"
+            )
+            / 10000
+        ).alias("volume_effect"),
+        (
+            (F.col("vol0") * (F.col("rate1_x4") - F.col("rate0_x4"))).cast(
+                "double"
+            )
+            / 10000
+        ).alias("rate_effect"),
+        (
+            (
+                (F.col("vol1") - F.col("vol0"))
+                * (F.col("rate1_x4") - F.col("rate0_x4"))
+            ).cast("double")
+            / 10000
+        ).alias("cross_effect"),
+    ).orderBy("event_type")

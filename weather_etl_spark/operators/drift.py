@@ -2115,3 +2115,119 @@ def q_agg_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_e, 4).alias("p_e"),
         F.round((p_o - p_e) / (1 - p_e), 4).alias("kappa"),
     )
+
+
+_CALIB_SPLIT = "2024-01-20"
+
+
+@register(
+    "q_event_calibration",
+    oracle=f"""
+WITH train AS (
+  SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+         CAST(COUNT(*) AS BIGINT) AS n_tr,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS pos_tr
+  FROM events WHERE ts < TIMESTAMP '{_CALIB_SPLIT}' GROUP BY hod
+), test AS (
+  SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+         CAST(COUNT(*) AS BIGINT) AS n_te,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS pos_te
+  FROM events WHERE ts >= TIMESTAMP '{_CALIB_SPLIT}' GROUP BY hod
+), b AS (
+  SELECT test.hod, test.n_te, test.pos_te,
+         CAST(train.pos_tr AS DOUBLE) / train.n_tr AS conf,
+         CAST(test.pos_te AS DOUBLE) / test.n_te AS acc
+  FROM test JOIN train ON train.hod = test.hod
+), tot AS (
+  SELECT CAST(SUM(n_te) AS BIGINT) AS nt FROM b
+)
+SELECT tot.nt AS n_test,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       ROUND(CAST(SUM(CAST(ROUND(CAST(n_te AS DOUBLE) / tot.nt
+                                 * ABS(acc - conf), 8)
+                           AS DECIMAL(18,8))) AS DOUBLE), 4) AS ece,
+       ROUND(MAX(ABS(acc - conf)), 4) AS max_gap,
+       ROUND(CAST(SUM(CAST(ROUND(
+                 (n_te * conf * conf - 2 * conf * pos_te + pos_te)
+                 / tot.nt, 8) AS DECIMAL(18,8))) AS DOUBLE), 4) AS brier
+FROM b CROSS JOIN tot GROUP BY tot.nt
+""",
+    doc="Probability-calibration backtest (ECE / max-gap / Brier) for "
+    "the hour-of-day purchase-rate model: confidences fit on events "
+    f"before {_CALIB_SPLIT} (train purchase share per hour), evaluated "
+    "on the held-out tail per bucket — expected calibration error is "
+    "the test-weighted |accuracy - confidence| sum, Brier the mean "
+    "squared error expanded exactly from integer counts (n c^2 - 2 c "
+    "pos + pos, since y^2 = y for 0/1 outcomes). Same leak-free time "
+    "split as q_event_next_pred (that scores ARGMAX accuracy; this "
+    "scores the PROBABILITIES — a model can rank well and still be "
+    "miscalibrated). Per-bucket terms ROUND-8 DECIMAL-summed.",
+    scale_notes="Two map-combined hour-ledger aggregates (24 rows "
+    "each) + constant-size bucket math; the 1-row test total is the "
+    "q_filter_ts_cursor crossJoin. Nothing grows with the corpus; "
+    "finer bucketings (hour x type) stay ledger-bounded.",
+)
+def q_event_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    split = F.lit(_CALIB_SPLIT).cast("timestamp")
+    is_pos = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    train = (
+        ev.filter(F.col("ts") < split)
+        .groupBy(F.hour("ts").cast("bigint").alias("hod"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tr"),
+            F.sum(is_pos).cast("bigint").alias("pos_tr"),
+        )
+    )
+    test = (
+        ev.filter(F.col("ts") >= split)
+        .groupBy(F.hour("ts").cast("bigint").alias("hod"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_te"),
+            F.sum(is_pos).cast("bigint").alias("pos_te"),
+        )
+    )
+    b = test.join(F.broadcast(train), "hod").select(
+        "hod",
+        "n_te",
+        "pos_te",
+        (F.col("pos_tr").cast("double") / F.col("n_tr")).alias("conf"),
+        (F.col("pos_te").cast("double") / F.col("n_te")).alias("acc"),
+    )
+    tot = b.agg(F.sum("n_te").cast("bigint").alias("nt"))
+    ece_term = F.round(
+        F.col("n_te").cast("double")
+        / F.col("nt")
+        * F.abs(F.col("acc") - F.col("conf")),
+        8,
+    ).cast("decimal(18,8)")
+    brier_term = F.round(
+        (
+            F.col("n_te") * F.col("conf") * F.col("conf")
+            - 2 * F.col("conf") * F.col("pos_te")
+            + F.col("pos_te")
+        )
+        / F.col("nt"),
+        8,
+    ).cast("decimal(18,8)")
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .groupBy("nt")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.round(F.sum(ece_term).cast("double"), 4).alias("ece"),
+            F.round(F.max(F.abs(F.col("acc") - F.col("conf"))), 4).alias(
+                "max_gap"
+            ),
+            F.round(F.sum(brier_term).cast("double"), 4).alias("brier"),
+        )
+        .select(
+            F.col("nt").alias("n_test"),
+            "n_buckets",
+            "ece",
+            "max_gap",
+            "brier",
+        )
+    )

@@ -41,6 +41,12 @@ ALLOW_BNL: dict[str, str] = {
     "q_ldiversity": "1-row label-total aggregate + the QI x label "
     "zero-cell grid from broadcast ledgers — the q_agg_chisq "
     "pattern (analytics.py)",
+    "q_event_calibration": "1-row test-total aggregate crossed into "
+    "the 24-row bucket ledger — the q_filter_ts_cursor pattern "
+    "(drift.py)",
+    "q_fn_geo": "1-row anchor-point aggregate crossed into the "
+    "bounded point set — the q_filter_ts_cursor pattern "
+    "(functions/scalar.py)",
     "q_time_interp": "bounded generated day axis per the gapfill grid "
     "(aggregates.py:797)",
     "llm_minhash_banded": "constant permutation table, bands x rows "

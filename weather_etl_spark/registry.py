@@ -388,6 +388,9 @@ DRIVER_DEFERRED: frozenset[str] = frozenset({
     # forty-third late batch (embedding OOD screen / PRF query
     # expansion / l-diversity + t-closeness privacy audit)
     "q_llm_ood_score", "q_llm_prf_expand", "q_ldiversity",
+    # forty-fourth late batch (calibration backtest / revenue bridge /
+    # geodesic function surface)
+    "q_event_calibration", "q_event_pvm_decomp", "q_fn_geo",
 })
 
 
