@@ -1581,3 +1581,104 @@ def q_event_pvm_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("cross_effect"),
     ).orderBy("event_type")
+
+
+#: Bitemporal constants: valid-time cut V, and two transaction-time
+#: ("as database knew it") cuts K1 < K2 bracketing the late-arriving
+#: corrections fabricated below.
+_BT_V = "2024-01-15"
+_BT_K1 = "2024-01-16"
+_BT_K2 = "2024-01-20"
+
+
+@register(
+    "q_join_bitemporal",
+    oracle=f"""
+WITH bt AS (
+  SELECT user_id, ts, value, event_id,
+         ts + INTERVAL ((event_id % 3)) DAY AS txn_ts
+  FROM events WHERE event_type = 'purchase'
+), k1 AS (
+  SELECT user_id, value FROM (
+    SELECT user_id, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM bt WHERE ts <= TIMESTAMP '{_BT_V}'
+                AND txn_ts <= TIMESTAMP '{_BT_K1}') t
+  WHERE rn = 1
+), k2 AS (
+  SELECT user_id, value FROM (
+    SELECT user_id, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM bt WHERE ts <= TIMESTAMP '{_BT_V}'
+                AND txn_ts <= TIMESTAMP '{_BT_K2}') t
+  WHERE rn = 1
+)
+SELECT k2.user_id,
+       ROUND(k1.value, 2) AS value_asof_k1,
+       ROUND(k2.value, 2) AS value_asof_k2,
+       (k1.user_id IS NULL OR k1.value <> k2.value) AS restated
+FROM k2 LEFT JOIN k1 ON k1.user_id = k2.user_id
+ORDER BY k2.user_id
+""",
+    doc="Bitemporal point query (valid time x transaction time, the "
+    "Snodgrass/SQL:2011 pattern): purchase facts carry a fabricated "
+    "load timestamp txn_ts = ts + (event_id % 3) days (late-arriving "
+    "corrections), and the query answers 'what was each user's "
+    f"latest purchase effective at {_BT_V}' AS THE DATABASE KNEW IT "
+    f"at two load cuts ({_BT_K1} vs {_BT_K2}) — rows where the two "
+    "answers differ are RESTATEMENTS, the reproducibility audit "
+    "q_scd2_intervals' single (valid-time) axis cannot express: a "
+    "report re-run later silently changes unless it pins both "
+    "times.",
+    scale_notes="Each cut is one user_id window pass over the "
+    "doubly-filtered fact scan (both time predicates push down); "
+    "the two cuts share the scan via exchange reuse. At 100 TB "
+    "txn_ts is the ingest partition column, so the as-known cut is "
+    "partition pruning, not a filter.",
+)
+def q_join_bitemporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    bt = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "value",
+        "event_id",
+        (
+            F.col("ts")
+            + F.make_interval(days=(F.col("event_id") % 3).cast("int"))
+        ).alias("txn_ts"),
+    )
+    v_cut = F.lit(_BT_V).cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def asof(k: str) -> DataFrame:
+        return (
+            bt.filter(
+                (F.col("ts") <= v_cut)
+                & (F.col("txn_ts") <= F.lit(k).cast("timestamp"))
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "value")
+        )
+
+    k1 = asof(_BT_K1).withColumnRenamed("value", "v1")
+    k2 = asof(_BT_K2).withColumnRenamed("value", "v2")
+    return (
+        k2.join(k1, "user_id", "left")
+        .select(
+            "user_id",
+            F.round("v1", 2).alias("value_asof_k1"),
+            F.round("v2", 2).alias("value_asof_k2"),
+            (
+                F.col("v1").isNull() | (F.col("v1") != F.col("v2"))
+            ).alias("restated"),
+        )
+        .orderBy("user_id")
+    )

@@ -1755,3 +1755,168 @@ def q_llm_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_llm_distinct_n",
+    oracle="""
+WITH toks AS (
+  SELECT source, string_split(text, ' ') AS t FROM documents
+), u AS (
+  SELECT source, unnest(t) AS g FROM toks
+), b AS (
+  SELECT source,
+         unnest(list_transform(range(1, len(t)),
+                i -> array_to_string(t[i:i + 1], ' '))) AS g
+  FROM toks WHERE len(t) >= 2
+), tr AS (
+  SELECT source,
+         unnest(list_transform(range(1, len(t) - 1),
+                i -> array_to_string(t[i:i + 2], ' '))) AS g
+  FROM toks WHERE len(t) >= 3
+)
+SELECT u.source,
+       CAST(COUNT(u.g) AS BIGINT) AS n_unigrams,
+       ROUND(CAST(COUNT(DISTINCT u.g) AS DOUBLE) / COUNT(u.g), 4)
+         AS distinct_1,
+       ROUND((SELECT CAST(COUNT(DISTINCT b.g) AS DOUBLE) / COUNT(b.g)
+              FROM b WHERE b.source = u.source), 4) AS distinct_2,
+       ROUND((SELECT CAST(COUNT(DISTINCT tr.g) AS DOUBLE) / COUNT(tr.g)
+              FROM tr WHERE tr.source = u.source), 4) AS distinct_3
+FROM u GROUP BY u.source ORDER BY u.source
+""",
+    doc="Corpus-level distinct-n diversity (Li et al. 2016's "
+    "generation-diversity metric applied per source): the ratio of "
+    "DISTINCT n-gram types to total n-gram tokens across all of a "
+    "source's documents, for n = 1, 2, 3 — low distinct-n exposes "
+    "mode collapse / templated content that per-document TTR "
+    "(q_llm_ttr) cannot see because every individual document looks "
+    "diverse while the source repeats itself. Completes the "
+    "generation-eval family (q_llm_rouge/q_llm_bleu measure overlap "
+    "with references; this measures self-repetition).",
+    scale_notes="Three (source, gram) ledger aggregations — "
+    "count-distinct shuffles carry grams once each (map-side "
+    "combined). At 100 TB the distinct counts swap to the portable "
+    "HLL sketch (q_agg_hll_portable) with identical plumbing.",
+)
+def q_llm_distinct_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.split("text", " ").alias("t"))
+
+    def grams(n: int) -> DataFrame:
+        return toks.filter(F.size("t") >= n).select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - n),
+                    lambda i: F.concat_ws(
+                        " ",
+                        *[F.col("t")[i + j] for j in range(n)],
+                    ),
+                )
+            ).alias("g"),
+        )
+
+    def ratio(df: DataFrame, out: str) -> DataFrame:
+        return df.groupBy("source").agg(
+            F.count("g").cast("bigint").alias(f"_n_{out}"),
+            F.round(
+                F.countDistinct("g").cast("double") / F.count("g"), 4
+            ).alias(out),
+        )
+
+    r1 = ratio(grams(1), "distinct_1").withColumnRenamed(
+        "_n_distinct_1", "n_unigrams"
+    )
+    r2 = ratio(grams(2), "distinct_2").drop("_n_distinct_2")
+    r3 = ratio(grams(3), "distinct_3").drop("_n_distinct_3")
+    return (
+        r1.join(r2, "source")
+        .join(r3, "source")
+        .select(
+            "source", "n_unigrams", "distinct_1", "distinct_2", "distinct_3"
+        )
+        .orderBy("source")
+    )
+
+
+#: Stand-in category lexicons for the blocklist gate (the fixture
+#: vocabulary is benign word-soup; real deployments swap in the
+#: published C4 blocklist — the operator shape is what's tested).
+_BLOCKLIST = {
+    "commerce": ("customer", "order"),
+    "infra": ("table", "spark"),
+}
+
+
+@register(
+    "q_llm_blocklist_filter",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(text, ' '),
+                         x -> list_contains(
+                           {list(_BLOCKLIST["commerce"])}, x)))
+           AS n_commerce,
+         len(list_filter(string_split(text, ' '),
+                         x -> list_contains(
+                           {list(_BLOCKLIST["infra"])}, x))) AS n_infra,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_commerce AS BIGINT) AS n_commerce,
+       CAST(n_infra AS BIGINT) AS n_infra,
+       CASE WHEN CAST(n_commerce AS DOUBLE) / n_tokens > 0.05
+              THEN 'block_commerce'
+            WHEN CAST(n_infra AS DOUBLE) / n_tokens > 0.08
+              THEN 'block_infra'
+            ELSE 'keep' END AS verdict
+FROM m
+""",
+    doc="Category-blocklist gate (the C4 'bad words list' step): "
+    "per-category lexicon hit counts over the token stream and a "
+    "first-failing-category verdict when a category's token share "
+    "exceeds its threshold (commerce > 5%, infra > 8%) — the "
+    "lexicon-driven complement of q_llm_c4_filter's structural "
+    "heuristics and q_llm_pii_scrub's pattern redaction. The fixture "
+    "lexicons are benign stand-ins; the operator contract (multi-"
+    "category counting, share thresholds, audit verdict) is what a "
+    "real blocklist deployment swaps content into.",
+    scale_notes="Zero-shuffle codegen'd projection: the lexicons "
+    "compile into the expression (or broadcast as a map for large "
+    "lists); per-doc cost is one token scan regardless of corpus "
+    "size. Adding categories widens the projection only.",
+)
+def q_llm_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+
+    def hits(words: tuple) -> F.Column:
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(
+            F.filter(t, lambda x: F.array_contains(arr, x))
+        )
+
+    n_tokens = F.size(t)
+    m = docs.select(
+        "doc_id",
+        hits(_BLOCKLIST["commerce"]).alias("n_commerce"),
+        hits(_BLOCKLIST["infra"]).alias("n_infra"),
+        n_tokens.alias("n_tokens"),
+    )
+    return m.select(
+        "doc_id",
+        F.col("n_commerce").cast("bigint").alias("n_commerce"),
+        F.col("n_infra").cast("bigint").alias("n_infra"),
+        F.when(
+            F.col("n_commerce").cast("double") / F.col("n_tokens") > 0.05,
+            "block_commerce",
+        )
+        .when(
+            F.col("n_infra").cast("double") / F.col("n_tokens") > 0.08,
+            "block_infra",
+        )
+        .otherwise("keep")
+        .alias("verdict"),
+    )

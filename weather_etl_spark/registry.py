@@ -391,6 +391,9 @@ DRIVER_DEFERRED: frozenset[str] = frozenset({
     # forty-fourth late batch (calibration backtest / revenue bridge /
     # geodesic function surface)
     "q_event_calibration", "q_event_pvm_decomp", "q_fn_geo",
+    # forty-fifth late batch (corpus distinct-n diversity / category
+    # blocklist gate / bitemporal restatement audit)
+    "q_llm_distinct_n", "q_llm_blocklist_filter", "q_join_bitemporal",
 })
 
 
