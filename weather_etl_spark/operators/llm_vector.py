@@ -1716,3 +1716,157 @@ def q_llm_prf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_id", "rank")
     )
+
+
+@register(
+    "q_llm_align_uniform",
+    oracle="""
+WITH pr AS (
+  SELECT a.label AS la, b.label AS lb,
+         2 - 2 * CAST(list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])) AS DOUBLE) AS d2
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+), m AS (
+  SELECT CAST(COUNT(CASE WHEN la = lb THEN 1 END) AS BIGINT) AS n_same,
+         CAST(COUNT(*) AS BIGINT) AS n_all,
+         SUM(CASE WHEN la = lb
+                  THEN CAST(ROUND(d2, 8) AS DECIMAL(20,8))
+                  ELSE CAST(0 AS DECIMAL(20,8)) END) AS sum_d2_same,
+         SUM(CAST(ROUND(EXP(-2 * d2), 8) AS DECIMAL(20,8))) AS sum_exp
+  FROM pr
+)
+SELECT n_same AS n_pairs_same, n_all AS n_pairs_all,
+       ROUND(CAST(sum_d2_same AS DOUBLE) / n_same, 4) AS alignment,
+       ROUND(LN(CAST(sum_exp AS DOUBLE) / n_all), 4) AS uniformity
+FROM m
+""",
+    doc="Representation-quality metrics of Wang & Isola (2020): "
+    "ALIGNMENT = mean squared unit-sphere distance between same-label "
+    "pairs (lower = same-class embeddings agree) and UNIFORMITY = "
+    "log-mean Gaussian potential exp(-2 d^2) over ALL pairs (lower = "
+    "features spread over the sphere) — the two-number health check "
+    "run on an embedding model before using it for retrieval or "
+    "dedup. Unit-sphere distance comes exactly from cosine "
+    "(d^2 = 2 - 2 cos, both engines' bit-identical reduction); d2 "
+    "and exp terms are ROUND-8 DECIMAL-summed (order-independent).",
+    scale_notes="Deliberate eval-only all-pairs over the bounded "
+    "embeddings fixture (125k pairs) — at 100 TB both metrics are "
+    "ESTIMATED from a fixed-size pair sample (they are means, so a "
+    "hash-sampled pair subset gives an unbiased estimate with "
+    "known error); never run all-pairs at scale. Same status as "
+    "q_llm_cosine_pairs' naive twin.",
+)
+def q_llm_align_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("ida"),
+        F.col("label").alias("la"),
+        F.col("embedding").alias("ea"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("idb"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("eb"),
+    )
+    cos = _make_cosine_pandas()
+    pr = a.join(b, F.col("ida") < F.col("idb")).select(
+        "la",
+        "lb",
+        (2 - 2 * cos(F.col("ea"), F.col("eb"))).alias("d2"),
+    )
+    same = F.col("la") == F.col("lb")
+    zero = F.lit(0).cast("decimal(20,8)")
+    m = pr.agg(
+        F.sum(F.when(same, 1).otherwise(0)).cast("bigint").alias("n_same"),
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        F.sum(
+            F.when(same, F.round(F.col("d2"), 8).cast("decimal(20,8)"))
+            .otherwise(zero)
+        ).alias("sum_d2_same"),
+        F.sum(
+            F.round(F.exp(-2 * F.col("d2")), 8).cast("decimal(20,8)")
+        ).alias("sum_exp"),
+    )
+    return m.select(
+        F.col("n_same").alias("n_pairs_same"),
+        F.col("n_all").alias("n_pairs_all"),
+        F.round(
+            F.col("sum_d2_same").cast("double") / F.col("n_same"), 4
+        ).alias("alignment"),
+        F.round(
+            F.log(F.col("sum_exp").cast("double") / F.col("n_all")), 4
+        ).alias("uniformity"),
+    )
+
+
+@register(
+    "q_llm_hubness",
+    oracle="""
+WITH scored AS (
+  SELECT a.vec_id AS qid, b.vec_id AS cid,
+         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(
+                      CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])) DESC,
+                    b.vec_id ASC) AS rn
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id % 4 = 0
+), occ AS (
+  SELECT e.vec_id,
+         CAST(COUNT(s.cid) AS BIGINT) AS n_k5
+  FROM embeddings e
+  LEFT JOIN (SELECT cid FROM scored WHERE rn <= 5) s
+    ON s.cid = e.vec_id
+  GROUP BY e.vec_id
+)
+SELECT n_k5, CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM occ GROUP BY n_k5 ORDER BY n_k5
+""",
+    doc="Hubness diagnostic (Radovanovic 2010): the k-occurrence "
+    "histogram — for k=5, how many vectors appear in exactly n "
+    "panel queries' top-5 neighbor lists (vec_id tie-break), the "
+    "query panel being the deterministic 25% sample vec_id % 4 = 0 "
+    "(hubness is a distributional property, so a fixed query sample "
+    "estimates it — the same sampling the scale path uses). A healthy "
+    "space concentrates near n=5; a hubby space shows a long right "
+    "tail (hubs that answer every query) plus a spike at n=0 "
+    "(antihubs that answer none) — the pathology that silently "
+    "degrades q_llm_knn/llm_ann_* retrieval and q_llm_embed_dedup "
+    "recall in high dimensions. Pure integer output.",
+    scale_notes="Eval-only all-pairs ranking over the bounded "
+    "embeddings fixture; at scale the k-occurrence counts come from "
+    "the ANN index's actual answer lists (llm_ann_lsh/ivf) over a "
+    "query sample — the histogram aggregation itself is one "
+    "ledger-sized shuffle either way.",
+)
+def q_llm_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % 4 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("ea")
+    ).repartition(32, "qid")  # spread the pair fan-out across tasks
+    b = emb.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("eb")
+    )
+    cos = _make_cosine_pandas()
+    w = Window.partitionBy("qid").orderBy(
+        F.col("c").desc(), F.col("cid").asc()
+    )
+    top5 = (
+        a.join(F.broadcast(b), F.col("cid") != F.col("qid"))
+        .select("qid", "cid", cos(F.col("ea"), F.col("eb")).alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("cid")
+    )
+    occ = (
+        emb.select("vec_id")
+        .join(top5, emb["vec_id"] == top5["cid"], "left")
+        .groupBy("vec_id")
+        .agg(F.count("cid").cast("bigint").alias("n_k5"))
+    )
+    return (
+        occ.groupBy("n_k5")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+        .orderBy("n_k5")
+    )

@@ -53,6 +53,12 @@ ALLOW_BNL: dict[str, str] = {
     "(llm_dedup.py:938)",
     "q_llm_cosine_pairs": "deliberate naive all-pairs oracle twin of "
     "llm_cosine_pairs_blocked (SCALE.md §10)",
+    "q_llm_align_uniform": "deliberate eval-only all-pairs metric "
+    "over the bounded embeddings fixture; pair-sampled at scale "
+    "(llm_vector.py)",
+    "q_llm_hubness": "deliberate eval-only all-pairs k-occurrence "
+    "ranking over the bounded embeddings fixture; ANN answer lists "
+    "at scale (llm_vector.py)",
     "q_llm_embed_dedup": "deliberate naive all-pairs oracle twin of "
     "llm_embed_dedup_blocked (SCALE.md §10)",
     "q_sample_weighted": "1-row MAX(w_cents) aggregate — the "

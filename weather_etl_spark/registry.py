@@ -394,6 +394,9 @@ DRIVER_DEFERRED: frozenset[str] = frozenset({
     # forty-fifth late batch (corpus distinct-n diversity / category
     # blocklist gate / bitemporal restatement audit)
     "q_llm_distinct_n", "q_llm_blocklist_filter", "q_join_bitemporal",
+    # forty-sixth late batch (alignment/uniformity representation
+    # health / hubness diagnostic / standardized effect size)
+    "q_llm_align_uniform", "q_llm_hubness", "q_agg_cohens_d",
 })
 
 
