@@ -2325,3 +2325,66 @@ def q_agg_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
             d * (1 - 3.0 / (4 * (F.col("n1") + F.col("n2")) - 9)), 4
         ).alias("hedges_g"),
     )
+
+
+@register(
+    "q_agg_dispersion",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, day
+), m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(c) AS BIGINT) AS sc,
+         CAST(SUM(c * c) AS BIGINT) AS scc
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, n_days,
+       ROUND(CAST(sc AS DOUBLE) / n_days, 4) AS mean_daily,
+       ROUND((scc - CAST(sc AS DOUBLE) * sc / n_days) / (n_days - 1)
+             / (CAST(sc AS DOUBLE) / n_days), 4) AS dispersion,
+       ((scc - CAST(sc AS DOUBLE) * sc / n_days) / (n_days - 1)
+        / (CAST(sc AS DOUBLE) / n_days) - 1)
+         * SQRT((n_days - 1) / 2.0) > 1.645 AS overdispersed
+FROM m ORDER BY event_type
+""",
+    doc="Poisson overdispersion test on daily event counts: the "
+    "variance-to-mean ratio (index of dispersion) per event type "
+    "with the one-sided z screen (ratio-1) x sqrt((n-1)/2) > 1.645 — "
+    "the count-model diagnostic that decides whether q_time_anomaly's "
+    "thresholds can assume Poisson noise or need a negative-binomial "
+    "allowance (bursty arrival processes overdisperse). Exact "
+    "integer (n, sum, sum-of-squares) sufficient statistics; all "
+    "division deferred to the final expression.",
+    scale_notes="Daily-ledger shuffle + a types-row moment "
+    "reduction — the q_agg_chisq envelope. Finer grains (hourly, "
+    "per-user) stay ledger-bounded.",
+)
+def q_agg_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("c").cast("bigint").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("scc"),
+    )
+    mean = F.col("sc").cast("double") / F.col("n_days")
+    disp = (
+        (F.col("scc") - F.col("sc").cast("double") * F.col("sc") / F.col("n_days"))
+        / (F.col("n_days") - 1)
+        / mean
+    )
+    return m.select(
+        "event_type",
+        "n_days",
+        F.round(mean, 4).alias("mean_daily"),
+        F.round(disp, 4).alias("dispersion"),
+        (
+            (disp - 1) * F.sqrt((F.col("n_days") - 1) / F.lit(2.0)) > 1.645
+        ).alias("overdispersed"),
+    ).orderBy("event_type")

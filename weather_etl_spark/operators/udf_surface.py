@@ -310,3 +310,101 @@ def q_udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(log_scaled_iter(F.col("value")), 4).alias("log_scaled"),
     )
+
+
+@register(
+    "udtf_mapinarrow",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(length(text) AS BIGINT) AS n_chars_py,
+       CAST(octet_length(encode(source)) AS BIGINT) AS src_bytes
+FROM documents
+""",
+    doc="mapInArrow API surface (the zero-copy sibling of "
+    "udtf_mapinpandas): the transform consumes pyarrow RecordBatches "
+    "directly and computes byte/char lengths with pyarrow.compute "
+    "kernels — no pandas materialization, no Python-object row, the "
+    "lowest-overhead Python hook Spark offers. Functionally a "
+    "projection (oracle recomputes the lengths in SQL), so the "
+    "tested contract is the batch-level Arrow plumbing: schema "
+    "declaration, batch iteration, kernel vectorization.",
+    scale_notes="Arrow batches stream executor-side at "
+    "maxRecordsPerBatch granularity; pyarrow.compute runs C++ "
+    "kernels, so per-row Python cost is zero. The right surface for "
+    "byte-heavy transforms (multimodal payloads) where even pandas "
+    "Series materialization would double memory.",
+)
+def udtf_mapinarrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+
+    def measure(batches: "Iterator[pa.RecordBatch]"):
+        for batch in batches:
+            text = batch.column("text")
+            src = batch.column("source")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(pc.binary_length(pc.cast(text, pa.binary())),
+                            pa.int64()),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(pc.binary_length(pc.cast(src, pa.binary())),
+                            pa.int64()),
+                ],
+                names=["doc_id", "n_bytes", "n_chars_py", "src_bytes"],
+            )
+
+    return docs.mapInArrow(
+        measure,
+        "doc_id long, n_bytes long, n_chars_py long, src_bytes long",
+    )
+
+
+_SQLPARAM_CUT = "2024-01-15"
+_SQLPARAM_TYPES = ["purchase", "click"]
+
+
+@register(
+    "q_sql_params",
+    oracle=f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events
+WHERE ts >= TIMESTAMP '{_SQLPARAM_CUT}'
+  AND event_type IN ('purchase', 'click')
+GROUP BY event_type ORDER BY event_type
+""",
+    doc="Parameterized SQL surface (Spark 4 named parameter markers): "
+    "the query text carries :cut and :types placeholders and the "
+    "values bind via spark.sql(..., args=...) — the injection-safe "
+    "templating surface BI layers and notebook tooling rely on "
+    "(literals never string-concatenate into the query). The oracle "
+    "is the same query with the parameters inlined, proving binding "
+    "equals literal semantics.",
+    scale_notes="Parameters bind at parse time, so Catalyst sees "
+    "plain literals: filter pushdown, partition pruning, and "
+    "constant folding all work exactly as with inlined SQL — "
+    "parameterization costs nothing at any scale.",
+)
+def q_sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM {ev}
+        WHERE ts >= CAST(:cut AS TIMESTAMP)
+          AND array_contains(:types, event_type)
+        GROUP BY event_type ORDER BY event_type
+        """,
+        args={"cut": _SQLPARAM_CUT, "types": _SQLPARAM_TYPES},
+        ev=ev,
+    )

@@ -397,6 +397,9 @@ DRIVER_DEFERRED: frozenset[str] = frozenset({
     # forty-sixth late batch (alignment/uniformity representation
     # health / hubness diagnostic / standardized effect size)
     "q_llm_align_uniform", "q_llm_hubness", "q_agg_cohens_d",
+    # forty-seventh late batch (mapInArrow surface / parameterized
+    # SQL surface / Poisson overdispersion screen)
+    "udtf_mapinarrow", "q_sql_params", "q_agg_dispersion",
 })
 
 
