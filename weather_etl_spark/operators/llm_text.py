@@ -1542,3 +1542,201 @@ def q_llm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(nll(p_mle) / F.first("t"), 4).alias("h_mle_nats"),
         )
     )
+
+
+@register(
+    "q_llm_ppl_holdout",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % 100 AS bucket,
+         string_split(text, ' ') AS t
+  FROM documents WHERE len(string_split(text, ' ')) >= 2
+), bg AS (
+  SELECT doc_id, bucket,
+         unnest(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i + 1])) AS bigram
+  FROM toks
+), c2 AS (
+  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n2
+  FROM bg WHERE bucket < 80 GROUP BY bigram
+), c1 AS (
+  SELECT split_part(bigram, ' ', 1) AS w1, CAST(COUNT(*) AS BIGINT) AS n1
+  FROM bg WHERE bucket < 80 GROUP BY w1
+), v AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS vsize FROM c1
+), nll AS (
+  SELECT bg.doc_id,
+         CASE WHEN c2.n2 IS NULL THEN 1 ELSE 0 END AS oov,
+         CAST(ROUND(-ln((COALESCE(c2.n2, 0) + 1.0)
+                        / (COALESCE(c1.n1, 0) + v.vsize)), 6)
+              AS DECIMAL(18,6)) AS nll
+  FROM bg CROSS JOIN v
+  LEFT JOIN c2 USING (bigram)
+  LEFT JOIN c1 ON split_part(bg.bigram, ' ', 1) = c1.w1
+  WHERE bg.bucket >= 90
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(oov) AS BIGINT) AS n_unseen,
+       ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 4) AS avg_nll
+FROM nll GROUP BY doc_id
+""",
+    doc="Leak-free held-out perplexity (the methodologically-correct "
+    "variant of q_llm_perplexity, which scores the corpus under its "
+    "OWN counts and therefore flatters duplicated text): the bigram "
+    "LM fits ONLY the md5-bucket<80 train split (the q_llm_split "
+    "convention), smooths add-1 over the train prefix vocabulary "
+    "(unseen bigram -> (0+1)/(0+V)), and scores the bucket>=90 test "
+    "docs — per doc the bigram count, unseen-bigram count, and mean "
+    "NLL. Train/test membership is content-hash stable, so the split "
+    "never leaks across engines or reruns. Per-bigram NLL ROUND-6 "
+    "DECIMAL-summed.",
+    scale_notes="Same physical shape as q_llm_perplexity — one "
+    "bigram-key shuffle of the test stream against the train count "
+    "ledgers (unhinted: AQE broadcasts while small, shuffle-joins at "
+    "corpus scale); the 1-row vocab size is the q_filter_ts_cursor "
+    "crossJoin. The train filter rides the same scan.",
+)
+def q_llm_ppl_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    toks = docs.select(
+        "doc_id", bucket.alias("bucket"), F.split("text", " ").alias("t")
+    ).filter(F.size("t") >= 2)
+    bg = toks.select(
+        "doc_id",
+        "bucket",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1)))"
+            )
+        ).alias("bigram"),
+    )
+    train = bg.filter(F.col("bucket") < 80)
+    c2 = train.groupBy("bigram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n2")
+    )
+    c1 = (
+        train.select(
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1")
+        )
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n1"))
+    )
+    v = c1.agg(F.count(F.lit(1)).cast("bigint").alias("vsize"))
+    # train count ledgers are vocabulary-sized: NO broadcast hints
+    # (AQE broadcasts while small, shuffle-joins at corpus scale)
+    nll = (
+        bg.filter(F.col("bucket") >= 90)
+        .crossJoin(F.broadcast(v))
+        .join(c2, "bigram", "left")
+        .withColumn(
+            "w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))
+        )
+        .join(c1, "w1", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("n2").isNull(), 1).otherwise(0).alias("oov"),
+            F.round(
+                -F.log(
+                    (F.coalesce(F.col("n2"), F.lit(0)) + 1.0)
+                    / (F.coalesce(F.col("n1"), F.lit(0)) + F.col("vsize"))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("nll"),
+        )
+    )
+    return nll.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum("oov").cast("bigint").alias("n_unseen"),
+        F.round(
+            F.sum("nll").cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_nll"),
+    )
+
+
+@register(
+    "q_llm_log_odds",
+    oracle="""
+WITH toks AS (
+  SELECT lang = 'en' AS grp_en, unnest(string_split(text, ' ')) AS w
+  FROM documents
+), cnt AS (
+  SELECT w,
+         CAST(SUM(CASE WHEN grp_en THEN 1 ELSE 0 END) AS BIGINT) AS y1,
+         CAST(SUM(CASE WHEN grp_en THEN 0 ELSE 1 END) AS BIGINT) AS y2
+  FROM toks GROUP BY w
+), tot AS (
+  SELECT CAST(SUM(y1) AS BIGINT) AS n1, CAST(SUM(y2) AS BIGINT) AS n2
+  FROM cnt
+), z AS (
+  SELECT w, y1, y2,
+         ROUND((LN((y1 + 0.5) / (tot.n1 + 0.5 - y1))
+                - LN((y2 + 0.5) / (tot.n2 + 0.5 - y2)))
+               / SQRT(1.0 / (y1 + 0.5) + 1.0 / (y2 + 0.5)), 6) AS zscore
+  FROM cnt CROSS JOIN tot
+)
+SELECT w AS token, y1 AS n_en, y2 AS n_rest, zscore
+FROM z ORDER BY ABS(zscore) DESC, w ASC LIMIT 15
+""",
+    doc="Distinguishing-terms analysis (Monroe et al. 2008 'Fightin' "
+    "Words': log-odds-ratio with a +0.5 Dirichlet prior, "
+    "variance-standardized): for every token, the z-scored "
+    "difference between its log odds in the EN subcorpus and the "
+    "rest — positive z marks EN-distinctive vocabulary, negative the "
+    "reverse; the prior keeps rare words from dominating the way raw "
+    "TF-IDF contrast does (complements q_llm_keywords' per-doc "
+    "ranking with a corpus-contrast ranking). Top-15 by |z|, token "
+    "tie-break, z pre-rounded to 6 decimals so the ordering is "
+    "engine-stable.",
+    scale_notes="One (group, token) count ledger (map-combined) + a "
+    "1-row total crossJoin + TakeOrderedAndProject — vocabulary-"
+    "bounded, corpus-size independent after the scan. Any contrast "
+    "pair (source vs source, snapshot vs snapshot) swaps the group "
+    "predicate only.",
+)
+def q_llm_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("lang") == "en").alias("grp_en"),
+        F.explode(F.split("text", " ")).alias("w"),
+    )
+    cnt = toks.groupBy("w").agg(
+        F.sum(F.when(F.col("grp_en"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("y1"),
+        F.sum(F.when(F.col("grp_en"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("y2"),
+    )
+    tot = cnt.agg(
+        F.sum("y1").cast("bigint").alias("n1"),
+        F.sum("y2").cast("bigint").alias("n2"),
+    )
+    zscore = F.round(
+        (
+            F.log((F.col("y1") + 0.5) / (F.col("n1") + 0.5 - F.col("y1")))
+            - F.log((F.col("y2") + 0.5) / (F.col("n2") + 0.5 - F.col("y2")))
+        )
+        / F.sqrt(1.0 / (F.col("y1") + 0.5) + 1.0 / (F.col("y2") + 0.5)),
+        6,
+    )
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("w").alias("token"),
+            F.col("y1").alias("n_en"),
+            F.col("y2").alias("n_rest"),
+            zscore.alias("zscore"),
+        )
+        .orderBy(F.abs(F.col("zscore")).desc(), F.col("token").asc())
+        .limit(15)
+    )

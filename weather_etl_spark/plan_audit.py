@@ -47,6 +47,12 @@ ALLOW_BNL: dict[str, str] = {
     "q_fn_geo": "1-row anchor-point aggregate crossed into the "
     "bounded point set — the q_filter_ts_cursor pattern "
     "(functions/scalar.py)",
+    "q_llm_ppl_holdout": "1-row train-vocab-size aggregate crossed "
+    "into the test bigram stream — the q_filter_ts_cursor pattern "
+    "(llm_text.py)",
+    "q_llm_log_odds": "1-row group-total aggregate crossed into the "
+    "vocabulary ledger — the q_filter_ts_cursor pattern "
+    "(llm_text.py)",
     "q_time_interp": "bounded generated day axis per the gapfill grid "
     "(aggregates.py:797)",
     "llm_minhash_banded": "constant permutation table, bands x rows "

@@ -400,6 +400,9 @@ DRIVER_DEFERRED: frozenset[str] = frozenset({
     # forty-seventh late batch (mapInArrow surface / parameterized
     # SQL surface / Poisson overdispersion screen)
     "udtf_mapinarrow", "q_sql_params", "q_agg_dispersion",
+    # forty-eighth late batch (leak-free held-out perplexity /
+    # Monroe log-odds distinguishing terms)
+    "q_llm_ppl_holdout", "q_llm_log_odds",
 })
 
 
