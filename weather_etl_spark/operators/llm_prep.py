@@ -1920,3 +1920,110 @@ def q_llm_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("keep")
         .alias("verdict"),
     )
+
+
+@register(
+    "q_llm_heaps_law",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), cumtok AS (
+  SELECT doc_id,
+         CAST(SUM(len(t)) OVER (ORDER BY doc_id) AS BIGINT) AS n_cum
+  FROM toks
+), firstseen AS (
+  SELECT w, MIN(doc_id) AS first_doc FROM (
+    SELECT doc_id, unnest(t) AS w FROM toks) u
+  GROUP BY w
+), pts AS (
+  SELECT c.doc_id, c.n_cum,
+         CAST((SELECT COUNT(*) FROM firstseen f
+               WHERE f.first_doc <= c.doc_id) AS BIGINT) AS v_cum
+  FROM cumtok c WHERE c.doc_id % 50 = 49
+), ols AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         SUM(CAST(ROUND(LN(n_cum), 8) AS DECIMAL(20,8))) AS sx,
+         SUM(CAST(ROUND(LN(v_cum), 8) AS DECIMAL(20,8))) AS sy,
+         SUM(CAST(ROUND(LN(n_cum) * LN(n_cum), 8)
+                  AS DECIMAL(20,8))) AS sxx,
+         SUM(CAST(ROUND(LN(n_cum) * LN(v_cum), 8)
+                  AS DECIMAL(20,8))) AS sxy
+  FROM pts
+)
+SELECT k AS n_checkpoints,
+       ROUND((k * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+             / (k * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx), 4)
+         AS beta,
+       ROUND(EXP((CAST(sy AS DOUBLE)
+                  - (k * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                    / (k * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                    * sx) / k), 4) AS k_coef
+FROM ols
+""",
+    doc="Heaps'-law vocabulary-growth fit (V(N) = K N^beta): "
+    "checkpoint the doc_id-ordered corpus every 50 documents, "
+    "measure cumulative tokens N (running sum) and cumulative "
+    "vocabulary V (tokens whose FIRST document is <= the checkpoint "
+    "— the q_llm_gram_novelty first-seen trick, so no stateful "
+    "stream scan), then fit beta/K by closed-form log-log OLS with "
+    "ROUND-8 DECIMAL-summed moments. Sub-linear beta (~0.5) is the "
+    "healthy natural-language signature; beta near 0 screams "
+    "template duplication, near 1 random noise — the one-number "
+    "vocabulary-scaling forecast (how big a tokenizer a 100 TB "
+    "corpus needs) next to q_llm_vocab_coverage's fixed-budget "
+    "view.",
+    scale_notes="first-seen ledger = one token shuffle (vocabulary-"
+    "sized, map-combined); checkpoints are a ~docs/50-row ledger; "
+    "both cumulative measures are range joins against the BROADCAST "
+    "checkpoint ledger (grouped map-side), so nothing ever "
+    "single-partitions. OLS is a 5-number reduction.",
+)
+def q_llm_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    # checkpoint ledger (docs/50 rows) broadcasts into two range
+    # joins — a global cumsum window would single-partition the whole
+    # corpus; this shape keeps both cumulative measures parallel
+    ck = toks.filter(F.col("doc_id") % 50 == 49).select(
+        F.col("doc_id").alias("ckid")
+    )
+    sizes = toks.select("doc_id", F.size("t").alias("sz"))
+    n_cum = (
+        sizes.join(F.broadcast(ck), F.col("doc_id") <= F.col("ckid"))
+        .groupBy("ckid")
+        .agg(F.sum("sz").cast("bigint").alias("n_cum"))
+    )
+    firstseen = (
+        toks.select("doc_id", F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    v_cum = (
+        firstseen.join(
+            F.broadcast(ck), F.col("first_doc") <= F.col("ckid")
+        )
+        .groupBy("ckid")
+        .agg(F.count("w").cast("bigint").alias("v_cum"))
+    )
+    pts = n_cum.join(v_cum, "ckid")
+    lx = F.log(F.col("n_cum"))
+    ly = F.log(F.col("v_cum"))
+    dec = lambda c: F.round(c, 8).cast("decimal(20,8)")  # noqa: E731
+    ols = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(dec(lx)).alias("sx"),
+        F.sum(dec(ly)).alias("sy"),
+        F.sum(dec(lx * lx)).alias("sxx"),
+        F.sum(dec(lx * ly)).alias("sxy"),
+    )
+    k = F.col("k")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    beta = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    return ols.select(
+        k.alias("n_checkpoints"),
+        F.round(beta, 4).alias("beta"),
+        F.round(F.exp((sy - beta * sx) / k), 4).alias("k_coef"),
+    )

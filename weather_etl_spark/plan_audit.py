@@ -53,6 +53,9 @@ ALLOW_BNL: dict[str, str] = {
     "q_llm_log_odds": "1-row group-total aggregate crossed into the "
     "vocabulary ledger — the q_filter_ts_cursor pattern "
     "(llm_text.py)",
+    "q_llm_heaps_law": "docs/50-row checkpoint ledger broadcast into "
+    "two range joins (cumulative tokens / cumulative vocab) — "
+    "bounded by the checkpoint count (llm_prep.py)",
     "q_time_interp": "bounded generated day axis per the gapfill grid "
     "(aggregates.py:797)",
     "llm_minhash_banded": "constant permutation table, bands x rows "

@@ -403,6 +403,8 @@ DRIVER_DEFERRED: frozenset[str] = frozenset({
     # forty-eighth late batch (leak-free held-out perplexity /
     # Monroe log-odds distinguishing terms)
     "q_llm_ppl_holdout", "q_llm_log_odds",
+    # forty-ninth late batch (Heaps'-law vocabulary-growth fit)
+    "q_llm_heaps_law",
 })
 
 
