@@ -2388,3 +2388,81 @@ def q_agg_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
             (disp - 1) * F.sqrt((F.col("n_days") - 1) / F.lit(2.0)) > 1.645
         ).alias("overdispersed"),
     ).orderBy("event_type")
+
+
+@register(
+    "q_agg_quantile_norm",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY event_type, day
+), ranked AS (
+  SELECT event_type, day, y,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY y ASC, day ASC) AS BIGINT)
+           AS rank
+  FROM daily
+), ref AS (
+  SELECT rank,
+         (2 * CAST(SUM(y) AS BIGINT) + COUNT(*))
+           // (2 * COUNT(*)) AS ref_cents
+  FROM ranked GROUP BY rank
+)
+SELECT r.event_type, r.day, r.rank,
+       ROUND(r.y / 100.0, 2) AS orig_dollars,
+       ROUND(ref.ref_cents / 100.0, 2) AS normalized_dollars
+FROM ranked r JOIN ref USING (rank)
+ORDER BY r.event_type, r.rank
+""",
+    doc="Quantile normalization (the microarray/batch-effect "
+    "alignment recipe of Bolstad 2003): each event type's daily "
+    "revenues are ranked within type (y then day tie-break), the "
+    "reference distribution is the cross-type mean at each rank "
+    "(integer half-up cents — the q_time_changepoint mean_x4 "
+    "discipline), and every observation maps to its rank's "
+    "reference value — after which all types share EXACTLY the same "
+    "distribution and only ordering differs. The preprocessing that "
+    "makes cross-segment comparisons distribution-free, upstream of "
+    "q_agg_ks_test/q_agg_spearman.",
+    scale_notes="One type-partitioned window (daily ledger) + a "
+    "ranks-row reference ledger joined back — all ledger-sized. "
+    "More types widen the rank groups, never the shuffle.",
+)
+def q_agg_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("y").asc(), F.col("day").asc()
+    )
+    ranked = daily.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    )
+    ref = ranked.groupBy("rank").agg(
+        F.expr(
+            "(2 * cast(sum(y) as bigint) + count(*))"
+            " div (2 * count(*))"
+        ).alias("ref_cents")
+    )
+    return (
+        ranked.join(ref, "rank")
+        .select(
+            "event_type",
+            "day",
+            "rank",
+            F.round(F.col("y") / 100.0, 2).alias("orig_dollars"),
+            F.round(F.col("ref_cents") / 100.0, 2).alias(
+                "normalized_dollars"
+            ),
+        )
+        .orderBy("event_type", "rank")
+    )

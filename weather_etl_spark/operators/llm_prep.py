@@ -2027,3 +2027,97 @@ def q_llm_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(beta, 4).alias("beta"),
         F.round(F.exp((sy - beta * sx) / k), 4).alias("k_coef"),
     )
+
+
+@register(
+    "q_llm_collocations",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+), bg AS (
+  SELECT unnest(list_transform(range(1, len(t)),
+                i -> t[i] || ' ' || t[i + 1])) AS bigram
+  FROM toks
+), c2 AS (
+  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n12 FROM bg GROUP BY bigram
+), u AS (
+  SELECT unnest(t) AS w FROM toks
+), c1 AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM u GROUP BY w
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nu FROM u
+), pmi AS (
+  SELECT c2.bigram, c2.n12, a.n AS n1, b.n AS n2,
+         ROUND(LN(CAST(c2.n12 AS DOUBLE) * tot.nu
+                  / (CAST(a.n AS DOUBLE) * b.n)), 6) AS pmi
+  FROM c2 CROSS JOIN tot
+  JOIN c1 a ON a.w = split_part(c2.bigram, ' ', 1)
+  JOIN c1 b ON b.w = split_part(c2.bigram, ' ', 2)
+  WHERE c2.n12 >= 5
+)
+SELECT bigram, n12, n1, n2, pmi
+FROM pmi ORDER BY pmi DESC, bigram ASC LIMIT 15
+""",
+    doc="Collocation mining (top pointwise-mutual-information "
+    "bigrams, min count 5 — Church & Hanks 1990): PMI = ln(c(w1 w2) "
+    "N / (c(w1) c(w2))) over the corpus token stream, the standard "
+    "multiword-expression detector feeding tokenizer merge "
+    "candidates (q_llm_bpe_train ranks by raw pair frequency; PMI "
+    "surfaces the ASSOCIATED pairs frequency hides). PMI pre-rounded "
+    "to 6 decimals so the top-15 ordering is engine-stable, bigram "
+    "tie-break.",
+    scale_notes="Bigram + unigram count ledgers (map-combined) with "
+    "two vocabulary hash joins carrying NO broadcast hints (the "
+    "q_llm_perplexity discipline), a 1-row token total, and "
+    "TakeOrderedAndProject for the head.",
+)
+def q_llm_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bg = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1)))"
+            )
+        ).alias("bigram")
+    )
+    c2 = bg.groupBy("bigram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n12")
+    )
+    u = toks.select(F.explode("t").alias("w"))
+    c1 = u.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = u.agg(F.count(F.lit(1)).cast("bigint").alias("nu"))
+    a = c1.select(F.col("w").alias("w1"), F.col("n").alias("n1"))
+    b = c1.select(F.col("w").alias("w2"), F.col("n").alias("n2"))
+    return (
+        c2.filter(F.col("n12") >= 5)
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))
+        )
+        .withColumn(
+            "w2", F.split_part(F.col("bigram"), F.lit(" "), F.lit(2))
+        )
+        .join(a, "w1")
+        .join(b, "w2")
+        .select(
+            "bigram",
+            "n12",
+            "n1",
+            "n2",
+            F.round(
+                F.log(
+                    F.col("n12").cast("double")
+                    * F.col("nu")
+                    / (F.col("n1").cast("double") * F.col("n2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("bigram").asc())
+        .limit(15)
+    )

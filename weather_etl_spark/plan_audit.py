@@ -56,6 +56,9 @@ ALLOW_BNL: dict[str, str] = {
     "q_llm_heaps_law": "docs/50-row checkpoint ledger broadcast into "
     "two range joins (cumulative tokens / cumulative vocab) — "
     "bounded by the checkpoint count (llm_prep.py)",
+    "q_llm_collocations": "1-row token-total aggregate crossed into "
+    "the bigram ledger — the q_filter_ts_cursor pattern "
+    "(llm_prep.py)",
     "q_time_interp": "bounded generated day axis per the gapfill grid "
     "(aggregates.py:797)",
     "llm_minhash_banded": "constant permutation table, bands x rows "

@@ -405,6 +405,9 @@ DRIVER_DEFERRED: frozenset[str] = frozenset({
     "q_llm_ppl_holdout", "q_llm_log_odds",
     # forty-ninth late batch (Heaps'-law vocabulary-growth fit)
     "q_llm_heaps_law",
+    # fiftieth late batch (PMI collocation mining / quantile
+    # normalization)
+    "q_llm_collocations", "q_agg_quantile_norm",
 })
 
 
