@@ -1657,3 +1657,128 @@ def q_llm_minhash_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_within_025"),
         )
     )
+
+
+@register(
+    "q_llm_dedup_curve",
+    oracle="""
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           generate_series(1, len(string_split(text, ' ')) - 2),
+           i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+         )) AS shingle
+  FROM documents
+), card AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), jac AS (
+  SELECT id_a, id_b,
+         CAST(common AS DOUBLE) / (ca.n + cb.n - common) AS j
+  FROM pairs
+  JOIN card ca ON ca.doc_id = id_a
+  JOIN card cb ON cb.doc_id = id_b
+), th AS (
+  SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS t
+), q AS (
+  SELECT th.t, jac.id_a, jac.id_b
+  FROM jac CROSS JOIN th WHERE jac.j >= th.t
+), nd AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS total FROM documents
+), pairsb AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM q GROUP BY t
+), docsb AS (
+  SELECT t, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs
+  FROM (SELECT t, id_a AS d FROM q
+        UNION ALL SELECT t, id_b AS d FROM q) u
+  GROUP BY t
+)
+SELECT CAST(ROUND(pairsb.t, 1) AS DOUBLE) AS threshold, pairsb.n_pairs, docsb.n_docs,
+       ROUND(CAST(docsb.n_docs AS DOUBLE) / nd.total, 4) AS doc_frac
+FROM pairsb JOIN docsb USING (t) CROSS JOIN nd ORDER BY threshold
+""",
+    doc="Near-dedup threshold operating curve: for Jaccard cutoffs "
+    "0.1..0.9, the number of shingle-index candidate pairs at or "
+    "above the cutoff, the distinct documents they touch, and the "
+    "affected-corpus fraction — the tuning curve a practitioner "
+    "reads before committing a dedup threshold (too low deletes the "
+    "corpus, too high keeps the dups; q_llm_ngram_jaccard is one "
+    "point on this curve, 0.5). Exact rational Jaccard compared "
+    "against shared double literals, so band membership is "
+    "engine-identical. On this fixture the curve is flat — every "
+    "candidate pair is a J~1 twin — which is precisely the "
+    "diagnosis the curve exists to deliver: the corpus's "
+    "duplication is bimodal, so any threshold removes the same "
+    "9.4% of documents.",
+    scale_notes="One extra 9-row threshold crossJoin and a per-band "
+    "distinct over the EXISTING inverted-index pair ledger — the "
+    "curve costs one GROUP BY more than the single-threshold query. "
+    "At 100 TB the pair ledger comes from MinHash banding "
+    "(llm_minhash_banded) and the same curve reads off estimated "
+    "Jaccards.",
+)
+def q_llm_dedup_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shingles = shingles3(spark, sf_dir)
+    card = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    ca = card.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    cb = card.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    jac = (
+        pairs.join(ca, "id_a")
+        .join(cb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("common"))
+            ).alias("j"),
+        )
+    )
+    th = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(x / 10.0) for x in range(1, 10)])
+        ).alias("t")
+    )
+    q = jac.crossJoin(F.broadcast(th)).filter(F.col("j") >= F.col("t"))
+    nd = read_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("total")
+    )
+    n_pairs = q.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    docs = q.select("t", F.col("id_a").alias("d")).unionByName(
+        q.select("t", F.col("id_b").alias("d"))
+    )
+    n_docs = docs.groupBy("t").agg(
+        F.countDistinct("d").cast("bigint").alias("n_docs")
+    )
+    return (
+        n_pairs.join(n_docs, "t")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            F.round(F.col("t"), 1).alias("threshold"),
+            "n_pairs",
+            "n_docs",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("total"), 4
+            ).alias("doc_frac"),
+        )
+        .orderBy("threshold")
+    )

@@ -59,6 +59,9 @@ ALLOW_BNL: dict[str, str] = {
     "q_llm_collocations": "1-row token-total aggregate crossed into "
     "the bigram ledger — the q_filter_ts_cursor pattern "
     "(llm_prep.py)",
+    "q_llm_dedup_curve": "9-row threshold ledger + 1-row doc total "
+    "crossed into the inverted-index pair ledger — bounded "
+    "broadcast sides (llm_dedup.py)",
     "q_time_interp": "bounded generated day axis per the gapfill grid "
     "(aggregates.py:797)",
     "llm_minhash_banded": "constant permutation table, bands x rows "

@@ -408,6 +408,8 @@ DRIVER_DEFERRED: frozenset[str] = frozenset({
     # fiftieth late batch (PMI collocation mining / quantile
     # normalization)
     "q_llm_collocations", "q_agg_quantile_norm",
+    # fifty-first late batch (near-dedup threshold operating curve)
+    "q_llm_dedup_curve",
 })
 
 
