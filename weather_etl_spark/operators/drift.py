@@ -2466,3 +2466,163 @@ def q_agg_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "rank")
     )
+
+
+@register(
+    "q_time_stl_strength",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY event_type, day
+), tr AS (
+  SELECT event_type, day, y,
+         CAST(SUM(y) OVER w AS BIGINT) AS s7,
+         COUNT(*) OVER w AS n7
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), det AS (
+  SELECT event_type, day, y, isodow(day) AS dow,
+         ROUND(y - s7 / 7.0, 6) AS detr
+  FROM tr WHERE n7 = 7
+), seas AS (
+  SELECT event_type, dow,
+         SUM(CAST(detr AS DECIMAL(24,6))) AS sd,
+         CAST(COUNT(*) AS BIGINT) AS nw
+  FROM det GROUP BY event_type, dow
+), parts AS (
+  SELECT det.event_type,
+         ROUND(det.detr - CAST(seas.sd AS DOUBLE) / seas.nw, 6) AS r,
+         ROUND(det.y - CAST(seas.sd AS DOUBLE) / seas.nw, 6) AS tr_r
+  FROM det JOIN seas ON seas.event_type = det.event_type
+                    AND seas.dow = det.dow
+), v AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(ROUND(r, 8) AS DECIMAL(24,8))) AS sr,
+         SUM(CAST(ROUND(r * r, 8) AS DECIMAL(24,8))) AS srr,
+         SUM(CAST(ROUND(tr_r, 8) AS DECIMAL(24,8))) AS st,
+         SUM(CAST(ROUND(tr_r * tr_r, 8) AS DECIMAL(24,8))) AS stt
+  FROM parts GROUP BY event_type
+), det_v AS (
+  SELECT event_type,
+         SUM(CAST(ROUND(detr, 8) AS DECIMAL(24,8))) AS sdt,
+         SUM(CAST(ROUND(detr * detr, 8) AS DECIMAL(24,8))) AS sdd
+  FROM det GROUP BY event_type
+)
+SELECT v.event_type, v.n AS n_days,
+       ROUND(GREATEST(0,
+         1 - ((CAST(v.srr AS DOUBLE) - CAST(v.sr AS DOUBLE)
+               * CAST(v.sr AS DOUBLE) / v.n) / v.n)
+             / ((CAST(v.stt AS DOUBLE) - CAST(v.st AS DOUBLE)
+                 * CAST(v.st AS DOUBLE) / v.n) / v.n)), 4) AS f_trend,
+       ROUND(GREATEST(0,
+         1 - ((CAST(v.srr AS DOUBLE) - CAST(v.sr AS DOUBLE)
+               * CAST(v.sr AS DOUBLE) / v.n) / v.n)
+             / ((CAST(det_v.sdd AS DOUBLE) - CAST(det_v.sdt AS DOUBLE)
+                 * CAST(det_v.sdt AS DOUBLE) / v.n) / v.n)), 4)
+         AS f_seasonal
+FROM v JOIN det_v USING (event_type) ORDER BY v.event_type
+""",
+    doc="STL-style strength-of-components summary (Hyndman's "
+    "F_trend / F_seasonal): each type's daily revenue decomposes "
+    "into a centered 7-day moving-average trend (full windows "
+    "only, exact integer window sums / 7), an ISO-weekday seasonal "
+    "component (mean of the ROUND-6 detrended series per weekday, "
+    "DECIMAL-summed), and a residual; strengths are "
+    "max(0, 1 - Var(R)/Var(X+R)) with every variance built from "
+    "ROUND-8 DECIMAL moment sums. One number each for 'is there a "
+    "trend' and 'is there weekly seasonality' — the triage ahead "
+    "of q_time_seasonal's full profile and q_time_holt's "
+    "forecasting.",
+    scale_notes="Daily ledger shuffle + ledger windows + a "
+    "(type, weekday) seasonal ledger — nothing beyond the "
+    "q_time_mad envelope. Longer seasonalities swap the weekday "
+    "key; the moving average stays a bounded window frame.",
+)
+def q_time_stl_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    det = (
+        daily.select(
+            "event_type",
+            "day",
+            "y",
+            F.sum("y").over(w7).cast("bigint").alias("s7"),
+            F.count(F.lit(1)).over(w7).alias("n7"),
+        )
+        .filter(F.col("n7") == 7)
+        .select(
+            "event_type",
+            "day",
+            "y",
+            (F.weekday("day") + 1).alias("dow"),
+            F.round(F.col("y") - F.col("s7") / 7.0, 6).alias("detr"),
+        )
+    )
+    seas = det.groupBy("event_type", "dow").agg(
+        F.sum(F.col("detr").cast("decimal(24,6)")).alias("sd"),
+        F.count(F.lit(1)).cast("bigint").alias("nw"),
+    )
+    parts = det.join(seas, ["event_type", "dow"]).select(
+        "event_type",
+        F.round(
+            F.col("detr") - F.col("sd").cast("double") / F.col("nw"), 6
+        ).alias("r"),
+        F.round(
+            F.col("y") - F.col("sd").cast("double") / F.col("nw"), 6
+        ).alias("tr_r"),
+    )
+    dec8 = lambda c: F.round(c, 8).cast("decimal(24,8)")  # noqa: E731
+    v = parts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec8(F.col("r"))).alias("sr"),
+        F.sum(dec8(F.col("r") * F.col("r"))).alias("srr"),
+        F.sum(dec8(F.col("tr_r"))).alias("st"),
+        F.sum(dec8(F.col("tr_r") * F.col("tr_r"))).alias("stt"),
+    )
+    det_v = det.groupBy("event_type").agg(
+        F.sum(dec8(F.col("detr"))).alias("sdt"),
+        F.sum(dec8(F.col("detr") * F.col("detr"))).alias("sdd"),
+    )
+
+    def var(sx: str, sxx: str) -> F.Column:
+        return (
+            F.col(sxx).cast("double")
+            - F.col(sx).cast("double") * F.col(sx).cast("double") / F.col("n")
+        ) / F.col("n")
+
+    return (
+        v.join(det_v, "event_type")
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            F.round(
+                F.greatest(
+                    F.lit(0), 1 - var("sr", "srr") / var("st", "stt")
+                ),
+                4,
+            ).alias("f_trend"),
+            F.round(
+                F.greatest(
+                    F.lit(0), 1 - var("sr", "srr") / var("sdt", "sdd")
+                ),
+                4,
+            ).alias("f_seasonal"),
+        )
+        .orderBy("event_type")
+    )

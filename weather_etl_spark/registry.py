@@ -410,6 +410,8 @@ DRIVER_DEFERRED: frozenset[str] = frozenset({
     "q_llm_collocations", "q_agg_quantile_norm",
     # fifty-first late batch (near-dedup threshold operating curve)
     "q_llm_dedup_curve",
+    # fifty-second late batch (STL strength-of-components triage)
+    "q_time_stl_strength",
 })
 
 
