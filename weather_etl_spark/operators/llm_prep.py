@@ -2121,3 +2121,109 @@ def q_llm_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), F.col("bigram").asc())
         .limit(15)
     )
+
+
+@register(
+    "q_llm_cooccur_window",
+    oracle="""
+WITH pos AS (
+  SELECT doc_id, unnest(t) AS w,
+         generate_subscripts(t, 1) AS p
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) s
+), pairs AS (
+  SELECT a.w AS w1, b.w AS w2, CAST(COUNT(*) AS BIGINT) AS n12
+  FROM pos a JOIN pos b
+    ON a.doc_id = b.doc_id AND b.p > a.p AND b.p <= a.p + 5
+  GROUP BY a.w, b.w
+), sym AS (
+  SELECT LEAST(w1, w2) AS wa, GREATEST(w1, w2) AS wb,
+         CAST(SUM(n12) AS BIGINT) AS n12
+  FROM pairs GROUP BY wa, wb
+), u AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM pos GROUP BY w
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nu FROM pos
+)
+SELECT sym.wa, sym.wb, sym.n12, a.n AS n_a, b.n AS n_b,
+       ROUND(LN(CAST(sym.n12 AS DOUBLE) * tot.nu
+                / (CAST(a.n AS DOUBLE) * b.n)), 6) AS pmi
+FROM sym CROSS JOIN tot
+JOIN u a ON a.w = sym.wa
+JOIN u b ON b.w = sym.wb
+WHERE sym.n12 >= 20
+ORDER BY pmi DESC, sym.wa ASC, sym.wb ASC LIMIT 20
+""",
+    doc="Windowed co-occurrence matrix construction (the GloVe / "
+    "word2vec statistics pass): unordered token pairs within a "
+    "5-token forward window accumulate per-pair counts "
+    "(symmetrized via least/greatest), min count 20, top-20 by "
+    "window PMI — where q_llm_collocations sees only ADJACENT "
+    "bigrams (multiword expressions), this captures the broader "
+    "topical association an embedding trainer consumes. Positional "
+    "self-join per document, never across documents; PMI "
+    "pre-rounded to 6 decimals for stable ordering.",
+    scale_notes="The per-doc positional self-join is bounded by "
+    "window x doc length (each token pairs with <= 5 successors), "
+    "so pair volume is 5N, not N^2; the (w1, w2) reduction is "
+    "map-combined and vocabulary^2-bounded with the min-count "
+    "filter pruning the tail before the head sort. 1-row token "
+    "total crosses in broadcast.",
+)
+def q_llm_cooccur_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("p0", "w"),
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "w")
+    a = pos.select(
+        F.col("doc_id").alias("da"),
+        F.col("p").alias("pa"),
+        F.col("w").alias("w1"),
+    )
+    b = pos.select(
+        F.col("doc_id").alias("db"),
+        F.col("p").alias("pb"),
+        F.col("w").alias("w2"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("da") == F.col("db"))
+            & (F.col("pb") > F.col("pa"))
+            & (F.col("pb") <= F.col("pa") + 5),
+        )
+        .groupBy(
+            F.least("w1", "w2").alias("wa"),
+            F.greatest("w1", "w2").alias("wb"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n12"))
+    )
+    u = pos.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = pos.agg(F.count(F.lit(1)).cast("bigint").alias("nu"))
+    ua = u.select(F.col("w").alias("wa"), F.col("n").alias("n_a"))
+    ub = u.select(F.col("w").alias("wb"), F.col("n").alias("n_b"))
+    return (
+        pairs.filter(F.col("n12") >= 20)
+        .crossJoin(F.broadcast(tot))
+        .join(ua, "wa")
+        .join(ub, "wb")
+        .select(
+            "wa",
+            "wb",
+            "n12",
+            "n_a",
+            "n_b",
+            F.round(
+                F.log(
+                    F.col("n12").cast("double")
+                    * F.col("nu")
+                    / (F.col("n_a").cast("double") * F.col("n_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(
+            F.col("pmi").desc(), F.col("wa").asc(), F.col("wb").asc()
+        )
+        .limit(20)
+    )

@@ -62,6 +62,9 @@ ALLOW_BNL: dict[str, str] = {
     "q_llm_dedup_curve": "9-row threshold ledger + 1-row doc total "
     "crossed into the inverted-index pair ledger — bounded "
     "broadcast sides (llm_dedup.py)",
+    "q_llm_cooccur_window": "1-row token-total aggregate crossed "
+    "into the pair ledger — the q_filter_ts_cursor pattern; the "
+    "positional join itself is the doc_id equi-join (llm_prep.py)",
     "q_time_interp": "bounded generated day axis per the gapfill grid "
     "(aggregates.py:797)",
     "llm_minhash_banded": "constant permutation table, bands x rows "

@@ -412,6 +412,8 @@ DRIVER_DEFERRED: frozenset[str] = frozenset({
     "q_llm_dedup_curve",
     # fifty-second late batch (STL strength-of-components triage)
     "q_time_stl_strength",
+    # fifty-third late batch (windowed co-occurrence matrix)
+    "q_llm_cooccur_window",
 })
 
 
