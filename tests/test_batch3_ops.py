@@ -1504,6 +1504,27 @@ def test_manifest_skips_half_the_files(spark):
     assert sum(r["n_rows"] for r in rows) == orders.count()
 
 
+def test_manifest_probe_bounds_engine_parity(spark):
+    """ADVICE r6: the probe bounds must use exact integer division on
+    both sides — Spark's double->bigint cast truncates toward zero
+    while DuckDB's CAST rounds to nearest, so any key span not
+    divisible by 8 would flip a boundary bucket's `scanned` flag.
+    Pin Spark `div` == DuckDB `//` == Python `//` on odd spans."""
+    import duckdb
+
+    spans = [15001, 149999, 7, 12345, 8, 15000]
+    for span in spans:
+        want_lo, want_hi = (3 * span) // 8, (5 * span) // 8
+        got = spark.sql(
+            f"SELECT div(3 * {span}, 8) AS p_lo, div(5 * {span}, 8) AS p_hi"
+        ).first()
+        assert (got["p_lo"], got["p_hi"]) == (want_lo, want_hi), span
+        dd = duckdb.sql(
+            f"SELECT (3 * {span}) // 8, (5 * {span}) // 8"
+        ).fetchone()
+        assert dd == (want_lo, want_hi), span
+
+
 def test_kcore_matches_python(spark):
     import collections
 

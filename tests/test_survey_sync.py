@@ -69,9 +69,11 @@ def test_driver_window_priority_head_fits_in_window():
     reg = list(load_all())
     window = set(reg[:50])
     n_new = sum(1 for n in reg if n not in DRIVER_VERIFIED)
-    # the ordered head: everything before the explicit buffer marker —
-    # round 6: 21 r2-stale + 7 changed rows
-    head = DRIVER_WINDOW_PRIORITY[:28]
+    # round 7: the ENTIRE 50-slot window is verdict-ordered (46
+    # never-checked in registration order + 4 forced includes), so the
+    # whole priority list must land in the window — any new
+    # registration would evict the tail and break the freeze.
+    head = DRIVER_WINDOW_PRIORITY[:50]
     missing = [n for n in head if n not in window]
     assert not missing, (
         f"{n_new} unverified rows push these ordered re-checks out of "

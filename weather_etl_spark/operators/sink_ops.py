@@ -397,8 +397,12 @@ WITH span AS (
          MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
   FROM bucketed GROUP BY bucket
 ), probe AS (
-  SELECT lo + CAST(3 * (hi - lo + 1) / 8 AS BIGINT) AS p_lo,
-         lo + CAST(5 * (hi - lo + 1) / 8 AS BIGINT) AS p_hi
+  -- exact integer division on BOTH sides (Spark div / DuckDB //):
+  -- double-to-bigint casts truncate in Spark but round-to-nearest in
+  -- DuckDB, so a key span not divisible by 8 would flip a boundary
+  -- bucket's `scanned` flag between engines
+  SELECT lo + (3 * (hi - lo + 1)) // 8 AS p_lo,
+         lo + (5 * (hi - lo + 1)) // 8 AS p_hi
   FROM span
 )
 SELECT m.bucket, m.n_rows, m.min_key, m.max_key,
@@ -458,17 +462,12 @@ def snk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max("o_orderkey").alias("max_key"),
             )
         )
+        # exact integer division (floor), mirroring the oracle's `//`:
+        # a double division + bigint cast truncates in Spark but rounds
+        # in DuckDB, diverging when the key span is not a multiple of 8
         probe = span.select(
-            (
-                F.col("lo")
-                + ((F.lit(3) * (F.col("hi") - F.col("lo") + 1)) / 8)
-                .cast("bigint")
-            ).alias("p_lo"),
-            (
-                F.col("lo")
-                + ((F.lit(5) * (F.col("hi") - F.col("lo") + 1)) / 8)
-                .cast("bigint")
-            ).alias("p_hi"),
+            F.expr("lo + div(3 * (hi - lo + 1), 8)").alias("p_lo"),
+            F.expr("lo + div(5 * (hi - lo + 1), 8)").alias("p_hi"),
         )
         return (
             manifest.crossJoin(F.broadcast(probe))

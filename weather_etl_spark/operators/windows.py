@@ -916,6 +916,21 @@ def q_win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(yd * F.col("y")).over(w).alias("syy"),
         F.sum(xd * F.col("y")).over(w).alias("sxy"),
     )
+    # Zero-variance GUARD in exact decimal arithmetic, mirroring the
+    # oracle's exact HUGEINT (n*sxx - sx*sx) > 0: evaluating the guard
+    # in double can round a near-zero variance differently once the
+    # 7-day cent-sum moments exceed 2^53, yielding NULL in one engine
+    # and a value in the other.  Operand precisions are sized so every
+    # product stays inside decimal(38,0) with no scale loss
+    # (n <= 7 -> decimal(10,0); sx,sy < 10^19 -> decimal(19,0);
+    # products cap at 38 digits, scale 0).
+    n38 = F.col("n").cast("decimal(10,0)")
+    sx19 = F.col("sx").cast("decimal(19,0)")
+    sy19 = F.col("sy").cast("decimal(19,0)")
+    varx_exact = n38 * F.col("sxx") - sx19 * sx19
+    vary_exact = n38 * F.col("syy") - sy19 * sy19
+    # the correlation VALUE itself drops to double, identical IEEE
+    # arithmetic to the oracle's CAST(... AS DOUBLE) expression
     nd = F.col("n").cast("double")
     varx = nd * F.col("sxx").cast("double") - F.col("sx").cast(
         "double"
@@ -929,6 +944,8 @@ def q_win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolled.select(
         "day",
         F.col("n").alias("n_days"),
-        F.when((varx > 0) & (vary > 0), F.round(cov / F.sqrt(varx * vary), 4))
-        .alias("corr_7d"),
+        F.when(
+            (varx_exact > 0) & (vary_exact > 0),
+            F.round(cov / F.sqrt(varx * vary), 4),
+        ).alias("corr_7d"),
     ).orderBy("day")

@@ -217,69 +217,66 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
     "llm_mm_audio_window", "q_sample_hash", "q_sample_stratified",
     "snk_orc_roundtrip", "snk_xml_roundtrip", "q_sql_pipe",
     "q_sql_recursive_cte", "q_win_sessionize", "q_win_islands",
+    # round 6 green (49 hash-verified + llm_ann_lsh rows-only), per
+    # CORRECTNESS_r06.json — the r2/r3-stale rotations + r6-changed
+    # oracles already appear in earlier blocks; these 22 are the rows
+    # whose FIRST driver verdict was round 6
+    "q_fn_url", "q_fn_format",
+    "q_agg_listagg", "q_agg_filter_clause", "q_agg_grouping_id",
+    "q_graph_degree", "q_graph_pagerank",
+    "q_join_interval_overlap", "q_join_salted",
+    "q_llm_decontaminate", "q_llm_pii_scrub", "q_llm_zipf", "q_llm_ttr",
+    "q_llm_gopher_filter", "q_llm_chunk", "q_llm_domain_mix",
+    "q_llm_lang_entropy", "llm_embed_quantize", "llm_mm_resize",
+    "q_sql_groupby_all", "q_win_ignore_nulls", "q_win_range_interval",
 })
 
-#: Explicit order for the round-6 driver window (50 slots), per the r5
-#: verdict's order #1: (1) the 21 rows whose latest driver check is
-#: still ROUND 2 (the r5 window consumed the first 17 of the old
-#: r2-stale block; these are the survivors — 19 oracled + the 2
-#: rows-only llm_ann_lsh/udtf_mapinpandas); (2) the rows CHANGED in
-#: round 6 and needing a re-verdict: llm_mm_audio_window + q_fn_map
-#: (oracle text changed — byte-accurate n_spaces / has_k coalesce),
-#: q_udf_grouped_map (oracle + UDF rewritten to exact integer-cents
-#: centering after the sf0.001 cross-SF sweep caught a float-mean
-#: rounding-boundary flip), q_llm_perplexity + q_llm_tfidf
-#: (vocabulary broadcast hints dropped), q_tpch_q3/q_join_star
-#: (customer hints dropped); (3) an r3-stale buffer that fills
-#: whatever slots the round's NEW queries (which rank ahead of this
-#: whole list by the never-verified rule below) leave free.
-#: q_tpch_q5 yields its head slot to q_udf_grouped_map: q5's oracle
-#: text is unchanged (hint-only Spark change, values provably
-#: identical, broadcast behavior plan-tested), while grouped_map's
-#: oracle changed — a hash re-verdict matters more than a lineage
-#: refresh.  With 22 new rows in r6 the window is exactly 22 new +
-#: the 21 r2-stale + the first 7 changed rows;
-#: already-fresh rows stay regression-guarded by
-#: tests/test_oracle_parity.py.
+#: Explicit order for the round-7 driver window (50 slots), per the r6
+#: verdict's order #1: REGISTRATION FREEZE — no new operators this
+#: round — and the entire window drawn from the 193 rows that have
+#: NEVER had a driver verdict (locally parity-green, members of
+#: DRIVER_DEFERRED).  Composition: the first 46 never-checked rows in
+#: registration order, plus 4 forced includes — llm_mm_phash_dedup +
+#: llm_mm_scenechange (verdict order #6: the only multimodal rows with
+#: no driver lineage) and snk_manifest + q_win_rolling_corr (their
+#: oracles changed this round per ADVICE.md — integer-division probe
+#: bounds / exact-decimal variance guard — so a hash re-verdict is
+#: required, and both were never-checked anyway).  193 - 50 = 143
+#: never-checked rows remain after this round (verdict target ≤143).
+#: The 45 r3-stale rows queue behind this entire backlog (verdict
+#: order #4, two-round target ending r8).
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- 21 r2-stale rows (latest driver check = round 2) --
-    "q_sort_multikey", "q_topk_global",
-    "q_set_union_all", "q_set_union", "q_set_intersect", "q_set_except",
-    "q_udf_pandas", "q_udaf_pandas", "udtf_mapinpandas", "q_udtf_py",
-    "snk_partitioned", "snk_csv_roundtrip", "snk_json_roundtrip",
-    "q_stream_static_join",
-    "q_llm_centroid", "llm_knn_blocked", "llm_multimodal",
-    "llm_mm_framesample", "llm_embed_dedup_blocked", "llm_mm_decode",
-    "llm_ann_lsh",
-    # -- changed in round 6: oracle/plan edits need a fresh verdict --
-    "llm_mm_audio_window", "q_fn_map", "q_udf_grouped_map",
-    "q_llm_perplexity", "q_llm_tfidf",
-    "q_tpch_q3", "q_join_star",
-    # (q_tpch_q5 queues first in the buffer — see comment above)
-    "q_tpch_q5",
-    # -- r3-stale buffer (oldest remaining lineage, oracled first) --
-    "q_join_lateral", "q_join_cbo", "q_win_percent", "q_udf_arrow",
-    "q_fn_variant", "q_fn_try", "q_scan_filemeta",
-    "q_set_union_byname", "snk_schema_evolution", "q_time_rollup",
-    "q_llm_editdist", "q_llm_dedup_components", "q_llm_split",
-    "q_llm_winnow", "q_llm_winnow_pairs", "q_llm_repetition",
-    "llm_cosine_pairs_blocked", "q_fn_bitwise", "q_fn_string2",
-    "q_fn_hash_encode", "q_time_gapfill", "q_agg_boolean",
-    "q_agg_median", "q_join_null_safe", "llm_jaccard_prefix",
-    "llm_editdist_banded", "llm_minhash_banded",
-    "llm_components_starcontract", "llm_doc_embed_cohesion",
-    "llm_mm_pixel_dedup", "q_set_except_all", "q_set_intersect_all",
-    "q_sql_cte_window", "q_win_cume_nth",
+    # -- never-driver-checked, registration order (indices 0-45) --
+    "q_fn_math2", "q_fn_array_lambda", "q_fn_regexp2", "q_fn_date_iso",
+    "q_fn_collate", "q_fn_geo",
+    "q_agg_cms_portable", "q_agg_bitmap_portable", "q_agg_hist_quantile",
+    "q_agg_kmv_intersect", "q_agg_hll_rollup", "q_agg_quantile_eval",
+    "q_funnel", "q_cohort_retention", "q_sample_weighted",
+    "q_scd2_intervals", "q_cdc_upsert", "q_dq_audit", "q_skew_profile",
+    "q_kanonymity", "q_ab_metrics", "q_time_downsample",
+    "q_join_scd2_lookup", "q_agg_ab_srm", "q_dq_checksum",
+    "q_ab_cuped", "q_ab_power", "q_cohort_ltv", "q_ldiversity",
+    "q_event_pvm_decomp", "q_join_bitemporal",
+    "q_agg_gini", "q_agg_ks_test", "q_time_resample_ohlc",
+    "q_event_cooccurrence", "q_agg_autocorr", "q_agg_pareto",
+    "q_event_bursts", "q_agg_benford", "q_time_seasonal",
+    "q_agg_ttest", "q_agg_mannwhitney", "q_agg_hhi",
+    "q_agg_mutual_info", "q_agg_kl_divergence", "q_agg_js_divergence",
+    # -- forced includes (verdict order #6 + ADVICE oracle changes) --
+    "llm_mm_phash_dedup", "llm_mm_scenechange",
+    "snk_manifest", "q_win_rolling_corr",
 )
 
 
-#: Queries registered AFTER the round-6 driver window was frozen (the
-#: 22 early-r6 rows + 21 r2-stale + 7 changed = exactly 50 slots, per
-#: the r5 verdict's order #1).  These queue BEHIND the planned window —
-#: still locally oracle-verified by tests/test_oracle_parity.py — and
-#: rotate into the driver window next round.  Without this, every
-#: late-round registration would silently evict one verdict-ordered
-#: re-check from the 50-slot window (guarded by
+#: The never-driver-checked backlog queue (193 rows entering round 7).
+#: These queue BEHIND the planned window — still locally
+#: oracle-verified by tests/test_oracle_parity.py — and rotate into
+#: the driver window 50 at a time (DRIVER_WINDOW_PRIORITY overrides
+#: membership here: _rotation_order checks the priority list first, so
+#: the 50 rows promoted into the r7 window stay listed below without
+#: effect).  Without this queue, every late-round registration would
+#: silently evict one verdict-ordered re-check from the 50-slot window
+#: (guarded by
 #: tests/test_survey_sync.py::test_driver_window_priority_head_fits...).
 DRIVER_DEFERRED: frozenset[str] = frozenset({
     "q_funnel", "q_cohort_retention", "q_sample_weighted",
