@@ -13,6 +13,17 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
+def pytest_collection_modifyitems(items):
+    """Lane contract (see pytest.ini): modules mark themselves `full`
+    (parity sweeps, plan audits); everything else is auto-tagged
+    `fast` so `pytest -m fast` needs no per-test bookkeeping."""
+    import pytest as _pytest
+
+    for item in items:
+        if "full" not in item.keywords:
+            item.add_marker(_pytest.mark.fast)
+
+
 @pytest.fixture(scope="session")
 def spark():
     session = get_spark(

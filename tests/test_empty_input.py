@@ -23,6 +23,8 @@ import os
 import pyarrow.parquet as pq
 import pytest
 
+pytestmark = pytest.mark.full  # registry-wide sweep (see pytest.ini)
+
 from weather_etl_spark.registry import load_all
 
 from tests.conftest import SMOKE_SF_DIR

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import pytest
 
+pytestmark = pytest.mark.full  # heavy lane (see pytest.ini)
+
 from weather_etl_spark.plan_audit import (
     AUDIT_SKIP,
     audit_plan,

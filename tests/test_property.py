@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import datetime
 
+import pytest
 from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
@@ -45,6 +46,7 @@ batch_strategy = st.dictionaries(
 # advance to the dropped row's ts.
 @example(batches=[{0: 0}, {0: 1}])
 @example(batches=[{0: 0, 1: 5}, {0: 10, 2: 3}, {1: 60}])
+@pytest.mark.full  # ~60 s hypothesis run (see pytest.ini)
 def test_incremental_matches_model_and_is_idempotent(
     spark, tmp_path_factory, batches
 ):

@@ -13,6 +13,8 @@ import re
 
 import pytest
 
+pytestmark = pytest.mark.full  # heavy lane (see pytest.ini)
+
 from weather_etl_spark.registry import load_all
 
 SPECS = load_all()

@@ -3,7 +3,11 @@ rows-only runtime operators' deterministic summaries."""
 
 from __future__ import annotations
 
+import pytest
+
 from weather_etl_spark.registry import load_all
+
+pytestmark = pytest.mark.full  # micro-batch runtime latency (see pytest.ini)
 
 SPECS = load_all()
 

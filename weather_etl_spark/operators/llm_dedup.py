@@ -449,42 +449,40 @@ FROM pairs GROUP BY vec_id
     scale_notes="Compare cost is sum(|c_i|*|c_j|) over admissible cell "
     "pairs — sub-quadratic whenever clusters are separated relative to "
     "r, degrading gracefully to the exact O(n^2) on pathological "
-    "(unclusterable) data instead of losing pairs. At 100 TB: raise "
-    "k ~ sqrt(n), persist the cell column bucketed so the per-cell-pair "
-    "join co-locates, and recurse (band within oversized cells). "
+    "(unclusterable) data instead of losing pairs. The verify is "
+    "BLOCK-scored (_banded_qualifying_pairs): one cogrouped task per "
+    "admissible cell pair, vectorized dimension-major scoring, only "
+    "qualifying pairs ever emitted — each vector shuffles <= k times "
+    "and no per-pair row exists (r7: 11.75 s -> 4.4 s at sf0.1 where "
+    "banding admits all pairs). Task memory is 4096 x |c_b| doubles "
+    "(row-chunked). At 100 TB: raise k ~ sqrt(n) so cells stay "
+    "task-sized, and recurse (band within oversized cells). "
     "Centroid/radius state is k x dim floats on the driver (bounded).",
 )
 def llm_embed_dedup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from weather_etl_spark.operators.llm_vector import _make_cosine_pandas
-
     t = 0.45
-    cand = _banded_candidate_pairs(spark, sf_dir, t)
-    cos = _make_cosine_pandas()
-    return (
-        cand.filter(cos(F.col("e_hi"), F.col("e_lo")) > t)
-        .groupBy(F.col("id_hi").alias("vec_id"))
-        .agg(
-            F.min("id_lo").alias("dup_of"),
-            F.count(F.lit(1)).alias("n_near"),
-        )
+    qual = _banded_qualifying_pairs(spark, sf_dir, t)
+    return qual.groupBy(F.col("id_hi").alias("vec_id")).agg(
+        F.min("id_lo").alias("dup_of"),
+        F.count(F.lit(1)).alias("n_near"),
     )
 
 
-def _banded_candidate_pairs(
+def _banded_cells(
     spark: SparkSession, sf_dir: str, t: float, k: int = 8, iters: int = 1
-) -> DataFrame:
-    """Candidate pair generator shared by the banded-EXACT operators:
-    returns every ordered pair (id_lo < id_hi) whose cells the triangle
-    inequality cannot rule out for cosine > t — a PROVABLE superset of
-    the qualifying pairs (see llm_embed_dedup_blocked's proof), at
-    sum(|c_i|*|c_j|) admissible-pair cost instead of n^2/2.
+):
+    """Shared banding state for the banded-EXACT operators: k-means
+    cell assignment plus the triangle-inequality admissible cell-pair
+    list (see llm_embed_dedup_blocked's proof).  Returns
+    ``(celled, admissible)`` where ``celled`` has columns
+    (vec_id, embedding, cell) and ``admissible`` is a bounded k x k
+    driver-side list of ordered (ca, cb) ints — or ``None`` on an
+    empty corpus (A12 short-circuit).
 
     Clustering quality affects only pruning, never correctness, so one
     Lloyd iteration suffices; the (vec_id, cell) assignment is computed
-    ONCE and localCheckpoint'd — the radius pass and both join sides
+    ONCE and localCheckpoint'd — the radius pass and every consumer
     reuse it instead of re-evaluating k cosine assignments per row.
-
-    Columns: id_lo, e_lo, id_hi, e_hi.
     """
     import numpy as np
 
@@ -500,15 +498,7 @@ def _banded_candidate_pairs(
     try:
         centroids = lloyd_kmeans(emb, k, iters)
         if not centroids:  # empty corpus -> no cells, no pairs (A12)
-            lo = emb.select(
-                F.col("vec_id").alias("id_lo"),
-                F.col("embedding").alias("e_lo"),
-            ).limit(0)
-            hi = emb.select(
-                F.col("vec_id").alias("id_hi"),
-                F.col("embedding").alias("e_hi"),
-            ).limit(0)
-            return lo.crossJoin(hi)
+            return None
         k = len(centroids)  # lloyd_kmeans clamps k on tiny corpora
         # Representatives live on the unit sphere (cosine-threshold
         # geometry); assignment by max cosine is scale-invariant so raw
@@ -559,6 +549,36 @@ def _banded_candidate_pairs(
         for j in range(k)
         if cd[i, j] <= r + radii[i] + radii[j] + 1e-9
     ]
+    return celled.select("vec_id", "embedding", "cell"), admissible
+
+
+def _banded_candidate_pairs(
+    spark: SparkSession, sf_dir: str, t: float, k: int = 8, iters: int = 1
+) -> DataFrame:
+    """Candidate PAIR-ROW generator over the banding state: every
+    ordered pair (id_lo < id_hi) whose cells the triangle inequality
+    cannot rule out for cosine > t — a PROVABLE superset of the
+    qualifying pairs, at sum(|c_i|*|c_j|) admissible-pair cost instead
+    of n^2/2.  Columns: id_lo, e_lo, id_hi, e_hi.
+
+    This shape MATERIALIZES one row (with both embedding payloads) per
+    candidate pair; the declared operators score blocks instead via
+    :func:`_banded_qualifying_pairs`.  Kept for the planted-cluster
+    losslessness test, which asserts on the candidate SET itself.
+    """
+    state = _banded_cells(spark, sf_dir, t, k, iters)
+    if state is None:
+        emb = read_table(spark, sf_dir, "embeddings")
+        lo = emb.select(
+            F.col("vec_id").alias("id_lo"),
+            F.col("embedding").alias("e_lo"),
+        ).limit(0)
+        hi = emb.select(
+            F.col("vec_id").alias("id_hi"),
+            F.col("embedding").alias("e_hi"),
+        ).limit(0)
+        return lo.crossJoin(hi)
+    celled, admissible = state
     pairs_df = spark.createDataFrame(admissible, "ca int, cb int")
 
     lo = celled.select(
@@ -577,6 +597,130 @@ def _banded_candidate_pairs(
         hi,
         (F.col("cell_hi") == F.col("cb"))
         & (F.col("id_lo") < F.col("id_hi")),
+    )
+
+
+def _banded_qualifying_pairs(
+    spark: SparkSession, sf_dir: str, t: float, k: int = 8, iters: int = 1
+) -> DataFrame:
+    """Every ordered pair (id_lo < id_hi) with exact cosine > t,
+    computed BLOCK-AT-A-TIME: one cogrouped-Pandas task per admissible
+    cell pair scores the |c_a| x |c_b| block in numpy and emits ONLY
+    the qualifying pairs.  Columns: id_lo, id_hi, cos_raw.
+
+    Versus the per-pair path (_banded_candidate_pairs + pandas-UDF
+    cosine filter) nothing pair-shaped is ever shuffled or
+    materialized: the r7 profile at sf0.1 showed that path spending
+    10.6 s of its 14.6 s total building and scoring 1,999,000
+    candidate rows of 2 x 64 doubles each (the near-orthogonal fixture
+    admits every pair), while this shape shuffles each vector once per
+    admissible pair of its cell (<= k copies) and scores blocks with
+    vectorized dimension-major accumulation.
+
+    FP contract: bit-identical to _make_cosine_pandas and DuckDB's
+    list_cosine_similarity loop.  The dot accumulation iterates the
+    DIMENSION axis left-to-right over rank-1 outer products, so every
+    pair's partial sums see the exact rounding order of the scalar
+    loop; np.matmul/BLAS (blocked, SIMD-reordered reductions) would
+    not guarantee that.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = "id_lo bigint, id_hi bigint, cos_raw double"
+    state = _banded_cells(spark, sf_dir, t, k, iters)
+    if state is None:
+        return spark.createDataFrame([], out_schema)
+    celled, admissible = state
+    # fully distinct column names per side: lo and hi share the celled
+    # lineage, and Spark's ambiguous-self-join analyzer rejects a
+    # cogroup whose two sides reference the same attribute ids
+    pairs_lo = spark.createDataFrame(
+        [(ca * 1024 + cb, ca) for ca, cb in admissible], "pid_lo int, ca int"
+    )
+    pairs_hi = spark.createDataFrame(
+        [(ca * 1024 + cb, cb) for ca, cb in admissible], "pid_hi int, cb int"
+    )
+    lo = (
+        celled.select(
+            F.col("vec_id").alias("lo_id"),
+            F.col("embedding").alias("lo_emb"),
+            F.col("cell").alias("lo_cell"),
+        )
+        .join(F.broadcast(pairs_lo), F.col("lo_cell") == F.col("ca"))
+        .select("pid_lo", "lo_id", "lo_emb")
+    )
+    hi = (
+        celled.select(
+            F.col("vec_id").alias("hi_id"),
+            F.col("embedding").alias("hi_emb"),
+            F.col("cell").alias("hi_cell"),
+        )
+        .join(F.broadcast(pairs_hi), F.col("hi_cell") == F.col("cb"))
+        .select("pid_hi", "hi_id", "hi_emb")
+    )
+    thr = float(t)
+
+    def score(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                {
+                    "id_lo": pd.Series(dtype="int64"),
+                    "id_hi": pd.Series(dtype="int64"),
+                    "cos_raw": pd.Series(dtype="float64"),
+                }
+            )
+        ida = left["lo_id"].to_numpy()
+        idb = right["hi_id"].to_numpy()
+        ma = np.stack(left["lo_emb"].to_numpy()).astype(np.float64)
+        mb = np.stack(right["hi_emb"].to_numpy()).astype(np.float64)
+
+        def _ltr(m: "np.ndarray") -> "np.ndarray":
+            acc = m[:, 0].copy()
+            for i in range(1, m.shape[1]):
+                acc += m[:, i]
+            return acc
+
+        na = np.sqrt(_ltr(ma * ma))
+        nb = np.sqrt(_ltr(mb * mb))
+        frames = []
+        # Row-chunk the left block so task memory is bounded by
+        # CHUNK x |c_b| doubles, not |c_a| x |c_b| (100 TB posture;
+        # oversized CELLS are bounded separately — see scale_notes).
+        chunk = 4096
+        for s in range(0, len(ida), chunk):
+            mac, idac, nac = ma[s : s + chunk], ida[s : s + chunk], na[s : s + chunk]
+            # dimension-major left-to-right accumulation (see docstring)
+            dots = np.multiply.outer(mac[:, 0], mb[:, 0])
+            for i in range(1, mac.shape[1]):
+                dots += np.multiply.outer(mac[:, i], mb[:, i])
+            cos = dots / np.multiply.outer(nac, nb)
+            mask = (cos > thr) & (idac[:, None] < idb[None, :])
+            li, ri = np.nonzero(mask)
+            if len(li):
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "id_lo": idac[li],
+                            "id_hi": idb[ri],
+                            "cos_raw": cos[li, ri],
+                        }
+                    )
+                )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "id_lo": pd.Series(dtype="int64"),
+                    "id_hi": pd.Series(dtype="int64"),
+                    "cos_raw": pd.Series(dtype="float64"),
+                }
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return (
+        lo.groupBy("pid_lo")
+        .cogroup(hi.groupBy("pid_hi"))
+        .applyInPandas(score, out_schema)
     )
 
 
@@ -854,23 +998,17 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
     "Arrow-vectorized cosine inside admissible pairs only.",
     scale_notes="Same cost model as llm_embed_dedup_blocked: "
     "sum(|c_i|*|c_j|) over admissible cell pairs instead of n^2/2, "
-    "exact by construction. This pair de-weakens the engine's last "
-    "all-pairs-only declared query.",
+    "block-scored via _banded_qualifying_pairs (no per-pair row ever "
+    "materialized), exact by construction. This pair de-weakens the "
+    "engine's last all-pairs-only declared query.",
 )
 def llm_cosine_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from weather_etl_spark.operators.llm_vector import _make_cosine_pandas
-
     t = 0.45
-    cand = _banded_candidate_pairs(spark, sf_dir, t)
-    cos = _make_cosine_pandas()
-    return (
-        cand.withColumn("cos_raw", cos(F.col("e_lo"), F.col("e_hi")))
-        .filter(F.col("cos_raw") > t)
-        .select(
-            F.col("id_lo").alias("id_a"),
-            F.col("id_hi").alias("id_b"),
-            F.round("cos_raw", 4).alias("cos"),
-        )
+    qual = _banded_qualifying_pairs(spark, sf_dir, t)
+    return qual.select(
+        F.col("id_lo").alias("id_a"),
+        F.col("id_hi").alias("id_b"),
+        F.round("cos_raw", 4).alias("cos"),
     )
 
 
