@@ -77,6 +77,22 @@ SWEEP = [
     "q_tpch_q10", "q_graph_adamic_adar", "q_event_trigrams",
     "q_time_holt", "q_join_scd2_lookup", "q_llm_ppl_bucket",
     "q_time_seasonal",
+    # r7 window (first driver check this round): every join-bearing row
+    # of the 50-slot backlog window gets one sf1-synth timing + (for
+    # the composites) a join-composition line (r6 verdict stretch #8).
+    # llm_mm_phash_dedup excluded for the same doc_id-cap reason as
+    # above; the 1-row-broadcast stats joins (ttest/mannwhitney/kl/js/
+    # hhi/mutual_info/benford) are included as a flat-cost control
+    # group.
+    "q_fn_geo", "q_agg_kmv_intersect", "q_agg_hll_rollup",
+    "q_agg_quantile_eval", "q_cohort_retention", "q_sample_weighted",
+    "q_dq_audit", "q_skew_profile", "q_time_downsample", "q_ab_cuped",
+    "q_cohort_ltv", "q_ldiversity", "q_join_bitemporal",
+    "q_event_cooccurrence", "q_agg_benford", "q_agg_ttest",
+    "q_agg_mannwhitney", "q_agg_hhi", "q_agg_mutual_info",
+    "q_agg_kl_divergence", "q_agg_js_divergence",
+    # r7 plan-shape change: the block-scored banded verify
+    "llm_embed_dedup_blocked", "llm_cosine_pairs_blocked",
 ]
 JOIN_COMPOSITES = {
     "q_join_star", "q_tpch_q3", "q_tpch_q5", "q_join_smj", "q_tpch_q10",
@@ -132,7 +148,11 @@ def main() -> None:
         build(spark)
         print(f"[build] done in {time.perf_counter() - t0:.1f}s", flush=True)
     specs = load_all()
-    for name in SWEEP:
+    # optional positional name filter: sweep only the given queries
+    # (fresh batches) instead of re-timing the whole historical list
+    wanted = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sweep = [n for n in SWEEP if n in wanted] if wanted else SWEEP
+    for name in sweep:
         df = specs[name].fn(spark, DST)
         t0 = time.perf_counter()
         df.count()
