@@ -586,7 +586,12 @@ WITH arms AS (
 SELECT arms.arm AS arm,
        CAST(COUNT(*) AS BIGINT) AS n_users,
        CAST(SUM(conv.converted) AS BIGINT) AS n_converted,
-       SUM(conv.converted) * 1000000 // COUNT(*) AS conv_ppm,
+       -- CAST: DuckDB's SUM(BIGINT) is HUGEINT and HUGEINT // BIGINT
+       -- reaches pandas as float64, while Spark's DIV yields bigint —
+       -- the driver canonicalizer treats int64-vs-float64 as a
+       -- schema/type mismatch (tools/audit_driver_typing.py)
+       CAST(SUM(conv.converted) * 1000000 // COUNT(*) AS BIGINT)
+         AS conv_ppm,
        CAST(SUM(conv.revenue_cents) AS BIGINT) AS revenue_cents
 FROM arms JOIN conv USING (user_id)
 GROUP BY arms.arm
