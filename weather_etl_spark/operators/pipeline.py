@@ -236,7 +236,10 @@ SELECT arm,
          AS sessions_per_user,
        ROUND(CAST(SUM(CAST(total_dur_us AS HUGEINT)) AS DOUBLE)
              / SUM(n_sessions) / 1000000, 4) AS mean_session_s,
-       SUM(converted) * 1000000 // COUNT(*) AS conv_ppm
+       -- CAST: HUGEINT // BIGINT reaches pandas as float64 while
+       -- Spark's DIV yields int64 (same driver-canonicalizer dtype
+       -- trap as q_ab_metrics, tools/audit_driver_typing.py)
+       CAST(SUM(converted) * 1000000 // COUNT(*) AS BIGINT) AS conv_ppm
 FROM user_agg GROUP BY arm ORDER BY arm
 """,
     doc="Product-analytics pipeline composed end to end, one "
