@@ -454,7 +454,14 @@ FROM t
     "shuffle carrying (n, sum, sumsq) partials, then a k-row "
     "ledger reduction — the same two-level shape as the portable "
     "sketches. No per-row state beyond the running triple at any "
-    "scale.",
+    "scale. Presentation boundary (measured, r7 adversarial "
+    "battery): once sum(c^2) exceeds 2^53 the final "
+    "DECIMAL->DOUBLE casts stop being exact and Spark (Java "
+    "correctly-rounded) vs DuckDB (int128-scaled, twice-rounded) "
+    "can differ by one ulp, flipping ROUND's 4th decimal; the "
+    "statistics stay exact in the decimal ledger. Beyond that "
+    "magnitude report the cents^2-scaled BIGINT ledger instead of "
+    "rounded dollars^2 doubles.",
 )
 def q_agg_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
