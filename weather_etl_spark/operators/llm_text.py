@@ -842,8 +842,15 @@ SELECT lang,
        CASE b3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                ELSE 'tail' END AS bucket,
        COUNT(*) AS n_docs,
-       ROUND(CAST(SUM(CAST(avg_nll AS DECIMAL(18,4))) AS DOUBLE)
-             / COUNT(*), 4) AS mean_nll
+       -- exact integer half-up rounding of the bucket mean: avg_nll is
+       -- a 4-decimal value, so sum its 1e4-scaled integers and round
+       -- the rational sum4/n with (2*sum4 + n) // (2*n).  ROUND(double)
+       -- here would be engine-divergent: DuckDB computes x*10^4 in
+       -- double, which can land exactly on .5 (measured: mean
+       -- 20.5173/6 -> 3.4196 here vs 3.4195 in Spark's correctly-
+       -- rounded ROUND) — the r7 adversarial corpus hit it.
+       CAST((2 * SUM(CAST(ROUND(avg_nll * 10000) AS BIGINT)) + COUNT(*))
+            // (2 * COUNT(*)) AS DOUBLE) / 10000 AS mean_nll
 FROM b GROUP BY lang, b3
 """,
     doc="CCNet-style perplexity bucketing: per-language head / "
@@ -871,14 +878,25 @@ def q_llm_ppl_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("b3") == 2, "middle")
         .otherwise("tail")
     )
-    return b.groupBy("lang", "b3").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.round(
-            F.sum(F.col("avg_nll").cast("decimal(18,4)")).cast("double")
-            / F.count(F.lit(1)),
-            4,
-        ).alias("mean_nll"),
-    ).select("lang", bucket.alias("bucket"), "n_docs", "mean_nll")
+    # exact integer half-up rounding of the bucket mean (see the oracle
+    # comment: DuckDB's ROUND(double) multiplies by 10^s in double and
+    # can land exactly on .5 where Spark's correctly-rounded ROUND does
+    # not — sum 1e4-scaled integers and round the rational exactly)
+    sum4 = F.sum(F.round(F.col("avg_nll") * 10000).cast("bigint"))
+    n = F.count(F.lit(1))
+    mean4 = F.expr(
+        "div(2 * sum4 + n_docs, 2 * n_docs)"
+    )
+    return (
+        b.groupBy("lang", "b3")
+        .agg(n.alias("n_docs"), sum4.alias("sum4"))
+        .select(
+            "lang",
+            bucket.alias("bucket"),
+            "n_docs",
+            (mean4.cast("double") / 10000).alias("mean_nll"),
+        )
+    )
 
 
 @register(
