@@ -42,6 +42,16 @@ EVENTS_OPS = [
     "q_agg_corr_matrix", "q_time_cusum", "q_time_mad", "q_time_ewma",
     "q_time_stl_strength", "q_time_changepoint", "q_time_holt",
     "q_event_interarrival",
+    # eventseq / temporal-join backlog rows (the four eventseq ops with
+    # their own random differentials — attribution, transitions, ohlc,
+    # bursts — are covered in test_eventseq_random_differential)
+    "q_time_anomaly", "q_event_dau_wau", "q_event_lifecycle",
+    "q_event_survival", "q_time_backtest", "q_event_markov2",
+    "q_event_decay_score", "q_event_pattern", "q_event_time_to_convert",
+    "q_event_next_pred", "q_event_calibration", "q_event_rfm",
+    "q_event_trigrams",
+    "q_join_asof_tol", "q_join_asof_nearest",
+    "q_join_time_window_semi", "q_join_time_window_anti",
 ]
 
 
