@@ -36,6 +36,9 @@ EMBED_OPS = [
     "q_llm_hard_negatives", "q_dq_embeddings", "q_llm_retrieval_eval",
     "q_llm_mmr_select", "q_llm_ood_score", "q_llm_prf_expand",
     "q_llm_align_uniform", "q_llm_hubness",
+    # reads embedding dims 1-2 as coordinates: the one-hot grid plants
+    # points EXACTLY on floor(x/eps) cell boundaries
+    "q_join_spatial_grid",
 ]
 
 DIM = 64

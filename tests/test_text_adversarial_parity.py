@@ -39,7 +39,13 @@ TEXT_OPS = [
     "q_llm_entropy_rate", "q_llm_bm25", "q_llm_filter_funnel",
     "q_llm_kneser_ney", "q_llm_ppl_holdout", "q_llm_log_odds",
     "q_llm_keywords", "q_llm_dsir", "q_llm_dedup_weights",
-    "q_llm_dup_size_hist", "q_llm_dup_size_hist",
+    "q_llm_dup_size_hist", "q_llm_dedup_incremental",
+    "q_llm_minhash_eval", "q_llm_minhash_mae", "q_llm_dedup_curve",
+    "q_llm_feature_hash", "q_llm_domain_cap",
+    # rank fusion's md5-ordered list hits tie-breaks on duplicate texts
+    "q_rank_fusion",
+    # markup/mojibake docs planted in the edge corpus feed these
+    "q_llm_strip_markup", "q_llm_encoding_check",
 ]
 # dedupe while preserving order
 TEXT_OPS = list(dict.fromkeys(TEXT_OPS))
@@ -93,6 +99,10 @@ def _edge_corpus():
     add("solo")                                   # 1 token
     add("pair token")                             # 2 tokens
     add("dup " * 59 + "dup")                      # one token repeated
+    # markup fragments and mojibake for strip_markup / encoding_check
+    add("<div> the <b>fast</b> table scan </div> join <br/> merge")
+    add("cafÃ© rÃ©sumÃ© plain join table")
+    add("scan &amp; merge &lt;plan&gt; window sort hash")
     shared = " ".join(rng.choice(_VOCAB) for _ in range(30))
     for k in range(6):                            # shared-prefix family
         tail = " ".join(rng.choice(_VOCAB) for _ in range(10))
