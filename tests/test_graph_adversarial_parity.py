@@ -36,17 +36,28 @@ GRAPH_OPS = [
     "q_graph_triangles", "q_graph_adamic_adar", "q_graph_lpa_communities",
     "q_graph_kcore", "q_graph_assortativity",
     "q_sql_subqueries", "q_sql_params",
-    "q_tpch_q6", "q_tpch_q4", "q_tpch_q12",
+    # the never-driver-checked lineitem-reading TPC-H rows: duplicate
+    # line rows, clique orders, and hub parts stress exactly the
+    # aggregate/join shapes these queries reduce
+    "q_tpch_q6", "q_tpch_q4", "q_tpch_q12", "q_tpch_q7", "q_tpch_q8",
+    "q_tpch_q9", "q_tpch_q14", "q_tpch_q15", "q_tpch_q16", "q_tpch_q17",
+    "q_tpch_q18", "q_tpch_q19", "q_tpch_q20", "q_tpch_q21",
 ]
 
 
-def _adversarial_lineitem(order_keys):
-    """Clique orders, hub parts, duplicate edge rows, isolated nodes."""
+def _adversarial_lineitem(order_keys, part_keys, supp_keys):
+    """Clique orders, hub parts, duplicate edge rows, isolated nodes.
+    Part/supplier keys are drawn from the REAL dimension tables' full
+    key domains so the nation- and brand-filtered TPC-H rows (q7, q20)
+    find matches instead of going vacuously empty."""
     rng = random.Random(171717)
     rows = []
-    parts = list(range(1, 120))
+    parts = sorted(rng.sample(part_keys, min(len(part_keys), 160)))
     hubs = parts[:4]  # in almost every order
     base = datetime.datetime(1995, 6, 1)
+
+    def supp():
+        return rng.choice(supp_keys)
 
     def add(ok, pk, sk, ln):
         rows.append((
@@ -69,21 +80,21 @@ def _adversarial_lineitem(order_keys):
         ok = next(it)
         chosen = rng.sample(parts, 12)
         for ln, pk in enumerate(chosen, 1):
-            add(ok, pk, (pk % 10) + 1, ln)
+            add(ok, pk, supp(), ln)
     for _ in range(10):  # duplicate-edge orders: same part twice
         ok = next(it)
         pk = rng.choice(parts)
-        add(ok, pk, 1, 1)
-        add(ok, pk, 1, 2)  # same (orderkey, partkey) again
-        add(ok, rng.choice(parts), 2, 3)
+        add(ok, pk, supp(), 1)
+        add(ok, pk, supp(), 2)  # same (orderkey, partkey) again
+        add(ok, rng.choice(parts), supp(), 3)
     for _ in range(15):  # single-part orders (isolated projection nodes)
         ok = next(it)
-        add(ok, rng.choice(parts), 3, 1)
+        add(ok, rng.choice(parts), supp(), 1)
     for ok in it:  # bulk: hub part + 2-5 random parts
         n = rng.randint(2, 5)
-        add(ok, rng.choice(hubs), (ok % 10) + 1, 1)
+        add(ok, rng.choice(hubs), supp(), 1)
         for ln, pk in enumerate(rng.sample(parts, n), 2):
-            add(ok, pk, (pk % 10) + 1, ln)
+            add(ok, pk, supp(), ln)
     return rows
 
 
@@ -105,7 +116,21 @@ def _write_lineitem(tmp_path):
             f"'{SMOKE_SF_DIR}/orders.parquet')"
         ).fetchall()
     ]
-    rows = _adversarial_lineitem(oks)
+    pks = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT p_partkey FROM read_parquet("
+            f"'{SMOKE_SF_DIR}/part.parquet')"
+        ).fetchall()
+    ]
+    sks = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT s_suppkey FROM read_parquet("
+            f"'{SMOKE_SF_DIR}/supplier.parquet')"
+        ).fetchall()
+    ]
+    rows = _adversarial_lineitem(oks, pks, sks)
     tbl = pa.table(
         {
             "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
