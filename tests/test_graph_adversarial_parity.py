@@ -42,6 +42,10 @@ GRAPH_OPS = [
     "q_tpch_q6", "q_tpch_q4", "q_tpch_q12", "q_tpch_q7", "q_tpch_q8",
     "q_tpch_q9", "q_tpch_q14", "q_tpch_q15", "q_tpch_q16", "q_tpch_q17",
     "q_tpch_q18", "q_tpch_q19", "q_tpch_q20", "q_tpch_q21",
+    # q20 and q11 are empty-vs-empty at sf0.001 regardless of lineitem:
+    # the 10-supplier smoke fixture has no NATION_4/NATION_5 suppliers
+    # at all (their non-vacuous checks happen at the driver's sf0.01)
+    "q_tpch_q10", "q_tpch_q2", "q_tpch_q11",
 ]
 
 
