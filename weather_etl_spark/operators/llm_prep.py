@@ -1966,8 +1966,11 @@ WITH toks AS (
   FROM pts
 )
 SELECT k AS n_checkpoints,
+       -- + 0 clamps IEEE negative zero: on a template-duplicated
+       -- corpus beta is a tiny negative and DuckDB's ROUND yields
+       -- -0.0 where Spark's yields 0.0 (repr-distinct, hash mismatch)
        ROUND((k * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
-             / (k * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx), 4)
+             / (k * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx), 4) + 0
          AS beta,
        ROUND(EXP((CAST(sy AS DOUBLE)
                   - (k * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
@@ -2039,7 +2042,8 @@ def q_llm_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     beta = (k * sxy - sx * sy) / (k * sxx - sx * sx)
     return ols.select(
         k.alias("n_checkpoints"),
-        F.round(beta, 4).alias("beta"),
+        # + 0.0 clamps IEEE -0.0 to 0.0 (see the oracle comment)
+        (F.round(beta, 4) + F.lit(0.0)).alias("beta"),
         F.round(F.exp((sy - beta * sx) / k), 4).alias("k_coef"),
     )
 
