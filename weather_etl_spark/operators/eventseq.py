@@ -509,11 +509,29 @@ WITH RECURSIVE s AS (
   FROM rec JOIN s ON s.event_type = rec.event_type
                  AND s.idx = rec.idx + 1
 )
+-- Portable ROUND (SURVEY 7.4 rule 8): Spark's round() is half-up on
+-- the double's SHORTEST DECIMAL REPR (Java BigDecimal.valueOf), while
+-- DuckDB's ROUND multiplies by 10^4 in double — and alpha=0.5 keeps
+-- this recursion on decimal grids where the two disagree routinely
+-- (measured: trend 485.4562 vs .4563, forecast 5.1439 vs .1438).
+-- CAST(x AS VARCHAR) reproduces the shortest repr and the DECIMAL
+-- parse rounds it half-up; the ABS guard covers DuckDB's sci-notation
+-- mantissa mis-parse below 0.5e-4. Valid for |x| < ~1e10 (here
+-- values are bounded by event magnitudes), fuzz-pinned equivalent to
+-- Spark round() in tests/test_portable_round.py.
 SELECT r.event_type, epoch_us(s.h) AS h_us,
-       ROUND(r.y, 4) AS y_r,
-       ROUND(r.l, 4) AS level,
-       ROUND(r.b, 4) AS trend,
-       ROUND(r.l + r.b, 4) AS forecast
+       CASE WHEN ABS(r.y) < 0.00005 THEN 0.0
+            ELSE CAST(CAST(r.y AS VARCHAR) AS DECIMAL(30,4))::DOUBLE
+       END AS y_r,
+       CASE WHEN ABS(r.l) < 0.00005 THEN 0.0
+            ELSE CAST(CAST(r.l AS VARCHAR) AS DECIMAL(30,4))::DOUBLE
+       END AS level,
+       CASE WHEN ABS(r.b) < 0.00005 THEN 0.0
+            ELSE CAST(CAST(r.b AS VARCHAR) AS DECIMAL(30,4))::DOUBLE
+       END AS trend,
+       CASE WHEN ABS(r.l + r.b) < 0.00005 THEN 0.0
+            ELSE CAST(CAST(r.l + r.b AS VARCHAR) AS DECIMAL(30,4))::DOUBLE
+       END AS forecast
 FROM rec r JOIN s ON s.event_type = r.event_type AND s.idx = r.idx
 """,
     doc="Holt double-exponential smoothing (level + linear trend) of "
