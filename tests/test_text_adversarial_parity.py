@@ -151,6 +151,22 @@ def dup_dir(tmp_path_factory):
     return _write_docs(tmp_path_factory.mktemp("advtext"), "dup", _dup_corpus())
 
 
+def test_funnel_stage_exhaustion_parity(spark, tmp_path):
+    """A corpus where one funnel stage kills EVERY remaining doc: the
+    no-stopword vocabulary means stage 3 zeroes the survivors, so the
+    later stages' conditional sums aggregate empty sets. Caught the
+    r7 bug where Spark emitted NULL n_in/n_out/cum_survival (raw SUM
+    over no rows) while the oracle counted 0."""
+    rng = random.Random(8080)
+    vocab = [f"v{i}" for i in range(40)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(20)), "en", "srcA")
+        for i in range(40)
+    ]
+    d = _write_docs(tmp_path, "exhaust", docs)
+    compare_to_oracle(spark, SPECS["q_llm_filter_funnel"], d)
+
+
 @pytest.mark.parametrize("name", TEXT_OPS)
 def test_adversarial_edge_corpus_parity(spark, edge_dir, name):
     compare_to_oracle(spark, SPECS[name], edge_dir)

@@ -1212,19 +1212,25 @@ def q_llm_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("killed_at") > F.col("stage"), F.col("c"))
             )
             .cast("bigint")
-            .alias("n_out"),
+            .alias("n_out_raw"),
         )
     )
+    # BOTH conditional sums need the empty-set coalesce: a stage that
+    # kills every remaining doc has no killed_at > stage rows, and the
+    # raw SUM returns NULL where the oracle's COUNT returns 0 (caught
+    # by the r7 structural-variant sweep — invisible on the fixture,
+    # where every stage has survivors).
     n_killed = F.coalesce(F.col("n_killed_raw"), F.lit(0)).cast("bigint")
+    n_out = F.coalesce(F.col("n_out_raw"), F.lit(0)).cast("bigint")
     return (
         stages.select(
             "stage",
             "stage_name",
-            (n_killed + F.col("n_out")).cast("bigint").alias("n_in"),
+            (n_killed + n_out).cast("bigint").alias("n_in"),
             n_killed.alias("n_killed"),
-            "n_out",
+            n_out.alias("n_out"),
             F.round(
-                F.col("n_out").cast("double") / F.col("n_docs"), 4
+                n_out.cast("double") / F.col("n_docs"), 4
             ).alias("cum_survival"),
         )
         .orderBy("stage")
