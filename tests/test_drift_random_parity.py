@@ -142,10 +142,38 @@ def _skew_stream():
     return rows
 
 
+def _one_type_stream():
+    """EVERY event is a view: the purchase/click/error categories are
+    entirely absent, so two-sample statistics and conversion funnels
+    aggregate empty groups. Caught the r7 q_agg_ttest bug where the
+    Spark side's group-agg + crossJoin returned ZERO rows while the
+    oracle's scalar subqueries return one row of NULLs (and
+    q_agg_kruskal's single-group -0.0)."""
+    rng = random.Random(90091)
+    t0 = datetime.datetime(2024, 3, 1)
+    return [
+        (
+            e,
+            t0 + datetime.timedelta(minutes=rng.randint(0, 2000)),
+            rng.randint(1, 10),
+            "view",
+            rng.randint(1, 80) / 4.0,
+        )
+        for e in range(600)
+    ]
+
+
 @pytest.fixture(scope="module")
 def ties_dir(spark, tmp_path_factory):
     return _write_events(
         spark, tmp_path_factory.mktemp("adv"), "ties", _ties_stream()
+    )
+
+
+@pytest.fixture(scope="module")
+def one_type_dir(spark, tmp_path_factory):
+    return _write_events(
+        spark, tmp_path_factory.mktemp("adv"), "onetype", _one_type_stream()
     )
 
 
@@ -175,3 +203,8 @@ SKEW_OPS = [n for n in EVENTS_OPS if n != "q_agg_anova"]
 @pytest.mark.parametrize("name", SKEW_OPS)
 def test_adversarial_skew_parity(spark, skew_dir, name):
     compare_to_oracle(spark, SPECS[name], skew_dir)
+
+
+@pytest.mark.parametrize("name", EVENTS_OPS)
+def test_one_type_exhaustion_parity(spark, one_type_dir, name):
+    compare_to_oracle(spark, SPECS[name], one_type_dir)

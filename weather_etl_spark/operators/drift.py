@@ -673,22 +673,31 @@ def q_agg_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round(F.col("value") * 100).cast("bigint").alias("v2"),
     )
-    agg = s.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("v2").cast("double").alias("sx"),
-        F.sum(F.col("v2") * F.col("v2")).cast("double").alias("sxx"),
-    )
-    v = agg.filter(F.col("event_type") == "view").select(
-        F.col("n").alias("nx"),
-        F.col("sx").alias("sxv"),
-        F.col("sxx").alias("sxxv"),
-    )
-    pch = agg.filter(F.col("event_type") == "purchase").select(
-        F.col("n").alias("ny"),
-        F.col("sx").alias("sxp"),
-        F.col("sxx").alias("sxxp"),
-    )
-    f = v.crossJoin(pch).select(
+    # ONE conditional aggregation, always exactly one row: the previous
+    # shape (per-group agg + two filters + crossJoin) returned ZERO
+    # rows when either group was absent, while the oracle's scalar
+    # subqueries return one row of NULLs (caught by the r7
+    # empty-category probe on a single-event-type stream).  Counts
+    # null out via the when-guard so an absent group reads NULL, not 0,
+    # exactly like a missing scalar-subquery row; integer-cents sums
+    # over the identical subsets keep the happy-path doubles
+    # bit-identical to the old plan.
+    vw = F.col("event_type") == "view"
+    pc = F.col("event_type") == "purchase"
+    cnt_v = F.count(F.when(vw, F.lit(1)))
+    cnt_p = F.count(F.when(pc, F.lit(1)))
+    f = s.agg(
+        F.when(cnt_v > 0, cnt_v).cast("bigint").alias("nx"),
+        F.when(cnt_p > 0, cnt_p).cast("bigint").alias("ny"),
+        F.sum(F.when(vw, F.col("v2"))).cast("double").alias("sxv"),
+        F.sum(F.when(vw, F.col("v2") * F.col("v2")))
+        .cast("double")
+        .alias("sxxv"),
+        F.sum(F.when(pc, F.col("v2"))).cast("double").alias("sxp"),
+        F.sum(F.when(pc, F.col("v2") * F.col("v2")))
+        .cast("double")
+        .alias("sxxp"),
+    ).select(
         "nx",
         "ny",
         (F.col("sxv") / F.col("nx") - F.col("sxp") / F.col("ny")).alias(
@@ -1846,13 +1855,16 @@ WITH s AS (
   FROM (SELECT COUNT(*) AS c FROM s GROUP BY v2) u
 )
 SELECT k, n_total,
+       -- + 0 clamps IEEE negative zero (SURVEY 7.4 rule 8b): with a
+       -- single group H is a tiny negative and DuckDB's ROUND yields
+       -- -0.0 where Spark's yields 0.0
        ROUND(12.0 / (CAST(n_total AS DOUBLE) * (n_total + 1))
-             * CAST(rsum AS DOUBLE) - 3.0 * (n_total + 1), 4) AS h,
+             * CAST(rsum AS DOUBLE) - 3.0 * (n_total + 1), 4) + 0 AS h,
        ROUND((12.0 / (CAST(n_total AS DOUBLE) * (n_total + 1))
               * CAST(rsum AS DOUBLE) - 3.0 * (n_total + 1))
              / (1 - tie_term
                     / (CAST(n_total AS DOUBLE) * n_total * n_total
-                       - n_total)), 4) AS h_corrected
+                       - n_total)), 4) + 0 AS h_corrected
 FROM t, ties
 """,
     doc="Kruskal-Wallis H test of event value across ALL event "
@@ -1935,8 +1947,9 @@ def q_agg_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.crossJoin(F.broadcast(ties)).select(
         "k",
         "n_total",
-        F.round(h, 4).alias("h"),
-        F.round(h / corr, 4).alias("h_corrected"),
+        # + 0.0 clamps IEEE -0.0 (SURVEY 7.4 rule 8b; single-group H)
+        (F.round(h, 4) + F.lit(0.0)).alias("h"),
+        (F.round(h / corr, 4) + F.lit(0.0)).alias("h_corrected"),
     )
 
 
