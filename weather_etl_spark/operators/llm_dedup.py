@@ -634,12 +634,18 @@ def _banded_qualifying_pairs(
     celled, admissible = state
     # fully distinct column names per side: lo and hi share the celled
     # lineage, and Spark's ambiguous-self-join analyzer rejects a
-    # cogroup whose two sides reference the same attribute ids
+    # cogroup whose two sides reference the same attribute ids.
+    # pid base = actual cell-id bound, not a fixed constant: scale_notes
+    # advise k ~ sqrt(n) at 100 TB, where a fixed 1024 base would make
+    # distinct cell pairs collide and silently merge their blocks.
+    base = 1 + max((max(ca, cb) for ca, cb in admissible), default=0)
     pairs_lo = spark.createDataFrame(
-        [(ca * 1024 + cb, ca) for ca, cb in admissible], "pid_lo int, ca int"
+        [(ca * base + cb, ca) for ca, cb in admissible],
+        "pid_lo bigint, ca int",
     )
     pairs_hi = spark.createDataFrame(
-        [(ca * 1024 + cb, cb) for ca, cb in admissible], "pid_hi int, cb int"
+        [(ca * base + cb, cb) for ca, cb in admissible],
+        "pid_hi bigint, cb int",
     )
     lo = (
         celled.select(

@@ -892,6 +892,17 @@ def q_win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     cents = F.col("value").cast("decimal(18,2)") * 100
     zero = F.lit(0).cast("decimal(18,2)")
+    # HARD CONTRACT on the daily sums: |x|, |y| < 1.4e18 cents/day.
+    # The exact-decimal variance guard below squares the 7-day window
+    # sum sx (= up to 7 daily sums) as decimal(19,0)^2 -> decimal(38,0);
+    # decimal(38,0) cannot hold sx^2 once sx >= 1e19, and the
+    # decimal(19,0) cast of a larger sx would NULL the guard (nulling
+    # corr_7d where the oracle's HUGEINT guard yields a value).  So the
+    # operator's domain is daily cent volume < 1.4e18 (~$14 quadrillion
+    # per metric per day); a deployment beyond that must rescale the
+    # unit (cents -> dollars) or split the series, not widen the
+    # decimals — 38 digits is the engine-wide (and HUGEINT-square)
+    # ceiling.
     daily = ev.groupBy(
         F.to_date(F.date_trunc("day", "ts")).alias("day")
     ).agg(
