@@ -229,24 +229,8 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
     "q_llm_gopher_filter", "q_llm_chunk", "q_llm_domain_mix",
     "q_llm_lang_entropy", "llm_embed_quantize", "llm_mm_resize",
     "q_sql_groupby_all", "q_win_ignore_nulls", "q_win_range_interval",
-})
-
-#: Explicit order for the round-7 driver window (50 slots), per the r6
-#: verdict's order #1: REGISTRATION FREEZE — no new operators this
-#: round — and the entire window drawn from the 193 rows that have
-#: NEVER had a driver verdict (locally parity-green, members of
-#: DRIVER_DEFERRED).  Composition: the first 46 never-checked rows in
-#: registration order, plus 4 forced includes — llm_mm_phash_dedup +
-#: llm_mm_scenechange (verdict order #6: the only multimodal rows with
-#: no driver lineage) and snk_manifest + q_win_rolling_corr (their
-#: oracles changed this round per ADVICE.md — integer-division probe
-#: bounds / exact-decimal variance guard — so a hash re-verdict is
-#: required, and both were never-checked anyway).  193 - 50 = 143
-#: never-checked rows remain after this round (verdict target ≤143).
-#: The 45 r3-stale rows queue behind this entire backlog (verdict
-#: order #4, two-round target ending r8).
-DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- never-driver-checked, registration order (indices 0-45) --
+    # round 7 green (50/50 hash-pass, zero err) per CORRECTNESS_r07.json
+    # — the whole window drawn from the never-checked backlog
     "q_fn_math2", "q_fn_array_lambda", "q_fn_regexp2", "q_fn_date_iso",
     "q_fn_collate", "q_fn_geo",
     "q_agg_cms_portable", "q_agg_bitmap_portable", "q_agg_hist_quantile",
@@ -262,9 +246,42 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_event_bursts", "q_agg_benford", "q_time_seasonal",
     "q_agg_ttest", "q_agg_mannwhitney", "q_agg_hhi",
     "q_agg_mutual_info", "q_agg_kl_divergence", "q_agg_js_divergence",
-    # -- forced includes (verdict order #6 + ADVICE oracle changes) --
     "llm_mm_phash_dedup", "llm_mm_scenechange",
     "snk_manifest", "q_win_rolling_corr",
+})
+
+#: Explicit order for the round-8 driver window (50 slots), per the r7
+#: verdict's order #1: hold the REGISTRATION FREEZE and fill the whole
+#: window from the 143 never-driver-checked rows, killing the
+#: zero-lineage modules first.  Composition: all of eventseq.py (21) +
+#: stats_ext.py (8) + layout.py (3) — the three modules with ZERO
+#: driver lineage — then the first 18 TPC-H backlog rows in
+#: registration order.  143 - 50 = 93 never-checked rows remain after
+#: this round (verdict target ≤93, no module left with zero lineage).
+#: The r3-stale rows queue behind the never-checked backlog (verdict
+#: order #5, all gone by r10).
+DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
+    # -- eventseq.py: all 21, registration order (zero lineage) --
+    "q_time_ewma", "q_time_anomaly", "q_event_transitions",
+    "q_snapshot_diff", "q_rank_fusion", "q_event_attribution",
+    "q_event_trigrams", "q_time_holt", "q_time_cusum",
+    "q_event_interarrival", "q_event_dau_wau", "q_event_lifecycle",
+    "q_event_survival", "q_time_backtest", "q_event_markov2",
+    "q_event_decay_score", "q_time_mad", "q_event_pattern",
+    "q_event_time_to_convert", "q_event_next_pred",
+    "q_time_changepoint",
+    # -- stats_ext.py: all 8, registration order (zero lineage) --
+    "q_llm_domain_cap", "q_agg_corr_matrix", "q_agg_weighted_median",
+    "q_agg_entropy", "q_event_rfm", "q_agg_winsorize",
+    "q_llm_feature_hash", "q_agg_anova",
+    # -- layout.py: all 3, registration order (zero lineage) --
+    "q_layout_zorder", "q_layout_compaction", "q_join_spatial_grid",
+    # -- tpch.py backlog: first 18 in registration order --
+    "q_tpch_q10", "q_sql_subqueries", "q_tpch_q18", "q_tpch_q14",
+    "q_tpch_q21", "q_tpch_q17", "q_tpch_q22", "q_tpch_q19",
+    "q_tpch_q4", "q_tpch_q6", "q_tpch_q13", "q_tpch_q16",
+    "q_tpch_q7", "q_tpch_q8", "q_tpch_q15", "q_tpch_q2",
+    "q_tpch_q9", "q_tpch_q12",
 )
 
 
