@@ -52,6 +52,10 @@ EVENTS_OPS = [
     "q_event_trigrams",
     "q_join_asof_tol", "q_join_asof_nearest",
     "q_join_time_window_semi", "q_join_time_window_anti",
+    # running-window backlog rows (battery residue, r7 verdict #3):
+    # the ties stream's duplicate (ts, value) rows stress the
+    # distinct-running dedup and the drawdown's plateau tie-breaks
+    "q_win_distinct_running", "q_win_drawdown",
 ]
 
 

@@ -46,6 +46,13 @@ TEXT_OPS = [
     "q_rank_fusion",
     # markup/mojibake docs planted in the edge corpus feed these
     "q_llm_strip_markup", "q_llm_encoding_check",
+    # battery residue (r7 verdict #3): generation-eval pairs hit
+    # single-token candidates (zero bigrams), exact-duplicate
+    # candidate==reference pairs, and empty-overlap pairs here; the
+    # kappa raters see all-negative/all-positive corners; compaction's
+    # next-fit prefix sum walks zero-length and giant documents
+    "q_llm_rouge", "q_llm_bleu", "q_agg_cohens_kappa",
+    "q_layout_compaction",
 ]
 # dedupe while preserving order
 TEXT_OPS = list(dict.fromkeys(TEXT_OPS))

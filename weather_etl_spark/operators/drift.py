@@ -1664,13 +1664,23 @@ def q_agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         accs.append(F.count(F.when(bit, F.lit(1))).alias(f"c{i}"))
     wide = hashed.groupBy("l_returnflag").agg(*accs)
     stack_args = ", ".join(f"{i}, s{i}, c{i}" for i in range(_BOOT_B))
-    means = wide.select(
-        "l_returnflag",
-        F.expr(f"stack({_BOOT_B}, {stack_args}) AS (b, s, c)"),
-    ).select(
-        "l_returnflag",
-        "b",
-        (F.col("s").cast("double") / F.col("c") / 100).alias("m"),
+    # EMPTY resamples are dropped, not carried as NULL means: the
+    # oracle's exploded-membership formulation only materializes
+    # non-empty (flag, b) rows, so n_resamples counts resamples that
+    # actually drew rows.  Indistinguishable on the fixture (every
+    # group >> 48 rows); a 2-row group leaves ~1/4 of its 48
+    # half-subsamples empty (adversarial-lineitem battery).
+    means = (
+        wide.select(
+            "l_returnflag",
+            F.expr(f"stack({_BOOT_B}, {stack_args}) AS (b, s, c)"),
+        )
+        .where(F.col("c") > 0)
+        .select(
+            "l_returnflag",
+            "b",
+            (F.col("s").cast("double") / F.col("c") / 100).alias("m"),
+        )
     )
     full_mean = li.groupBy("l_returnflag").agg(
         (F.sum(cents).cast("double") / F.count(F.lit(1)) / 100).alias(
