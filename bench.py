@@ -88,26 +88,37 @@ TPCH_SECTION = [
 #: query's median lands >1.5x its best-known baseline, ONE extra JVM
 #: is measured and the lower median reported (both drawn runs go to
 #: stderr for auditability).
+#: Baseline policy (r8, closing the r7 verdict's order #4): MEDIAN of
+#: the per-round medians across BENCH_r01..r07, not the minimum.  The
+#: r7 "regressions" (q_llm_tokenstats 1.51x, q_stream_tumbling 1.55x
+#: of best-known) reproduced across 3 isolated fresh-JVM medians each
+#: (0.425/0.402/0.444 and 0.481/0.501/0.464, SCALE.md §r8) — and
+#: landed exactly ON the round-median (0.403 / 0.512).  The
+#: min-of-rounds denominator was a champion draw from ~1.5x inter-JVM
+#: spread, biasing every ratio up; the ADVICE r7 note (one-sided retry
+#: + min denominators) called this.  Entries whose implementation
+#: changed mid-lineage (llm_embed_dedup_blocked r7 block-scoring,
+#: q_llm_bpe_train r7 checkpoints) baseline on post-change rounds only.
 BASELINE_SF01 = {
-    "q_agg_q1": 1.267,
-    "q_join_star": 1.05,
-    "q_join_smj": 1.138,
-    "q_win_rownum": 0.629,
-    "q_topk_group": 0.467,
-    "q_filter_ts_cursor": 0.366,
-    "q_llm_exact_dedup": 0.289,
-    "q_llm_knn": 0.699,
-    "q_llm_tokenstats": 0.289,
-    "q_stream_tumbling": 0.371,
-    "llm_jaccard_prefix": 3.108,
-    "llm_components_starcontract": 6.732,
-    "llm_embed_dedup_blocked": 11.75,
-    "q_llm_perplexity": 1.622,
-    "q_agg_kmv_portable": 0.523,
-    "q_llm_bpe_train": 4.692,
-    "q_tpch_q21": 1.511,
-    "q_tpch_q9": 1.081,
-    "q_tpch_q13": 0.575,
+    "q_agg_q1": 1.301,
+    "q_join_star": 1.078,
+    "q_join_smj": 1.258,
+    "q_win_rownum": 0.694,
+    "q_topk_group": 0.528,
+    "q_filter_ts_cursor": 0.473,
+    "q_llm_exact_dedup": 0.361,
+    "q_llm_knn": 0.819,
+    "q_llm_tokenstats": 0.403,
+    "q_stream_tumbling": 0.512,
+    "llm_jaccard_prefix": 3.248,
+    "llm_components_starcontract": 6.245,
+    "llm_embed_dedup_blocked": 4.185,  # post-r7 rewrite only
+    "q_llm_perplexity": 1.653,
+    "q_agg_kmv_portable": 0.504,
+    "q_llm_bpe_train": 3.276,  # post-r7 checkpointing only
+    "q_tpch_q21": 1.574,
+    "q_tpch_q9": 1.089,
+    "q_tpch_q13": 0.636,
 }
 
 #: Retry threshold vs baseline for the one-extra-JVM rule.
