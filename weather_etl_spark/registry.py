@@ -431,11 +431,39 @@ DRIVER_DEFERRED: frozenset[str] = frozenset({
 })
 
 
+#: Rows whose LATEST driver verdict still dates to round 3 — before
+#: the r4 TIMESTAMP_NTZ runtime flip — per the recorded
+#: CORRECTNESS_r01..r07 lineage (tools/plan_driver_window.py).  All 45
+#: are locally re-validated on the current runtime (2-SF oracle
+#: parity); this constant is the r7 verdict's order #5 bookkeeping:
+#: they sort FIRST within the verified tail, so any window slack
+#: (rounds where fewer than 50 unverified rows remain — r10 on the
+#: current drain rate) rotates the stalest lineage automatically.
+DRIVER_STALE_R3: frozenset[str] = frozenset({
+    "llm_ann_ivf", "llm_components_starcontract",
+    "llm_cosine_pairs_blocked", "llm_doc_embed_cohesion",
+    "llm_editdist_banded", "llm_jaccard_prefix", "llm_minhash_banded",
+    "llm_mm_pixel_dedup", "q_agg_boolean", "q_agg_median",
+    "q_fn_bitwise", "q_fn_hash_encode", "q_fn_string2", "q_fn_try",
+    "q_fn_variant", "q_join_cbo", "q_join_lateral", "q_join_null_safe",
+    "q_llm_dedup_components", "q_llm_editdist", "q_llm_repetition",
+    "q_llm_split", "q_llm_winnow", "q_llm_winnow_pairs",
+    "q_scan_filemeta", "q_set_except_all", "q_set_intersect_all",
+    "q_set_union_byname", "q_sql_cte_window", "q_time_gapfill",
+    "q_time_rollup", "q_tpch_q5", "q_udf_arrow", "q_win_cume_nth",
+    "q_win_percent", "snk_schema_evolution", "src_fetch", "src_pyds",
+    "st_dedup_wm", "st_foreachbatch", "st_stateful_sessionizer",
+    "st_stream_stream_join", "st_transform_with_state",
+    "st_trigger_availnow", "st_watermark",
+})
+
+
 def _rotation_order(reg: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
     """Order the registry for the driver's 50-entry correctness window:
     explicit priority list first, then other not-yet-verified rows in
     registration order (deferred late-round rows behind the window),
-    then driver-verified rows last."""
+    then driver-verified rows last — stalest lineage first within the
+    verified tail, so window slack re-checks pre-NTZ verdicts."""
     prio = {n: i for i, n in enumerate(DRIVER_WINDOW_PRIORITY)}
 
     def key(item: tuple[int, str]) -> tuple[int, int, int]:
@@ -449,7 +477,9 @@ def _rotation_order(reg: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
             return (2, prio[name], reg_pos)      # regression re-checks
         if not verified:
             return (3, 0, reg_pos)               # deferred to next round
-        return (4, 0, reg_pos)
+        if name in DRIVER_STALE_R3:
+            return (4, 0, reg_pos)               # stalest verified lineage
+        return (5, 0, reg_pos)
 
     ordered = sorted(enumerate(reg), key=key)
     return {name: reg[name] for _, name in ordered}
