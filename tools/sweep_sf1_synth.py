@@ -93,9 +93,25 @@ SWEEP = [
     "q_agg_kl_divergence", "q_agg_js_divergence",
     # r7 plan-shape change: the block-scored banded verify
     "llm_embed_dedup_blocked", "llm_cosine_pairs_blocked",
+    # r8 window (first driver check this round): every join-bearing
+    # row of the 50-slot window not already swept above.  The eventseq
+    # joins are ledger-scale (daily/lifetime aggregates or 1-row
+    # broadcasts) included as the flat-cost control; the TPC-H span
+    # and the grid-bucketed spatial join are the real scale probes.
+    "q_snapshot_diff", "q_rank_fusion", "q_time_cusum",
+    "q_event_dau_wau", "q_event_lifecycle", "q_event_survival",
+    "q_event_markov2", "q_time_mad", "q_event_time_to_convert",
+    "q_event_next_pred", "q_agg_winsorize", "q_join_spatial_grid",
+    "q_sql_subqueries", "q_tpch_q18", "q_tpch_q14", "q_tpch_q21",
+    "q_tpch_q17", "q_tpch_q22", "q_tpch_q19", "q_tpch_q4",
+    "q_tpch_q13", "q_tpch_q16", "q_tpch_q7", "q_tpch_q8",
+    "q_tpch_q15", "q_tpch_q2", "q_tpch_q9", "q_tpch_q12",
 ]
 JOIN_COMPOSITES = {
     "q_join_star", "q_tpch_q3", "q_tpch_q5", "q_join_smj", "q_tpch_q10",
+    # r8: the widest window composites get composition lines too
+    "q_tpch_q2", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q18",
+    "q_tpch_q21", "q_join_spatial_grid",
 }
 
 
