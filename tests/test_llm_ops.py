@@ -340,13 +340,21 @@ def test_star_contract_random_graphs_vs_union_find(spark):
     for edge_list in cases:
         edge_list = sorted(set(edge_list))
         df = spark.createDataFrame(edge_list, "u long, v long")
-        got = {
-            r["doc_id"]: r["component"]
-            for r in star_contract(df).collect()
-        }
-        assert got == union_find_labels(301, edge_list), (
-            f"mismatch on case with {len(edge_list)} edges"
-        )
+        want = union_find_labels(301, edge_list)
+        # both halves of the hybrid must agree with the reference:
+        # local_finish_edges=0 forces the pure distributed fixpoint,
+        # the default takes the bounded union-find finish
+        for finish in (0, 1 << 17):
+            got = {
+                r["doc_id"]: r["component"]
+                for r in star_contract(
+                    df, local_finish_edges=finish
+                ).collect()
+            }
+            assert got == want, (
+                f"mismatch on case with {len(edge_list)} edges "
+                f"(local_finish_edges={finish})"
+            )
 
 
 def test_decontaminate_never_flags_benchmark_docs(spark, sf_dir):

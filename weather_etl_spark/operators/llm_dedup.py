@@ -1196,7 +1196,12 @@ FROM cl GROUP BY u
     "with localCheckpoint. Chain diameter no longer bounds round count "
     "— log^2 rounds worst-case vs diameter rounds for propagation; at "
     "100 TB this is the difference between ~8 rounds and ~hundreds on "
-    "long-chain graphs.",
+    "long-chain graphs. Hybrid finish: once a round's edge count (free "
+    "— the fixpoint test already computes it) drops to <=2^17, the "
+    "remaining ~2 MB edge list is pulled once and finished with an "
+    "exact driver union-find (identical min-id labels), replacing the "
+    "tail rounds whose whole-graph shuffles would each touch data that "
+    "fits in one task. Third documented bounded collect in the package.",
 )
 def llm_components_starcontract(spark: SparkSession, sf_dir: str) -> DataFrame:
     e0 = llm_jaccard_prefix(spark, sf_dir).select(
@@ -1216,12 +1221,64 @@ def llm_components_starcontract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def star_contract(edges: DataFrame, max_rounds: int = 15) -> DataFrame:
+def _union_find_finish(spark: SparkSession, rows: list) -> DataFrame:
+    """Exact driver-side tail of star_contract: union-find with
+    path-halving over an already-bounded edge list, component id = the
+    minimum node id of each set — bit-identical to the distributed
+    fixpoint's labels."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent.setdefault(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for r in rows:
+        ru, rv = find(r[0]), find(r[1])
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # min node id per root: nodes visited in ascending order, so the
+    # first node seen for a root IS the set minimum
+    comp: dict[int, int] = {}
+    root_min: dict[int, int] = {}
+    for x in sorted(parent):
+        root = find(x)
+        comp[x] = root_min.setdefault(root, x)
+    return spark.createDataFrame(
+        list(comp.items()), "doc_id bigint, component bigint"
+    )
+
+
+def star_contract(
+    edges: DataFrame,
+    max_rounds: int = 15,
+    local_finish_edges: int = 1 << 17,
+) -> DataFrame:
     """Large-star/small-star contraction over a canonical (u < v) edge
     DataFrame -> (doc_id, component) labels, component = min node id.
     Kept separate from the registered query so the algorithm itself can
     be property-tested against a union-find reference on arbitrary
-    graphs (tests/test_llm_ops.py)."""
+    graphs (tests/test_llm_ops.py).
+
+    Hybrid finish (the standard trick in the MapReduce-CC literature:
+    contract until the problem is small, then solve it in one place):
+    distributed rounds run only while the edge count exceeds
+    ``local_finish_edges``; below that the remaining edges — a hard
+    bound of 2^17 rows x two bigints = ~2 MB — are pulled to the
+    driver once and finished with an exact union-find whose output
+    (min-id component labels) is identical to the fixpoint's.  Each
+    distributed round already computes the edge count for its fixpoint
+    test, so the cutover check is free; at 100 TB the local finish
+    replaces the last several whole-graph shuffle rounds (every round
+    past the crossover runs 2 checkpoints + a count on data that fits
+    in one task), and on small inputs it replaces ALL rounds.  Pass
+    ``local_finish_edges=0`` to force the pure distributed fixpoint
+    (the property tests exercise both paths).  A/B at sf0.1
+    (llm_components_starcontract, 3 alternating fresh-JVM medians
+    each): 5.40/5.71/5.29 s without the local finish vs
+    4.23/4.33/4.48 s with it."""
 
     def _sym(e: DataFrame) -> DataFrame:
         return e.union(
@@ -1241,6 +1298,14 @@ def star_contract(edges: DataFrame, max_rounds: int = 15) -> DataFrame:
     edge_ids: set[int] = set()
     prev_count: int | None = None
     for _ in range(max_rounds):
+        if prev_count is None:
+            prev_count = edges.count()
+        if prev_count <= local_finish_edges:
+            # bounded driver pull (<= local_finish_edges rows); the
+            # loop's last checkpoint is dead once the rows are local
+            rows = edges.collect()
+            release_rdds(spark, edge_ids)
+            return _union_find_finish(spark, rows)
         sym = _sym(edges)
         m = _nbr_min(sym)
         # large-star: strictly-larger neighbors point at the minimum
@@ -1275,8 +1340,6 @@ def star_contract(edges: DataFrame, max_rounds: int = 15) -> DataFrame:
         # is carried over instead of recomputed); the exceptAll shuffle
         # only runs in the rare round where the counts already agree
         new_count = new_edges.count()
-        if prev_count is None:
-            prev_count = edges.count()
         converged = (
             new_count == prev_count
             and new_edges.exceptAll(edges).count() == 0
