@@ -111,7 +111,9 @@ BASELINE_SF01 = {
     "q_llm_tokenstats": 0.403,
     "q_stream_tumbling": 0.512,
     "llm_jaccard_prefix": 3.248,
-    "llm_components_starcontract": 6.245,
+    # post-r8 hybrid union-find finish only (median of the five
+    # post-change fresh-JVM medians: 4.232/4.326/4.481/4.578/3.603)
+    "llm_components_starcontract": 4.326,
     "llm_embed_dedup_blocked": 4.185,  # post-r7 rewrite only
     "q_llm_perplexity": 1.653,
     "q_agg_kmv_portable": 0.504,
