@@ -106,6 +106,17 @@ SWEEP = [
     "q_tpch_q17", "q_tpch_q22", "q_tpch_q19", "q_tpch_q4",
     "q_tpch_q13", "q_tpch_q16", "q_tpch_q7", "q_tpch_q8",
     "q_tpch_q15", "q_tpch_q2", "q_tpch_q9", "q_tpch_q12",
+    # predicted r9 window (pre-run in r8 so next round inherits the
+    # sweep): every join-bearing row — graph family, the temporal/
+    # bloom/mark join family, the shingle-join dedup evals, and the
+    # two heavy stats accumulators (their pure-ledger siblings are
+    # 1-row-broadcast flat, proven in the r7 appendix)
+    "q_graph_lpa_communities", "q_graph_kcore", "q_graph_assortativity",
+    "q_join_bloom", "q_join_asof_tol", "q_join_time_window_semi",
+    "q_join_time_window_anti", "q_join_mark", "q_join_asof_nearest",
+    "q_llm_dup_size_hist", "q_llm_dedup_incremental", "q_llm_minhash_eval",
+    "q_llm_minhash_mae", "q_llm_dedup_curve", "q_agg_bootstrap_ci",
+    "q_agg_ols2", "q_event_calibration", "q_time_stl_strength",
 ]
 JOIN_COMPOSITES = {
     "q_join_star", "q_tpch_q3", "q_tpch_q5", "q_join_smj", "q_tpch_q10",
@@ -169,8 +180,14 @@ def main() -> None:
     wanted = [a for a in sys.argv[1:] if not a.startswith("--")]
     sweep = [n for n in SWEEP if n in wanted] if wanted else SWEEP
     for name in sweep:
-        df = specs[name].fn(spark, DST)
+        # fn() INSIDE the timer: operators with eager work in their
+        # builder (localCheckpoint loops — kcore/lpa/starcontract/BPE,
+        # the banded-verify cell fit) do most of their computation
+        # during construction, and timing only the count() under-reports
+        # them by 10-100x (caught r8: lpa read 0.16 s at sf1 vs 2.66 s
+        # at sf0.1 — impossible; the loop ran before the clock started)
         t0 = time.perf_counter()
+        df = specs[name].fn(spark, DST)
         df.count()
         sec = round(time.perf_counter() - t0, 2)
         line = f"{name},{sec}"
