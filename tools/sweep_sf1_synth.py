@@ -117,6 +117,17 @@ SWEEP = [
     "q_llm_dup_size_hist", "q_llm_dedup_incremental", "q_llm_minhash_eval",
     "q_llm_minhash_mae", "q_llm_dedup_curve", "q_agg_bootstrap_ci",
     "q_agg_ols2", "q_event_calibration", "q_time_stl_strength",
+    # rest of the never-checked backlog (r9 tail + predicted r10):
+    # every join-bearing or eager-builder row, completing the
+    # "entire backlog sf1-swept before its driver round" claim
+    "q_llm_prefix_dup", "q_llm_gram_novelty", "q_llm_keywords",
+    "q_llm_dedup_weights", "q_llm_preference_pairs",
+    "q_llm_blocklist_filter", "q_llm_bpe_train", "q_llm_apply_bpe",
+    "q_llm_collocations", "q_llm_bm25", "q_llm_kneser_ney",
+    "q_llm_rouge", "q_llm_bleu", "q_llm_ppl_holdout", "q_llm_semdedup",
+    "q_llm_hard_negatives", "q_llm_retrieval_eval", "q_llm_prf_expand",
+    "q_llm_hubness", "q_tpch_q11", "q_tpch_q20",
+    "pipe_llm_corpus_e2e", "pipe_events_e2e",
 ]
 JOIN_COMPOSITES = {
     "q_join_star", "q_tpch_q3", "q_tpch_q5", "q_join_smj", "q_tpch_q10",
