@@ -120,7 +120,7 @@ SWEEP = [
     # rest of the never-checked backlog (r9 tail + predicted r10):
     # every join-bearing or eager-builder row, completing the
     # "entire backlog sf1-swept before its driver round" claim
-    "q_llm_prefix_dup", "q_llm_gram_novelty", "q_llm_keywords",
+    "q_llm_prefix_dup", "q_llm_gram_novelty",
     "q_llm_dedup_weights", "q_llm_preference_pairs",
     "q_llm_blocklist_filter", "q_llm_bpe_train", "q_llm_apply_bpe",
     "q_llm_collocations", "q_llm_bm25", "q_llm_kneser_ney",
