@@ -85,9 +85,10 @@ TPCH_SECTION = [
 #: 1.153/1.304/1.227 s — the "regression" was a slow JVM draw.  A
 #: single fresh-JVM median is a 1-sample draw from a distribution with
 #: ~1.5x inter-JVM spread (SCALE.md §bench-variance), so when a
-#: query's median lands >1.5x its best-known baseline, ONE extra JVM
-#: is measured and the lower median reported (both drawn runs go to
-#: stderr for auditability).
+#: query's median lands >1.5x its baseline, ONE extra JVM is measured
+#: as a DISCLOSED DIAGNOSTIC only — the reported timing/ratio stays
+#: the first draw (unbiased; the r8 ADVICE flagged the earlier
+#: min-of-two rule as one-sided), with both draws in the output JSON.
 #: Baseline policy (r8, closing the r7 verdict's order #4): MEDIAN of
 #: the per-round medians across BENCH_r01..r07, not the minimum.  The
 #: r7 "regressions" (q_llm_tokenstats 1.51x, q_stream_tumbling 1.55x
@@ -192,31 +193,31 @@ def main() -> None:
         print(f"[bench] {name}: median={result['median']} "
               f"runs={result['runs']}", file=sys.stderr)
         baseline = BASELINE_SF01.get(name)
+        # the reported timing and ratio are ALWAYS the first draw —
+        # unbiased by construction (the r7/r8 ADVICE notes: the old
+        # min-of-two rule fired only on slow draws, so reported ratios
+        # were biased low vs the median-of-rounds baselines).  A slow
+        # draw triggers ONE extra fresh-JVM draw that is recorded
+        # purely as a disclosed diagnostic: it answers "slow JVM or
+        # real regression?" without touching the statistic.
+        timings[name] = result["median"]
+        if at_sf01 and baseline:
+            ratios[name] = round(result["median"] / baseline, 2)
         if (
             at_sf01
             and baseline
             and result["median"] > RETRY_RATIO * baseline
         ):
-            # one extra fresh-JVM draw: a single JVM's median is a
-            # 1-sample draw with ~1.5x inter-JVM spread (SCALE.md
-            # §bench-variance, the r6 q_agg_q1 false alarm)
             retry = measure(name)
-            print(f"[bench] {name}: RETRY (median {result['median']} > "
-                  f"{RETRY_RATIO}x baseline {baseline}) -> "
-                  f"median={retry['median']} runs={retry['runs']}",
-                  file=sys.stderr)
-            # both draws go in the output JSON so baseline_ratios
-            # consumers can see which numbers were min-of-two (the
-            # retry is one-sided by design — lucky-fast first draws
-            # are never re-checked — so disclose it, ADVICE r7)
+            print(f"[bench] {name}: DIAGNOSTIC REDRAW (median "
+                  f"{result['median']} > {RETRY_RATIO}x baseline "
+                  f"{baseline}) -> median={retry['median']} "
+                  f"runs={retry['runs']}", file=sys.stderr)
             retried[name] = {
                 "first": result["median"], "second": retry["median"],
+                "second_in_spread": retry["median"]
+                <= RETRY_RATIO * baseline,
             }
-            if retry["median"] < result["median"]:
-                result = retry
-        timings[name] = result["median"]
-        if at_sf01 and baseline:
-            ratios[name] = round(result["median"] / baseline, 2)
 
     head = {n: timings[n] for n in names}
     llm = {n: timings[n] for n in llm_names}

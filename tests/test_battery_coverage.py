@@ -12,6 +12,7 @@ battery coverage fails the suite until it is covered or justified.
 
 from __future__ import annotations
 
+import ast
 import json
 import re
 from pathlib import Path
@@ -90,18 +91,43 @@ def _lineage() -> set[str]:
     return checked
 
 
+_NAME = re.compile(r"^(?:q|llm|src|snk|pipe|st|udtf)_[a-z0-9_]+$")
+
+
 def _battery_covered() -> set[str]:
+    """Names a battery actually EXERCISES: string elements of ``*OPS``
+    list/tuple assignment literals (the parametrize sources) plus
+    constant-string subscripts (``SPECS["name"]`` direct drives).
+    AST-based (r8 ADVICE): a name appearing only in a comment,
+    docstring, or skip-comprehension no longer counts as coverage."""
     covered: set[str] = set()
     here = Path(__file__).parent
     files = list(here.glob("test_*adversarial*.py")) + list(
         here.glob("test_*random*.py")
     )
     assert files, "battery files missing"
-    pat = re.compile(
-        r"[\"']((?:q|llm|src|snk|pipe|st|udtf)_[a-z0-9_]+)[\"']"
-    )
     for f in files:
-        covered |= set(pat.findall(f.read_text()))
+        for node in ast.walk(ast.parse(f.read_text())):
+            if isinstance(node, ast.Assign) and any(
+                isinstance(t, ast.Name) and t.id.endswith("OPS")
+                for t in node.targets
+            ):
+                if isinstance(node.value, (ast.List, ast.Tuple)):
+                    covered |= {
+                        el.value
+                        for el in node.value.elts
+                        if isinstance(el, ast.Constant)
+                        and isinstance(el.value, str)
+                        and _NAME.match(el.value)
+                    }
+            elif isinstance(node, ast.Subscript):
+                s = node.slice
+                if (
+                    isinstance(s, ast.Constant)
+                    and isinstance(s.value, str)
+                    and _NAME.match(s.value)
+                ):
+                    covered.add(s.value)
     return covered
 
 

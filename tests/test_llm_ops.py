@@ -357,6 +357,27 @@ def test_star_contract_random_graphs_vs_union_find(spark):
             )
 
 
+def test_star_contract_schema_path_invariant(spark):
+    """r8 ADVICE: star_contract's output schema must not depend on
+    which side of the hybrid cutover the data landed.  On an INT-typed
+    edge input (narrower than the bigint the local union-find finish
+    hardcodes), both finishes must emit identical
+    (doc_id bigint, component bigint) — without the distributed path's
+    doc_id cast, its schema would inherit int and differ by data size."""
+    from weather_etl_spark.operators.llm_dedup import star_contract
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "u int, v int")
+    distributed = star_contract(df, local_finish_edges=0)
+    local = star_contract(df)  # 3 edges < 2^17 -> union-find finish
+    assert distributed.schema == local.schema
+    assert distributed.schema.simpleString() == (
+        "struct<doc_id:bigint,component:bigint>"
+    )
+    assert {(r["doc_id"], r["component"]) for r in distributed.collect()} == {
+        (r["doc_id"], r["component"]) for r in local.collect()
+    } == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
 def test_decontaminate_never_flags_benchmark_docs(spark, sf_dir):
     """The output is train-side only (benchmark docs are the query, not
     the subject) and every flag is a positive overlap count."""

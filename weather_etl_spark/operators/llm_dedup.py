@@ -1354,13 +1354,17 @@ def star_contract(
             f"{max_rounds} rounds (expected O(log^2 n))"
         )
     # fixpoint is a star forest: every node's component is the min of
-    # its closed neighborhood
+    # its closed neighborhood.  Both output columns cast to bigint so
+    # the schema is identical whichever finish ran (the local
+    # union-find path hardcodes "doc_id bigint, component bigint" —
+    # without the cast a non-bigint edge input would make the output
+    # schema depend on which side of the cutover the data landed).
     return (
         _sym(edges)
         .groupBy("u")
         .agg(F.least(F.min("v"), F.col("u")).alias("component"))
         .select(
-            F.col("u").alias("doc_id"),
+            F.col("u").cast("bigint").alias("doc_id"),
             F.col("component").cast("bigint").alias("component"),
         )
     )

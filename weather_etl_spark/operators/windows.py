@@ -892,7 +892,10 @@ def q_win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     cents = F.col("value").cast("decimal(18,2)") * 100
     zero = F.lit(0).cast("decimal(18,2)")
-    # HARD CONTRACT on the daily sums: |x|, |y| < 1.4e18 cents/day.
+    # HARD CONTRACT on the daily sums: |x|, |y| < 1.4e18 cents/day,
+    # ENFORCED at runtime below (raise_error, r8 ADVICE) so an
+    # out-of-domain deployment fails loudly instead of silently
+    # NULLing corr_7d.
     # The exact-decimal variance guard below squares the 7-day window
     # sum sx (= up to 7 daily sums) as decimal(19,0)^2 -> decimal(38,0);
     # decimal(38,0) cannot hold sx^2 once sx >= 1e19, and the
@@ -914,6 +917,30 @@ def q_win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("y"),
+    )
+    # LOUD contract enforcement (r8 ADVICE): an out-of-domain daily sum
+    # fails the query at execution instead of silently NULLing corr_7d
+    # where the oracle yields a value.  Inlined into the data path (the
+    # guarded column IS the consumed column) so column pruning cannot
+    # drop it; stays inside whole-stage codegen, no extra shuffle.
+    _bound = F.lit(1_400_000_000_000_000_000)  # 1.4e18 cents/day
+
+    def _in_domain(c: str):
+        return F.when(F.abs(F.col(c)) < _bound, F.col(c)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "q_win_rolling_corr domain contract violated: "
+                        f"daily |{c}| >= 1.4e18 cents (rescale the unit "
+                        "or split the series): "
+                    ),
+                    F.col(c).cast("string"),
+                )
+            )
+        )
+
+    daily = daily.select(
+        "day", _in_domain("x").alias("x"), _in_domain("y").alias("y")
     )
     w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
     xd = F.col("x").cast("decimal(28,0)")

@@ -248,40 +248,86 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
     "q_agg_mutual_info", "q_agg_kl_divergence", "q_agg_js_divergence",
     "llm_mm_phash_dedup", "llm_mm_scenechange",
     "snk_manifest", "q_win_rolling_corr",
-})
-
-#: Explicit order for the round-8 driver window (50 slots), per the r7
-#: verdict's order #1: hold the REGISTRATION FREEZE and fill the whole
-#: window from the 143 never-driver-checked rows, killing the
-#: zero-lineage modules first.  Composition: all of eventseq.py (21) +
-#: stats_ext.py (8) + layout.py (3) — the three modules with ZERO
-#: driver lineage — then the first 18 TPC-H backlog rows in
-#: registration order.  143 - 50 = 93 never-checked rows remain after
-#: this round (verdict target ≤93, no module left with zero lineage).
-#: The r3-stale rows queue behind the never-checked backlog (verdict
-#: order #5, all gone by r10).
-DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- eventseq.py: all 21, registration order (zero lineage) --
+    # round 8 green (50/50 hash-pass, zero err) per CORRECTNESS_r08.json
+    # — the whole window drawn from the never-checked backlog: all of
+    # eventseq.py (21) + stats_ext.py (8) + layout.py (3) + 18 TPC-H rows
     "q_time_ewma", "q_time_anomaly", "q_event_transitions",
     "q_snapshot_diff", "q_rank_fusion", "q_event_attribution",
     "q_event_trigrams", "q_time_holt", "q_time_cusum",
     "q_event_interarrival", "q_event_dau_wau", "q_event_lifecycle",
     "q_event_survival", "q_time_backtest", "q_event_markov2",
     "q_event_decay_score", "q_time_mad", "q_event_pattern",
-    "q_event_time_to_convert", "q_event_next_pred",
-    "q_time_changepoint",
-    # -- stats_ext.py: all 8, registration order (zero lineage) --
+    "q_event_time_to_convert", "q_event_next_pred", "q_time_changepoint",
     "q_llm_domain_cap", "q_agg_corr_matrix", "q_agg_weighted_median",
     "q_agg_entropy", "q_event_rfm", "q_agg_winsorize",
     "q_llm_feature_hash", "q_agg_anova",
-    # -- layout.py: all 3, registration order (zero lineage) --
     "q_layout_zorder", "q_layout_compaction", "q_join_spatial_grid",
-    # -- tpch.py backlog: first 18 in registration order --
     "q_tpch_q10", "q_sql_subqueries", "q_tpch_q18", "q_tpch_q14",
     "q_tpch_q21", "q_tpch_q17", "q_tpch_q22", "q_tpch_q19",
     "q_tpch_q4", "q_tpch_q6", "q_tpch_q13", "q_tpch_q16",
     "q_tpch_q7", "q_tpch_q8", "q_tpch_q15", "q_tpch_q2",
     "q_tpch_q9", "q_tpch_q12",
+})
+
+#: Explicit order for the round-9 driver window (50 slots), per the r8
+#: verdict's order #1: hold the REGISTRATION FREEZE and fill the whole
+#: window from the 93 never-driver-checked rows, LLM-mandate modules
+#: first (the north star names dedup / similarity / text analysis).
+#: Composition: all 22 llm_prep.py + all 11 llm_vector.py + all 9
+#: llm_text.py + all 5 graph.py + 3 of 5 llm_dedup.py never-checked
+#: rows (q_llm_dedup_curve and q_llm_minhash_mae — eval-only rows,
+#: lowest user impact — queue for r10 per the verdict).  Done =
+#: CORRECTNESS_r09 50/50 green, llm_prep / llm_vector / llm_text /
+#: graph at ZERO never-checked.
+#:
+#: r10 window plan (verdict order #3), locked now: the remaining 43
+#: never-checked rows — drift.py 14 (runs_test chisq spearman theilsen
+#: bootstrap_ci ols2 kruskal levene cohens_kappa event_calibration
+#: cohens_d dispersion quantile_norm stl_strength), joins.py 6 (bloom
+#: asof_tol time_window_semi time_window_anti mark asof_nearest),
+#: windows.py 5 (distinct_running peaks slope rolling_median drawdown),
+#: sources 3 (binaryfile csv_malformed json_malformed), scans.py 3
+#: (column_stats partition_prune sample_split3), sink_ops.py 3
+#: (text_roundtrip csv_quoted parquet_merge), udf_surface.py 3
+#: (pandas_iter mapinarrow sql_params), pipeline.py 2, tpch 2 (q11
+#: q20), llm_dedup 2 (dedup_curve minhash_mae) — plus the 7 slack
+#: slots going to the stalest DRIVER_STALE_R3 rows (the rotation
+#: already orders them first in the verified tail).  After r10: zero
+#: never-checked rows, r3-stale tail fully drained by r11.
+#:
+#: src_binaryfile (sources/binary.py:29 — the one row with zero driver
+#: lineage of any kind, verdict order #4): it RIDES the r10 window for
+#: its rows-only count.  It is rows-only by design because the driver's
+#: DuckDB oracle runs over the ten pre-registered parquet views only,
+#: while src_binaryfile reads raw image/audio files via Spark's
+#: binaryFile source from a path the query itself writes under /tmp —
+#: no view-bound SQL can express that scan; its bytes are instead
+#: byte-identity-tested against pyarrow ground truth in
+#: tests/test_sources.py.
+DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
+    # -- llm_prep.py: all 22 never-checked, registration order --
+    "q_llm_bpe_pairs", "q_llm_keywords", "q_llm_dsir",
+    "q_llm_dedup_weights", "q_llm_strip_markup", "q_llm_encoding_check",
+    "q_llm_sentences", "q_llm_token_budget", "q_llm_gram_novelty",
+    "q_llm_readability", "q_llm_prefix_dup", "q_llm_bpe_train",
+    "q_llm_apply_bpe", "q_llm_vocab_coverage", "q_llm_span_corruption",
+    "q_llm_preference_pairs", "q_llm_boilerplate", "q_llm_distinct_n",
+    "q_llm_blocklist_filter", "q_llm_heaps_law", "q_llm_collocations",
+    "q_llm_cooccur_window",
+    # -- llm_vector.py: all 11 never-checked, registration order --
+    "q_llm_semdedup", "q_llm_embed_truncate", "q_llm_embed_pq",
+    "q_llm_hard_negatives", "q_dq_embeddings", "q_llm_retrieval_eval",
+    "q_llm_mmr_select", "q_llm_ood_score", "q_llm_prf_expand",
+    "q_llm_align_uniform", "q_llm_hubness",
+    # -- llm_text.py: all 9 never-checked, registration order --
+    "q_llm_ppl_bucket", "q_llm_entropy_rate", "q_llm_bm25",
+    "q_llm_filter_funnel", "q_llm_rouge", "q_llm_bleu",
+    "q_llm_kneser_ney", "q_llm_ppl_holdout", "q_llm_log_odds",
+    # -- graph.py: all 5 never-checked, registration order --
+    "q_graph_triangles", "q_graph_adamic_adar", "q_graph_lpa_communities",
+    "q_graph_kcore", "q_graph_assortativity",
+    # -- llm_dedup.py: 3 of 5 (dedup_curve / minhash_mae queue for r10) --
+    "q_llm_dup_size_hist", "q_llm_dedup_incremental", "q_llm_minhash_eval",
 )
 
 
