@@ -49,6 +49,40 @@ def test_readme_counts_match_registry():
     assert oracled == sum(1 for s in reg.values() if s.oracle is not None)
 
 
+def test_freshness_ledger_matches_correctness_lineage():
+    """FRESHNESS.json (the committed driver-verdict freshness ledger,
+    r8 verdict order #7) must equal the map recomputed from
+    CORRECTNESS_r*.json: one entry per registered query, value = round
+    of its latest driver verdict (0 = never checked).  Regenerate with
+    `PYTHONPATH=. python tools/emit_freshness.py` after each round's
+    CORRECTNESS file lands — stale-lineage age is a pinned artifact,
+    not something re-derived by hand-diffing the round files."""
+    import json
+
+    ledger_path = SURVEY.parent / "FRESHNESS.json"
+    assert ledger_path.exists(), (
+        "FRESHNESS.json missing — run tools/emit_freshness.py"
+    )
+    committed = json.loads(ledger_path.read_text())
+
+    latest: dict[str, int] = {}
+    for p in sorted(SURVEY.parent.glob("CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", p.stem).group(1))
+        for name, row in json.loads(p.read_text()).items():
+            ok = row.get("err") is None or (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+            if ok:
+                latest[name] = max(latest.get(name, 0), rnd)
+    want = {name: latest.get(name, 0) for name in load_all()}
+    assert committed == want, (
+        "FRESHNESS.json drifted from CORRECTNESS_r*.json lineage — "
+        "regenerate with tools/emit_freshness.py; diff: "
+        f"{ {k: (committed.get(k), want[k]) for k in want if committed.get(k) != want[k]} }"
+    )
+
+
 def test_driver_window_priority_head_fits_in_window():
     """The driver checks only the first 50 queries. Never-verified rows
     rank ahead of the priority list, so every op added in a round
