@@ -128,6 +128,9 @@ SWEEP = [
     "q_llm_hard_negatives", "q_llm_retrieval_eval", "q_llm_prf_expand",
     "q_llm_hubness", "q_tpch_q11", "q_tpch_q20",
     "pipe_llm_corpus_e2e", "pipe_events_e2e",
+    # r9 window stretch (r8 verdict #8): the probe-panel MMR selector —
+    # the one named heavy llm_vector row the r8 backlog sweep missed
+    "q_llm_mmr_select",
 ]
 JOIN_COMPOSITES = {
     "q_join_star", "q_tpch_q3", "q_tpch_q5", "q_join_smj", "q_tpch_q10",
