@@ -100,28 +100,39 @@ TPCH_SECTION = [
 #: + min denominators) called this.  Entries whose implementation
 #: changed mid-lineage (llm_embed_dedup_blocked r7 block-scoring,
 #: q_llm_bpe_train r7 checkpoints) baseline on post-change rounds only.
+#: r9 refresh: medians recomputed over BENCH_r01..r08 (same policy;
+#: r8's round simply joins the pool).  The three implementation-changed
+#: entries baseline on post-change rounds plus the r9 fresh-JVM
+#: re-draws recorded in SCALE.md §Round-9 (which showed the r8
+#: embed_dedup/perplexity readings were slow draws, so a two-round
+#: post-change median alone would inherit the slow tail).
 BASELINE_SF01 = {
-    "q_agg_q1": 1.301,
-    "q_join_star": 1.078,
-    "q_join_smj": 1.258,
-    "q_win_rownum": 0.694,
-    "q_topk_group": 0.528,
-    "q_filter_ts_cursor": 0.473,
-    "q_llm_exact_dedup": 0.361,
-    "q_llm_knn": 0.819,
+    "q_agg_q1": 1.299,
+    "q_join_star": 1.062,
+    "q_join_smj": 1.253,
+    "q_win_rownum": 0.647,
+    "q_topk_group": 0.554,
+    "q_filter_ts_cursor": 0.471,
+    "q_llm_exact_dedup": 0.360,
+    "q_llm_knn": 0.761,
     "q_llm_tokenstats": 0.403,
-    "q_stream_tumbling": 0.512,
-    "llm_jaccard_prefix": 3.248,
+    "q_stream_tumbling": 0.511,
+    "llm_jaccard_prefix": 3.303,
     # post-r8 hybrid union-find finish only (median of the five
     # post-change fresh-JVM medians: 4.232/4.326/4.481/4.578/3.603)
     "llm_components_starcontract": 4.326,
-    "llm_embed_dedup_blocked": 4.185,  # post-r7 rewrite only
-    "q_llm_perplexity": 1.653,
-    "q_agg_kmv_portable": 0.504,
-    "q_llm_bpe_train": 3.276,  # post-r7 checkpointing only
-    "q_tpch_q21": 1.574,
-    "q_tpch_q9": 1.089,
-    "q_tpch_q13": 0.636,
+    # post-r7 rewrite rounds (4.185, 5.358) + r9 re-draws
+    # (4.266/4.186/4.059): median of the five observations
+    "llm_embed_dedup_blocked": 4.186,
+    # rounds r5/r7/r8 (1.622/1.684/2.261) + r9 re-draws
+    # (1.729/1.846/1.959): median of the six observations
+    "q_llm_perplexity": 1.788,
+    "q_agg_kmv_portable": 0.523,
+    # post-r7 checkpointing rounds only (3.276, 3.148)
+    "q_llm_bpe_train": 3.212,
+    "q_tpch_q21": 1.637,
+    "q_tpch_q9": 1.096,
+    "q_tpch_q13": 0.654,
 }
 
 #: Retry threshold vs baseline for the one-extra-JVM rule.
