@@ -781,12 +781,14 @@ FROM f
     "(2*min_rank + count - 1)/2, so every rank is a .5-exact "
     "double, U is emitted as the exact integer 2U, and the normal "
     "z approximation carries the standard tie correction.",
-    scale_notes="One global sort-rank over the two groups (the only "
-    "rank that needs cross-group order), tie groups via a "
-    "value-partitioned window on the same ordered shuffle, then "
-    "1-row algebra. At 100 TB the global rank becomes the "
-    "range-partitioned prefix-count (the q_agg_gini bin-ledger "
-    "rewrite) — rank is just a prefix count.",
+    scale_notes="Rank as PREFIX COUNT over the distinct-value ledger "
+    "(implemented, r9 — the q_agg_gini bin-ledger rewrite): one "
+    "map-combined groupBy(v2) shuffle builds (count, view-count) per "
+    "distinct cent value, a ledger-sized running-sum window yields "
+    "count-below (midrank = below + (c+1)/2, exactly the dyadic "
+    "(2*min_rank + c - 1)/2), and the tie term rides the same ledger "
+    "— no per-row global sort-rank anywhere. The window input is "
+    "|distinct v2|, not n; at 100 TB the ledger range-partitions.",
 )
 def q_agg_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").filter(
@@ -796,42 +798,33 @@ def q_agg_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round(F.col("value") * 100).cast("bigint").alias("v2"),
     )
-    w_all = Window.orderBy("v2")
-    w_tie = Window.partitionBy("v2")
-    ranked = s.withColumn(
-        "rn", F.row_number().over(w_all).cast("bigint")
+    # value ledger: one row per distinct cent value.  below = rows
+    # strictly smaller, so a tie group's min rank is below + 1 and its
+    # midrank (2*(below+1) + c - 1)/2 = below + (c+1)/2 — every term
+    # is .5-exact, so the double sums below are EXACT (identical to
+    # the oracle's per-row midrank sum) while n << 2^52.
+    ledger = s.groupBy("v2").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum((F.col("event_type") == "view").cast("long")).alias("cx"),
     )
-    avg_rank = ranked.select(
-        "event_type",
-        "v2",
-        (
-            (
-                2.0 * F.min("rn").over(w_tie)
-                + F.count(F.lit(1)).over(w_tie)
-                - 1
-            )
-            / 2
-        ).alias("ar"),
+    w_led = Window.orderBy("v2").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    nx = F.sum((F.col("event_type") == "view").cast("long"))
-    ny = F.sum((F.col("event_type") == "purchase").cast("long"))
-    rx = F.sum(F.when(F.col("event_type") == "view", F.col("ar")))
-    moments = avg_rank.agg(
-        nx.alias("nx"), ny.alias("ny"), rx.alias("rx")
+    led = ledger.withColumn(
+        "below", F.coalesce(F.sum("c").over(w_led), F.lit(0))
     )
-    ties = (
-        s.groupBy("v2")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .agg(
-            F.sum(
-                F.col("c").cast("double") * F.col("c") * F.col("c")
-                - F.col("c")
-            )
-            .cast("double")
-            .alias("tie_term")
+    mid = F.col("below") + (F.col("c") + 1) / 2.0
+    f = led.agg(
+        F.sum("cx").cast("long").alias("nx"),
+        F.sum(F.col("c") - F.col("cx")).cast("long").alias("ny"),
+        F.sum(F.col("cx") * mid).alias("rx"),
+        F.sum(
+            F.col("c").cast("double") * F.col("c") * F.col("c")
+            - F.col("c")
         )
-    )
-    f = moments.crossJoin(ties).select(
+        .cast("double")
+        .alias("tie_term"),
+    ).select(
         "nx",
         "ny",
         (F.col("rx") - F.col("nx") * (F.col("nx") + 1) / 2.0).alias("u"),
@@ -1886,10 +1879,13 @@ FROM t, ties
     "DECIMAL-exact (.5-exact doubles summed as DECIMAL(28,1)); "
     "the one float term per group, R_j^2/n_j, is ROUND-6 "
     "DECIMAL-summed so the k-row reduction is order-independent.",
-    scale_notes="One global sort-rank (rank = prefix count at "
-    "100 TB, the q_agg_mannwhitney ruling), tie groups on the "
-    "same ordered shuffle, then a k-row ledger. Adding a group "
-    "costs nothing; the sort dominates at any scale.",
+    scale_notes="Rank as PREFIX COUNT over the distinct-value ledger "
+    "(implemented, r9 — same rewrite as q_agg_mannwhitney): one "
+    "map-combined groupBy(v2, event_type) shuffle, the v2 ledger's "
+    "running-sum window yields count-below (midrank = below + "
+    "(c+1)/2), a ledger-sized join carries midranks back to the "
+    "per-group counts, then a k-row ledger. No per-row global "
+    "sort-rank; the window and join inputs are |distinct v2|, not n.",
 )
 def q_agg_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
@@ -1897,27 +1893,33 @@ def q_agg_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round(F.col("value") * 100).cast("bigint").alias("v2"),
     )
-    w_all = Window.orderBy("v2")
-    w_tie = Window.partitionBy("v2")
-    avg_rank = s.withColumn(
-        "rn", F.row_number().over(w_all).cast("bigint")
-    ).select(
-        "event_type",
-        "v2",
-        (
-            (
-                2.0 * F.min("rn").over(w_tie)
-                + F.count(F.lit(1)).over(w_tie)
-                - 1
-            )
-            / 2
-        ).alias("ar"),
+    # (value, group) ledger -> value ledger -> midrank per value
+    # (below + (c+1)/2 == the dyadic (2*min_rank + c - 1)/2, see
+    # q_agg_mannwhitney); every midrank is .5-exact, so cg*midrank
+    # cast to DECIMAL(28,1) is exact — identical to the oracle's
+    # per-row midrank sum.
+    gl = s.groupBy("v2", "event_type").agg(
+        F.count(F.lit(1)).alias("cg")
     )
-    g = avg_rank.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.col("ar").cast("decimal(28,1)"))
-        .cast("decimal(28,1)")
-        .alias("r"),
+    vl = gl.groupBy("v2").agg(F.sum("cg").alias("c"))
+    w_led = Window.orderBy("v2").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    vl = vl.withColumn(
+        "below", F.coalesce(F.sum("c").over(w_led), F.lit(0))
+    )
+    mid = (F.col("below") + (F.col("c") + 1) / 2.0).alias("ar_mid")
+    g = (
+        gl.join(vl.select("v2", mid), "v2")
+        .groupBy("event_type")
+        .agg(
+            F.sum("cg").cast("bigint").alias("n"),
+            F.sum(
+                (F.col("cg") * F.col("ar_mid")).cast("decimal(28,1)")
+            )
+            .cast("decimal(28,1)")
+            .alias("r"),
+        )
     )
     t = g.agg(
         F.count(F.lit(1)).cast("bigint").alias("k"),
@@ -1930,17 +1932,14 @@ def q_agg_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,6)")
         .alias("rsum"),
     )
-    ties = (
-        s.groupBy("v2")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .agg(
-            F.sum(
-                F.col("c").cast("double") * F.col("c") * F.col("c")
-                - F.col("c")
-            )
-            .cast("double")
-            .alias("tie_term")
+    # tie term rides the same value ledger (vl carries c per v2)
+    ties = vl.agg(
+        F.sum(
+            F.col("c").cast("double") * F.col("c") * F.col("c")
+            - F.col("c")
         )
+        .cast("double")
+        .alias("tie_term")
     )
     h = (
         F.lit(12.0)
