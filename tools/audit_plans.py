@@ -16,6 +16,12 @@ that decide whether the plan survives a 100x scale-up:
 - ``Exchange`` count — shuffles; reported so a diff review catches a
   plan that silently gained one.
 - ``WholeStageCodegen`` span count — reported for codegen coverage.
+- keyless ``Window`` (empty partitionSpec, walked on the optimized
+  logical plan) — a single-partition funnel; admissible only with a
+  declared input bound in ``plan_audit.ALLOW_KEYLESS_WINDOW`` (ledger /
+  probe-panel / dim-scale inputs, or rows whose OUTPUT is the global
+  rank).  ``tools/audit_keyless_windows.py`` is the standalone
+  discovery pass.
 
 Usage: ``python tools/audit_plans.py [sf_dir]`` prints one CSV row per
 operator (name, exchanges, codegen spans, flags) and a summary; exits
@@ -35,9 +41,11 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 from weather_etl_spark.plan_audit import (  # noqa: E402
+    ALLOW_KEYLESS_WINDOW,
     AUDIT_SKIP,
     audit_plan,
     disallowed_flags,
+    keyless_windows,
 )
 from weather_etl_spark.registry import load_all  # noqa: E402
 from weather_etl_spark.session import get_spark  # noqa: E402
@@ -47,17 +55,25 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("plan-audit")
     bad: list[str] = []
-    print("name,exchanges,codegen_spans,flags")
+    print("name,exchanges,codegen_spans,flags,keyless_window")
     for name, spec in sorted(load_all().items()):
         if name in AUDIT_SKIP:
-            print(f"{name},-,-,skipped({AUDIT_SKIP[name]})")
+            print(f"{name},-,-,skipped({AUDIT_SKIP[name]}),-")
             continue
-        report = audit_plan(spec.fn(spark, sf_dir))
+        df = spec.fn(spark, sf_dir)
+        report = audit_plan(df)
         flags = disallowed_flags(name, report)
+        kw = keyless_windows(df)
+        if kw and name not in ALLOW_KEYLESS_WINDOW:
+            flags = flags + ["keyless Window"]
         bad.extend(f"{name}:{f}" for f in flags)
+        kw_col = "-" if not kw else (
+            "allowed" if name in ALLOW_KEYLESS_WINDOW else "FLAGGED"
+        )
         print(
             f"{name},{report.exchanges},{report.codegen_spans},"
-            f"{'|'.join(sorted(report.nodes & report.FLAG_NODES)) or '-'}"
+            f"{'|'.join(sorted(report.nodes & report.FLAG_NODES)) or '-'},"
+            f"{kw_col}"
         )
     if bad:
         print(f"DISALLOWED: {bad}", file=sys.stderr)

@@ -177,6 +177,66 @@ ALLOW_BNL: dict[str, str] = {
 #: exist to be measured against their vectorized twins.
 ALLOW_ROW_PYTHON = frozenset({"q_udf_py", "q_udtf_py"})
 
+#: A ``Window`` with an EMPTY partitionSpec funnels its whole input
+#: through one task (Exchange SinglePartition), so it is admissible
+#: only when the input is provably bounded: a pre-aggregated ledger
+#: (distinct values / vocab / bins / days), a constant probe panel, or
+#: an operator whose OUTPUT semantics is the global per-row rank.
+#: Discovered empirically (tools/audit_plans.py walks the optimized
+#: logical plan); every entry carries its bound.  This mechanizes the
+#: r8 verdict's "single-partition window ledgers" radar item.
+ALLOW_KEYLESS_WINDOW: dict[str, str] = {
+    "q_agg_mannwhitney": "running sum over the |distinct cent values| "
+    "ledger (r9 prefix-count rank rewrite — no per-row sort reaches "
+    "the window, drift.py)",
+    "q_agg_kruskal": "same distinct-value ledger as q_agg_mannwhitney "
+    "(drift.py)",
+    "q_agg_ks_test": "ECDF prefix sums over the value-ordered ledger; "
+    "bin-ledger rewrite documented for 100 TB, this exact form is its "
+    "oracle (drift.py)",
+    "q_agg_pareto": "ranking over the customer-dim revenue ledger "
+    "(events pre-reduced map-side; bin-ledger rewrite documented, "
+    "drift.py)",
+    "q_agg_hist_quantile": "cumulative window over <=64 histogram "
+    "bins — constant at any input size (aggregates.py)",
+    "q_agg_quantile_eval": "same <=64-bin cumulative ledger as "
+    "q_agg_hist_quantile (aggregates.py)",
+    "q_agg_kmv_intersect": "bottom-8 order statistics — "
+    "WindowGroupLimit rank pushdown caps each partition's "
+    "contribution at sketch size (aggregates.py)",
+    "q_skew_profile": "profile reduction over the key-cardinality "
+    "ledger, not rows — the operator IS the skew pre-flight "
+    "(analytics.py)",
+    "q_event_survival": "KM ledger bounded by the observation window "
+    "(<= span-days rows) after per-user span aggregation "
+    "(eventseq.py)",
+    "q_event_rfm": "ntile over the USER ledger (events pre-reduced); "
+    "bin-ledger decomposition documented for 1e9 users, this exact "
+    "form is its oracle (stats_ext.py)",
+    "q_rank_fusion": "rank<=200 compiles to WindowGroupLimit — "
+    "per-partition top-N heaps feed the window with N rows per "
+    "partition, never the corpus (eventseq.py)",
+    "q_layout_compaction": "prefix sum over file METADATA (one row "
+    "per file), kilobytes per row at 100 TB (layout.py)",
+    "q_llm_zipf": "top-20 TakeOrderedAndProject over the vocabulary "
+    "ledger feeds the rank window (llm_prep.py)",
+    "q_llm_bpe_pairs": "top-20 pair ledger — TakeOrderedAndProject, "
+    "per-partition heaps (llm_prep.py)",
+    "q_llm_token_budget": "running sum over the 1000-row bin ledger; "
+    "per-bin windows run partition-parallel (llm_prep.py)",
+    "q_llm_vocab_coverage": "ranked cumulative window over the "
+    "vocabulary ledger; two-level range-partitioned ranking "
+    "documented for 100 TB (llm_prep.py)",
+    "q_llm_length_hist": "share normalization over ~hundreds of "
+    "bucket keys of aggregate output (llm_text.py)",
+    "q_win_ntile": "deliberate global-ntile surface row — the OUTPUT "
+    "is the per-row global quartile; approx-percentile bucketing "
+    "documented for 100 TB (windows.py)",
+    "q_win_rolling_corr": "7-row rolling frame over the day-ordered "
+    "daily ledger (one row per day; per-series partitions in "
+    "multi-metric deployments, windows.py)",
+}
+
 #: Operators excluded from plan audit, with the reason.
 AUDIT_SKIP: dict[str, str] = {}
 
@@ -222,6 +282,40 @@ def audit_plan(df: DataFrame) -> PlanReport:
         nodes=nodes,
         text=text,
     )
+
+
+def _iter_logical(node):
+    """Yield every node of a Catalyst logical plan, including the plans
+    hanging off subquery expressions (py4j traversal)."""
+    yield node
+    children = node.children()
+    for i in range(children.length()):
+        yield from _iter_logical(children.apply(i))
+    try:
+        subs = node.subqueries()
+        for i in range(subs.length()):
+            yield from _iter_logical(subs.apply(i))
+    except Exception:
+        pass  # node types without subquery support
+
+
+def keyless_windows(df: DataFrame) -> list[str]:
+    """Window nodes in the OPTIMIZED logical plan whose partitionSpec is
+    empty — each forces an Exchange SinglePartition over its input.
+    Returns one summary string per offending node (window expressions),
+    empty when the plan is clean."""
+    plan = df._jdf.queryExecution().optimizedPlan()
+    hits = []
+    for node in _iter_logical(plan):
+        if node.nodeName() != "Window":
+            continue
+        if node.partitionSpec().isEmpty():
+            exprs = node.windowExpressions()
+            names = [
+                exprs.apply(i).name() for i in range(exprs.length())
+            ]
+            hits.append("Window[no partitionBy] -> " + ", ".join(names))
+    return hits
 
 
 def disallowed_flags(name: str, report: PlanReport) -> list[str]:
