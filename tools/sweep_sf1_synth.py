@@ -131,6 +131,10 @@ SWEEP = [
     # r9 window stretch (r8 verdict #8): the probe-panel MMR selector —
     # the one named heavy llm_vector row the r8 backlog sweep missed
     "q_llm_mmr_select",
+    # r9 plan-shape changes re-swept under their NEW shapes: the
+    # ledger-rank rewrite (mannwhitney above gets a fresh reading too;
+    # kruskal gets its first) and rolling_corr's inlined domain guard
+    "q_agg_kruskal", "q_win_rolling_corr",
 ]
 JOIN_COMPOSITES = {
     "q_join_star", "q_tpch_q3", "q_tpch_q5", "q_join_smj", "q_tpch_q10",
