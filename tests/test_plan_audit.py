@@ -11,6 +11,9 @@ centroid sets — run).
 
 from __future__ import annotations
 
+import json
+from pathlib import Path
+
 import pytest
 
 pytestmark = pytest.mark.full  # heavy lane (see pytest.ini)
@@ -26,6 +29,14 @@ from weather_etl_spark.registry import load_all
 
 SPECS = load_all()
 NAMES = sorted(n for n in SPECS if n not in AUDIT_SKIP)
+
+#: Committed per-query shuffle ledger (tools/emit_plan_snapshot.py):
+#: the number of shuffle Exchanges in each plan at the test SF.  A
+#: mismatch means an edit changed a plan's shuffle count — intended
+#: changes regenerate the snapshot in the same commit.
+SNAPSHOT: dict[str, int] = json.loads(
+    (Path(__file__).parent / "plan_snapshot.json").read_text()
+)
 
 
 @pytest.mark.parametrize("name", NAMES)
@@ -43,6 +54,19 @@ def test_no_disallowed_plan_nodes(spark, sf_dir, name):
         f"{name}: keyless Window without a declared bound:\n"
         + "\n".join(hits)
     )
+    # shuffle-count regression net: the committed snapshot pins every
+    # plan's Exchange count; a silently-gained shuffle fails here
+    assert name in SNAPSHOT, (
+        f"{name}: not in tests/plan_snapshot.json — regenerate with "
+        "tools/emit_plan_snapshot.py"
+    )
+    assert report.exchanges == SNAPSHOT[name], (
+        f"{name}: plan has {report.exchanges} shuffle Exchanges, "
+        f"snapshot says {SNAPSHOT[name]} — if the plan change is "
+        "intended, regenerate tests/plan_snapshot.json "
+        "(tools/emit_plan_snapshot.py) in the same commit\n"
+        f"{report.text}"
+    )
 
 
 def test_keyless_window_allowlist_is_tight():
@@ -50,3 +74,13 @@ def test_keyless_window_allowlist_is_tight():
     renames/deletions can't leave stale reasons behind."""
     stale = set(ALLOW_KEYLESS_WINDOW) - set(SPECS)
     assert not stale, f"allowlist entries for unregistered queries: {stale}"
+
+
+def test_plan_snapshot_is_tight():
+    """The snapshot covers exactly the audited registry — no stale
+    rows after a rename/deletion, no missing rows after a
+    registration."""
+    assert set(SNAPSHOT) == set(NAMES), (
+        f"stale: {sorted(set(SNAPSHOT) - set(NAMES))} "
+        f"missing: {sorted(set(NAMES) - set(SNAPSHOT))}"
+    )
