@@ -80,3 +80,20 @@ def test_pull_allowlist_is_tight():
     refactor that removes a pull also removes its stale reason."""
     stale = set(ALLOWED_PULLS) - _pull_sites()
     assert not stale, f"allowlist entries with no call site: {sorted(stale)}"
+
+
+#: RDD-surface primitives the package must not use: the engine is
+#: DataFrame-declarative end to end (Catalyst sees every plan), and
+#: per-partition imperative logic goes through mapInPandas /
+#: applyInPandas (Arrow-batched, schema-checked) instead.
+RDD_ATTRS = frozenset({"rdd", "mapPartitions", "parallelize"})
+
+
+def test_no_rdd_surface():
+    offenders: list[str] = []
+    for path in sorted(PKG.rglob("*.py")):
+        rel = path.relative_to(PKG).as_posix()
+        for node in ast.walk(ast.parse(path.read_text())):
+            if isinstance(node, ast.Attribute) and node.attr in RDD_ATTRS:
+                offenders.append(f"{rel}:{node.lineno} .{node.attr}")
+    assert not offenders, f"RDD-surface usage: {offenders}"
