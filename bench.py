@@ -179,11 +179,23 @@ def main() -> None:
     llm_names = [n for n in LLM_SECTION if n in specs]
     tpch_names = [n for n in TPCH_SECTION if n in specs]
 
-    def measure(name: str) -> dict:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--single", name],
-            capture_output=True, text=True, timeout=900,
-        )
+    def measure(name: str) -> dict | None:
+        """One fresh-JVM measurement; None on subprocess failure.
+
+        A per-query timeout or crash must not kill the whole bench
+        (measured r9: a host brownout inflated one query 28x, close to
+        the subprocess timeout — all-or-nothing would have turned one
+        bad draw into an empty round record).
+        """
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--single", name],
+                capture_output=True, text=True, timeout=1800,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"[bench] {name} subprocess TIMED OUT (1800s)",
+                  file=sys.stderr)
+            return None
         line = ""
         for cand in reversed(proc.stdout.strip().splitlines()):
             if cand.startswith("{"):
@@ -192,15 +204,21 @@ def main() -> None:
         if proc.returncode != 0 or not line:
             print(f"[bench] {name} subprocess failed rc={proc.returncode}:\n"
                   f"{proc.stderr[-2000:]}", file=sys.stderr)
-            raise SystemExit(1)
+            return None
         return json.loads(line)
 
     at_sf01 = sf_dir.rstrip("/").endswith("sf0.1")
     timings: dict[str, float] = {}
     ratios: dict[str, float] = {}
     retried: dict[str, dict[str, float]] = {}
+    errors: dict[str, str] = {}
     for name in names + llm_names + tpch_names:
         result = measure(name)
+        if result is None:
+            result = measure(name)  # one retry in a fresh JVM
+        if result is None:
+            errors[name] = "subprocess failed twice (see stderr)"
+            continue
         print(f"[bench] {name}: median={result['median']} "
               f"runs={result['runs']}", file=sys.stderr)
         baseline = BASELINE_SF01.get(name)
@@ -220,19 +238,24 @@ def main() -> None:
             and result["median"] > RETRY_RATIO * baseline
         ):
             retry = measure(name)
-            print(f"[bench] {name}: DIAGNOSTIC REDRAW (median "
-                  f"{result['median']} > {RETRY_RATIO}x baseline "
-                  f"{baseline}) -> median={retry['median']} "
-                  f"runs={retry['runs']}", file=sys.stderr)
-            retried[name] = {
-                "first": result["median"], "second": retry["median"],
-                "second_in_spread": retry["median"]
-                <= RETRY_RATIO * baseline,
-            }
+            if retry is not None:
+                print(f"[bench] {name}: DIAGNOSTIC REDRAW (median "
+                      f"{result['median']} > {RETRY_RATIO}x baseline "
+                      f"{baseline}) -> median={retry['median']} "
+                      f"runs={retry['runs']}", file=sys.stderr)
+                retried[name] = {
+                    "first": result["median"], "second": retry["median"],
+                    "second_in_spread": retry["median"]
+                    <= RETRY_RATIO * baseline,
+                }
 
-    head = {n: timings[n] for n in names}
-    llm = {n: timings[n] for n in llm_names}
-    tpch = {n: timings[n] for n in tpch_names}
+    if len(errors) == len(names + llm_names + tpch_names):
+        print("[bench] every query failed — no JSON to emit",
+              file=sys.stderr)
+        raise SystemExit(1)
+    head = {n: timings[n] for n in names if n in timings}
+    llm = {n: timings[n] for n in llm_names if n in timings}
+    tpch = {n: timings[n] for n in tpch_names if n in timings}
     total = round(sum(head.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -249,6 +272,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "baseline_ratios": ratios,
                 "retried": retried,
+                "errors": errors,
                 "method": "isolated-session-per-query",
                 "runs_per_query": _bench_n(),
                 "statistic": "median",
