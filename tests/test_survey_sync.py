@@ -113,3 +113,22 @@ def test_driver_window_priority_head_fits_in_window():
         f"{n_new} unverified rows push these ordered re-checks out of "
         f"the 50-slot driver window: {missing}"
     )
+
+
+def test_bench_sections_name_registered_queries():
+    """bench.py filters each section with `n in specs`, so a renamed or
+    deleted query would silently VANISH from the bench record (and its
+    baseline ratio with it) instead of failing. Pin every section name
+    to the registry."""
+    import bench
+    from weather_etl_spark.registry import load_all
+
+    specs = set(load_all())
+    for section in ("HEADLINE", "LLM_SECTION", "TPCH_SECTION"):
+        missing = [n for n in getattr(bench, section) if n not in specs]
+        assert not missing, f"bench.{section} names unregistered: {missing}"
+    stale_baselines = [n for n in bench.BASELINE_SF01 if n not in specs]
+    assert not stale_baselines, (
+        f"bench.BASELINE_SF01 has baselines for unregistered queries: "
+        f"{stale_baselines}"
+    )
