@@ -212,6 +212,7 @@ def main() -> None:
     ratios: dict[str, float] = {}
     retried: dict[str, dict[str, float]] = {}
     errors: dict[str, str] = {}
+    raw_runs: dict[str, list[float]] = {}
     for name in names + llm_names + tpch_names:
         result = measure(name)
         if result is None:
@@ -230,6 +231,7 @@ def main() -> None:
         # purely as a disclosed diagnostic: it answers "slow JVM or
         # real regression?" without touching the statistic.
         timings[name] = result["median"]
+        raw_runs[name] = result["runs"]
         if at_sf01 and baseline:
             ratios[name] = round(result["median"] / baseline, 2)
         if (
@@ -253,6 +255,17 @@ def main() -> None:
         print("[bench] every query failed — no JSON to emit",
               file=sys.stderr)
         raise SystemExit(1)
+    # Host-stall disclosure (round 9): the measured hypervisor
+    # brownouts show up as a >=3x spread WITHIN one query's run set
+    # (e.g. q_tpch_q21 drawing 1.83 s and 11.93 s on identical code in
+    # the same five-run set), far outside the ~1.5x inter-JVM spread.
+    # Flag those queries mechanically so a contaminated round record
+    # reads as host weather, not a plan regression — the statistic and
+    # ratios are untouched, this is disclosure only (triage protocol:
+    # SCALE.md "Round-9: a measured host brownout").
+    stall_suspects = sorted(
+        n for n, r in raw_runs.items() if min(r) > 0 and max(r) >= 3 * min(r)
+    )
     head = {n: timings[n] for n in names if n in timings}
     llm = {n: timings[n] for n in llm_names if n in timings}
     tpch = {n: timings[n] for n in tpch_names if n in timings}
@@ -273,6 +286,8 @@ def main() -> None:
                 "baseline_ratios": ratios,
                 "retried": retried,
                 "errors": errors,
+                "runs": raw_runs,
+                "host_stall_suspects": stall_suspects,
                 "method": "isolated-session-per-query",
                 "runs_per_query": _bench_n(),
                 "statistic": "median",

@@ -13,6 +13,20 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
+def battery_seed(default: int) -> int:
+    """Seed for an adversarial-battery stream generator.
+
+    Committed runs are deterministic (offset 0 -> the documented
+    seeds, so a battery failure always reproduces).  Setting
+    ``SPARK_GRAFT_BATTERY_SEED_OFFSET=<int>`` re-draws every fixed-seed
+    stream under a fresh seed while keeping each stream's documented
+    construction (tie density, skew profile, domain bounds) — the
+    fresh-seed sweep each round hunts divergences the committed seeds
+    happen to miss, without making the default suite nondeterministic.
+    """
+    return default + int(os.environ.get("SPARK_GRAFT_BATTERY_SEED_OFFSET", "0"))
+
+
 def pytest_collection_modifyitems(items):
     """Lane contract (see pytest.ini): modules mark themselves `full`
     (parity sweeps, plan audits); everything else is auto-tagged

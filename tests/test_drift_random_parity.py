@@ -22,7 +22,7 @@ import pytest
 
 from weather_etl_spark.io import TABLES
 from weather_etl_spark.registry import load_all
-from tests.conftest import SMOKE_SF_DIR
+from tests.conftest import battery_seed, SMOKE_SF_DIR
 from tests.oracle_utils import compare_to_oracle
 
 pytestmark = pytest.mark.full  # adversarial parity sweep (see pytest.ini)
@@ -89,7 +89,7 @@ def _ties_stream():
     """Heavy collisions: duplicate timestamps, repeated values (exact
     quarter fractions to sit on ROUND boundaries), one zero-variance
     user, one type with a single row, rank ties everywhere."""
-    rng = random.Random(74901)
+    rng = random.Random(battery_seed(74901))
     t0 = datetime.datetime(2024, 3, 1)
     rows = []
     eid = 0
@@ -117,7 +117,7 @@ def _skew_stream():
     """Extreme skew and dynamic range: 90% one type, magnitudes from
     1e-3 to 1e5, two-row groups (degrees-of-freedom edges), and a
     burst day followed by a near-empty day."""
-    rng = random.Random(31337)
+    rng = random.Random(battery_seed(31337))
     t0 = datetime.datetime(2024, 3, 1)
     rows = []
     eid = 0
@@ -153,7 +153,7 @@ def _one_type_stream():
     Spark side's group-agg + crossJoin returned ZERO rows while the
     oracle's scalar subqueries return one row of NULLs (and
     q_agg_kruskal's single-group -0.0)."""
-    rng = random.Random(90091)
+    rng = random.Random(battery_seed(90091))
     t0 = datetime.datetime(2024, 3, 1)
     return [
         (

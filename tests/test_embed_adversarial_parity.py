@@ -23,7 +23,7 @@ import pytest
 
 from weather_etl_spark.io import TABLES
 from weather_etl_spark.registry import load_all
-from tests.conftest import SMOKE_SF_DIR
+from tests.conftest import battery_seed, SMOKE_SF_DIR
 from tests.oracle_utils import compare_to_oracle
 
 pytestmark = pytest.mark.full  # adversarial parity sweep (see pytest.ini)
@@ -56,7 +56,7 @@ def _tie_corpus():
       pairwise cosines (0.0) — mass ties at the same score;
     - the rest uniform noise.
     """
-    rng = random.Random(424242)
+    rng = random.Random(battery_seed(424242))
     vecs: list[list[float]] = []
 
     def noise(scale=1.0):

@@ -14,7 +14,9 @@ from __future__ import annotations
 import datetime
 import math
 import random
+import zlib
 
+from tests.conftest import battery_seed
 from weather_etl_spark.registry import load_all
 
 SPECS = load_all()
@@ -22,7 +24,9 @@ SPECS = load_all()
 
 def _random_events(spark, tmp_path, name, n=700, users=18, minutes=300):
     """Dense random stream: heavy (user, ts) and (type, ts) collisions."""
-    rng = random.Random(hash(name) % (2**31))
+    # stable per-op seed (process-salted builtin hash made a red
+    # run unreproducible) + the sweep offset from conftest
+    rng = random.Random(battery_seed(zlib.crc32(name.encode())))
     types = ["view", "click", "purchase", "error", "signup"]
     t0 = datetime.datetime(2024, 5, 1)
     rows = [

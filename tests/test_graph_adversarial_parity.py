@@ -24,7 +24,7 @@ import pytest
 
 from weather_etl_spark.io import TABLES
 from weather_etl_spark.registry import load_all
-from tests.conftest import SMOKE_SF_DIR
+from tests.conftest import battery_seed, SMOKE_SF_DIR
 from tests.oracle_utils import compare_to_oracle
 
 pytestmark = pytest.mark.full  # adversarial parity sweep (see pytest.ini)
@@ -54,7 +54,7 @@ def _adversarial_lineitem(order_keys, part_keys, supp_keys):
     Part/supplier keys are drawn from the REAL dimension tables' full
     key domains so the nation- and brand-filtered TPC-H rows (q7, q20)
     find matches instead of going vacuously empty."""
-    rng = random.Random(171717)
+    rng = random.Random(battery_seed(171717))
     rows = []
     parts = sorted(rng.sample(part_keys, min(len(part_keys), 160)))
     hubs = parts[:4]  # in almost every order

@@ -24,7 +24,7 @@ import pytest
 
 from weather_etl_spark.io import TABLES
 from weather_etl_spark.registry import load_all
-from tests.conftest import SMOKE_SF_DIR
+from tests.conftest import battery_seed, SMOKE_SF_DIR
 from tests.oracle_utils import compare_to_oracle
 
 pytestmark = pytest.mark.full  # adversarial parity sweep (see pytest.ini)
@@ -40,7 +40,7 @@ ORDERS_OPS = [
 
 
 def _adversarial_orders(cust_keys):
-    rng = random.Random(246802)
+    rng = random.Random(battery_seed(246802))
     rows = []
     ok = 1
     t0 = datetime.datetime(1995, 1, 1)
@@ -143,7 +143,7 @@ LINEITEM_OPS = ["q_agg_bootstrap_ci", "q_agg_ols2", "q_layout_zorder"]
 
 
 def _adversarial_lineitem():
-    rng = random.Random(135791)
+    rng = random.Random(battery_seed(135791))
     t0 = datetime.datetime(1995, 6, 1)
     rows = []
 

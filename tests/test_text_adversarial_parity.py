@@ -21,7 +21,7 @@ import pytest
 
 from weather_etl_spark.io import TABLES
 from weather_etl_spark.registry import load_all
-from tests.conftest import SMOKE_SF_DIR
+from tests.conftest import battery_seed, SMOKE_SF_DIR
 from tests.oracle_utils import compare_to_oracle
 
 pytestmark = pytest.mark.full  # adversarial parity sweep (see pytest.ini)
@@ -94,7 +94,7 @@ def _edge_corpus():
     """Structural edges: single-token and two-token docs, a doc that is
     one token repeated 60x, exact-duplicate texts under many doc_ids,
     shared 30-token prefixes with divergent tails, and long docs."""
-    rng = random.Random(90217)
+    rng = random.Random(battery_seed(90217))
     docs = []
     did = 0
 
@@ -131,7 +131,7 @@ def _dup_corpus():
     """Duplication-heavy: a few template texts instantiated dozens of
     times (dup-size histogram / soft-weights / novelty stress), plus
     high token-repetition docs that push n-gram counts to the edge."""
-    rng = random.Random(5501)
+    rng = random.Random(battery_seed(5501))
     docs = []
     did = 0
     templates = [
@@ -164,7 +164,7 @@ def test_funnel_stage_exhaustion_parity(spark, tmp_path):
     later stages' conditional sums aggregate empty sets. Caught the
     r7 bug where Spark emitted NULL n_in/n_out/cum_survival (raw SUM
     over no rows) while the oracle counted 0."""
-    rng = random.Random(8080)
+    rng = random.Random(battery_seed(8080))
     vocab = [f"v{i}" for i in range(40)]
     docs = [
         (i, " ".join(rng.choice(vocab) for _ in range(20)), "en", "srcA")
