@@ -118,3 +118,71 @@ def tie_dir(tmp_path_factory):
 @pytest.mark.parametrize("name", EMBED_OPS)
 def test_adversarial_embedding_parity(spark, tie_dir, name):
     compare_to_oracle(spark, SPECS[name], tie_dir)
+
+
+# --- planted-duplicate ANN recall: guaranteed-by-construction ---------------
+#
+# llm_ann_lsh / llm_ann_ivf are rows-only (approximate, no SQL oracle);
+# their fixture evidence is a recall FLOOR vs brute force.  This battery
+# asserts the one case where recall is not probabilistic but structural:
+# an EXACT duplicate of a probe vector shares every LSH band bucket
+# (identical sign bits in all 8 tables) and the same IVF cell (identical
+# max-cosine scores, identical deterministic tie-break), and the probe
+# always searches its own bucket/cell — so the twin MUST surface in the
+# top-5, at the maximum cosine, under ANY seed.
+
+
+def _planted_dup_corpus():
+    """300 noise vectors; probes 1..5 get exact float32 twins at
+    vec_ids 301..305 (identical payloads, distinct ids)."""
+    rng = random.Random(battery_seed(606060))
+    rows = []
+    for i in range(301):
+        v = [rng.gauss(0.0, 1.0) for _ in range(DIM)]
+        rows.append((i, [float(x) for x in v], i % 7))
+    for p in range(1, 6):  # exact twins of the five probe ids
+        rows.append((300 + p, list(rows[p][1]), rows[p][2]))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def dup_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("anndup")
+    rows = _planted_dup_corpus()
+    # same writer as tie_dir, different directory
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sub = d / "dup"
+    sub.mkdir()
+    for t in TABLES:
+        if t != "embeddings":
+            shutil.copy(f"{SMOKE_SF_DIR}/{t}.parquet", sub / f"{t}.parquet")
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [r[1] for r in rows], pa.list_(pa.float32())
+            ),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(sub / "embeddings.parquet"))
+    return str(sub)
+
+
+@pytest.mark.parametrize("name", ["llm_ann_lsh", "llm_ann_ivf"])
+def test_ann_planted_duplicate_recall(spark, dup_dir, name):
+    out = SPECS[name].fn(spark, dup_dir).collect()
+    by_probe = {}
+    for r in out:
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    for p in range(1, 6):
+        twin = 300 + p
+        got = {r["vec_id"]: r["cos"] for r in by_probe.get(p, [])}
+        assert twin in got, (
+            f"{name}: probe {p} missed its exact twin {twin} "
+            f"(returned {sorted(got)})"
+        )
+        assert got[twin] >= 0.9999, (p, twin, got[twin])
+        assert got[twin] == max(got.values()), (p, got)
