@@ -12,6 +12,7 @@ divergence here means the tie-break contract is broken somewhere.
 from __future__ import annotations
 
 import datetime
+import os
 import math
 import random
 import zlib
@@ -22,7 +23,12 @@ from weather_etl_spark.registry import load_all
 SPECS = load_all()
 
 
-def _random_events(spark, tmp_path, name, n=700, users=18, minutes=300):
+def _random_events(spark, tmp_path, name, n=None, users=18, minutes=300):
+    if n is None:
+        # committed lane runs at 700; the off-lane size sweep
+        # re-runs the same differentials sparse (empty types,
+        # single-row groups) and dense (heavier collisions)
+        n = int(os.environ.get("SPARK_GRAFT_BATTERY_N", "700"))
     """Dense random stream: heavy (user, ts) and (type, ts) collisions."""
     # stable per-op seed (process-salted builtin hash made a red
     # run unreproducible) + the sweep offset from conftest

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import collections
 import datetime
+import os
 import random
 import zlib
 
@@ -29,7 +30,12 @@ _TOL_US = 7_200_000_000  # q_join_asof_tol
 _TW_US = 3_600_000_000  # time-window joins
 
 
-def _random_events(spark, tmp_path, name, n=700, users=18, minutes=300):
+def _random_events(spark, tmp_path, name, n=None, users=18, minutes=300):
+    if n is None:
+        # committed lane runs at 700; the off-lane size sweep
+        # re-runs the same differentials sparse (empty types,
+        # single-row groups) and dense (heavier collisions)
+        n = int(os.environ.get("SPARK_GRAFT_BATTERY_N", "700"))
     """Dense random stream: heavy (user, ts) and (type, ts) collisions,
     duplicated values (ints / 7) so plateaus and rank ties occur."""
     # stable per-op seed (process-salted builtin hash made a red
@@ -207,7 +213,8 @@ def test_win_peaks_random_differential(spark, tmp_path):
         r = got[et]
         assert r["n_peaks"] == len(peaks)
         assert r["n_valleys"] == len(valleys)
-        assert len(peaks) < len(vs) // 2, "plateaus must not count"
+        if len(vs) >= 4:  # degenerate series trivially satisfy this
+            assert len(peaks) < len(vs) // 2, "plateaus must not count"
 
 
 def test_win_slope_and_median_random_differential(spark, tmp_path):
