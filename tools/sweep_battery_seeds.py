@@ -1,0 +1,80 @@
+"""Fresh-seed adversarial-battery campaign runner.
+
+The committed batteries are deterministic (offset 0 = the documented
+seeds) so a red run always reproduces; this tool re-runs ALL of them
+under a list of fresh seed offsets (and optionally fresh stream sizes
+for the two python-model differentials), hunting divergences the
+committed seeds happen to miss.  Pure verification — it changes
+nothing; each offset is one full pytest invocation so a failure
+pinpoints (offset, test) exactly.
+
+Usage:
+    python tools/sweep_battery_seeds.py 1000001 31415926 ...
+    python tools/sweep_battery_seeds.py --sizes 40,3000 5550001
+
+With no offsets given, draws three from the clock (recorded in the
+output so the run is reproducible after the fact).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+BATTERIES = [
+    "tests/test_drift_random_parity.py",
+    "tests/test_text_adversarial_parity.py",
+    "tests/test_orders_adversarial_parity.py",
+    "tests/test_embed_adversarial_parity.py",
+    "tests/test_graph_adversarial_parity.py",
+    "tests/test_eventseq_random_differential.py",
+    "tests/test_joinwin_random_differential.py",
+]
+
+
+def run_one(offset: int, n: str | None) -> bool:
+    env = dict(os.environ, SPARK_GRAFT_BATTERY_SEED_OFFSET=str(offset))
+    tag = f"offset={offset}"
+    files = BATTERIES
+    if n is not None:
+        env["SPARK_GRAFT_BATTERY_N"] = n
+        tag += f" n={n}"
+        # the size knob only reaches the two python-model differentials
+        files = BATTERIES[-2:]
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", *files, "-q", "--tb=short"],
+        capture_output=True, text=True, cwd=os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))),
+    )
+    ok = proc.returncode == 0
+    last = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+    print(f"[{'PASS' if ok else 'FAIL'}] {tag}  {time.time()-t0:.0f}s  {last}")
+    if not ok:
+        print(proc.stdout[-4000:])
+    return ok
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sizes: list[str] = []
+    if args and args[0] == "--sizes":
+        sizes = args[1].split(",")
+        args = args[2:]
+    offsets = [int(a) for a in args] or [
+        int(time.time()) * 7 + k for k in range(3)
+    ]
+    print(f"offsets: {offsets}  sizes: {sizes or '-'}")
+    ok = True
+    for off in offsets:
+        ok &= run_one(off, None)
+        for n in sizes:
+            ok &= run_one(off, n)
+    print("campaign:", "ALL GREEN" if ok else "FAILURES (see above)")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
