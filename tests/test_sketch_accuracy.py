@@ -76,3 +76,51 @@ def test_approx_cd_error_bound_at_dense_cardinality(spark, tmp_path):
             f"{et}: approx {r['approx_users']} vs exact {n_users} "
             f"(rel_err {rel_err:.4f} > 3x rsd)"
         )
+
+
+#: llm_near_dedup (MLlib MinHashLSH, rows-only — engine-specific hash
+#: family) has the same structural guarantee as the ANN rows: an EXACT
+#: duplicate text yields an identical shingle set, identical feature
+#: vector, identical minhash signature in every table — so the pair is
+#: co-bucketed by construction and approxSimilarityJoin MUST emit it at
+#: jaccard_dist exactly 0.0, under any corpus.
+def test_near_dedup_planted_exact_duplicates(spark, tmp_path):
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.conftest import battery_seed
+
+    rng = random.Random(battery_seed(515151))
+    vocab = [f"w{i}" for i in range(300)]
+    docs = []
+    for did in range(80):
+        docs.append(
+            (did, " ".join(rng.choice(vocab) for _ in range(40)), "en", "srcA")
+        )
+    planted = [(100, 0), (101, 7), (102, 33)]  # (dup_id, original_id)
+    for dup_id, orig in planted:
+        docs.append((dup_id, docs[orig][1], "en", "srcB"))
+    d = tmp_path / "neardup"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in docs], pa.int64()),
+                "text": pa.array([r[1] for r in docs], pa.string()),
+                "lang": pa.array([r[2] for r in docs], pa.string()),
+                "source": pa.array([r[3] for r in docs], pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in docs], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard_dist"]
+        for r in SPECS["llm_near_dedup"].fn(spark, str(d)).collect()
+    }
+    for dup_id, orig in planted:
+        pair = (min(orig, dup_id), max(orig, dup_id))
+        assert pair in out, f"planted exact duplicate {pair} missed"
+        assert out[pair] == 0.0, (pair, out[pair])
