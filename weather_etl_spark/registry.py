@@ -267,45 +267,10 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
     "q_tpch_q4", "q_tpch_q6", "q_tpch_q13", "q_tpch_q16",
     "q_tpch_q7", "q_tpch_q8", "q_tpch_q15", "q_tpch_q2",
     "q_tpch_q9", "q_tpch_q12",
-})
-
-#: Explicit order for the round-9 driver window (50 slots), per the r8
-#: verdict's order #1: hold the REGISTRATION FREEZE and fill the whole
-#: window from the 93 never-driver-checked rows, LLM-mandate modules
-#: first (the north star names dedup / similarity / text analysis).
-#: Composition: all 22 llm_prep.py + all 11 llm_vector.py + all 9
-#: llm_text.py + all 5 graph.py + 3 of 5 llm_dedup.py never-checked
-#: rows (q_llm_dedup_curve and q_llm_minhash_mae — eval-only rows,
-#: lowest user impact — queue for r10 per the verdict).  Done =
-#: CORRECTNESS_r09 50/50 green, llm_prep / llm_vector / llm_text /
-#: graph at ZERO never-checked.
-#:
-#: r10 window plan (verdict order #3), locked now: the remaining 43
-#: never-checked rows — drift.py 14 (runs_test chisq spearman theilsen
-#: bootstrap_ci ols2 kruskal levene cohens_kappa event_calibration
-#: cohens_d dispersion quantile_norm stl_strength), joins.py 6 (bloom
-#: asof_tol time_window_semi time_window_anti mark asof_nearest),
-#: windows.py 5 (distinct_running peaks slope rolling_median drawdown),
-#: sources 3 (binaryfile csv_malformed json_malformed), scans.py 3
-#: (column_stats partition_prune sample_split3), sink_ops.py 3
-#: (text_roundtrip csv_quoted parquet_merge), udf_surface.py 3
-#: (pandas_iter mapinarrow sql_params), pipeline.py 2, tpch 2 (q11
-#: q20), llm_dedup 2 (dedup_curve minhash_mae) — plus the 7 slack
-#: slots going to the stalest DRIVER_STALE_R3 rows (the rotation
-#: already orders them first in the verified tail).  After r10: zero
-#: never-checked rows, r3-stale tail fully drained by r11.
-#:
-#: src_binaryfile (sources/binary.py:29 — the one row with zero driver
-#: lineage of any kind, verdict order #4): it RIDES the r10 window for
-#: its rows-only count.  It is rows-only by design because the driver's
-#: DuckDB oracle runs over the ten pre-registered parquet views only,
-#: while src_binaryfile reads raw image/audio files via Spark's
-#: binaryFile source from a path the query itself writes under /tmp —
-#: no view-bound SQL can express that scan; its bytes are instead
-#: byte-identity-tested against pyarrow ground truth in
-#: tests/test_sources.py.
-DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- llm_prep.py: all 22 never-checked, registration order --
+    # round 9 green (50/50 hash-pass, zero err) per CORRECTNESS_r09.json
+    # — the whole window drawn from the never-checked backlog: all 22
+    # llm_prep.py + all 11 llm_vector.py + all 9 llm_text.py + all 5
+    # graph.py + 3 llm_dedup.py rows
     "q_llm_bpe_pairs", "q_llm_keywords", "q_llm_dsir",
     "q_llm_dedup_weights", "q_llm_strip_markup", "q_llm_encoding_check",
     "q_llm_sentences", "q_llm_token_budget", "q_llm_gram_novelty",
@@ -314,20 +279,80 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_llm_preference_pairs", "q_llm_boilerplate", "q_llm_distinct_n",
     "q_llm_blocklist_filter", "q_llm_heaps_law", "q_llm_collocations",
     "q_llm_cooccur_window",
-    # -- llm_vector.py: all 11 never-checked, registration order --
     "q_llm_semdedup", "q_llm_embed_truncate", "q_llm_embed_pq",
     "q_llm_hard_negatives", "q_dq_embeddings", "q_llm_retrieval_eval",
     "q_llm_mmr_select", "q_llm_ood_score", "q_llm_prf_expand",
     "q_llm_align_uniform", "q_llm_hubness",
-    # -- llm_text.py: all 9 never-checked, registration order --
     "q_llm_ppl_bucket", "q_llm_entropy_rate", "q_llm_bm25",
     "q_llm_filter_funnel", "q_llm_rouge", "q_llm_bleu",
     "q_llm_kneser_ney", "q_llm_ppl_holdout", "q_llm_log_odds",
-    # -- graph.py: all 5 never-checked, registration order --
     "q_graph_triangles", "q_graph_adamic_adar", "q_graph_lpa_communities",
     "q_graph_kcore", "q_graph_assortativity",
-    # -- llm_dedup.py: 3 of 5 (dedup_curve / minhash_mae queue for r10) --
     "q_llm_dup_size_hist", "q_llm_dedup_incremental", "q_llm_minhash_eval",
+})
+
+#: Explicit order for the round-10 driver window (50 slots), executing
+#: the r9 verdict's orders #1/#3 exactly as locked during round 9:
+#: hold the REGISTRATION FREEZE, drain the last 43 never-checked rows
+#: to ZERO, and spend the 7 slack slots on the two rewritten-since-
+#: verdict rows plus the 5 stalest-r3 banded-dedup rows.  Done =
+#: CORRECTNESS_r10 50/50 green and zero never-driver-checked rows
+#: (driver coverage 379/379 unique).  The r9 window (all 22 llm_prep +
+#: 11 llm_vector + 9 llm_text + 5 graph + 3 llm_dedup) came back 50/50
+#: green, so those rows moved into DRIVER_VERIFIED above.
+#:
+#: r11 plan: finish draining DRIVER_STALE_R3 (40 rows remain after
+#: this window's 5) through the verified-tail rotation, stalest first.
+#:
+#: src_binaryfile (sources/binary.py:29 — the one row with zero driver
+#: lineage of any kind, r9 verdict order on it unchanged): it RIDES
+#: this window for its rows-only count.  It is rows-only by design
+#: because the driver's DuckDB oracle runs over the ten pre-registered
+#: parquet views only, while src_binaryfile reads raw image/audio
+#: files via Spark's binaryFile source from a path the query itself
+#: writes under /tmp — no view-bound SQL can express that scan; its
+#: bytes are instead byte-identity-tested against pyarrow ground truth
+#: in tests/test_sources.py.
+DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
+    # ===== round-10 window (50 slots), per the r9 verdict orders
+    # #1/#3: the 43 remaining never-checked rows drain to ZERO, then
+    # the 7 slack slots go to (a) the two rows whose r9 rewrites
+    # postdate their last driver verdict (q_agg_mannwhitney rank-ledger
+    # 3db97a0, q_win_rolling_corr raise_error guard — both last seen by
+    # the driver in r7) and (b) the 5 stalest-r3 LLM banded-dedup rows
+    # (the highest-traffic members of DRIVER_STALE_R3). =====
+    # -- drift.py: all 14 never-checked, registration order --
+    "q_agg_runs_test", "q_agg_chisq", "q_agg_spearman", "q_agg_theilsen",
+    "q_agg_bootstrap_ci", "q_agg_ols2", "q_agg_kruskal", "q_agg_levene",
+    "q_agg_cohens_kappa", "q_event_calibration", "q_agg_cohens_d",
+    "q_agg_dispersion", "q_agg_quantile_norm", "q_time_stl_strength",
+    # -- joins.py: all 6 never-checked --
+    "q_join_bloom", "q_join_asof_tol", "q_join_time_window_semi",
+    "q_join_time_window_anti", "q_join_mark", "q_join_asof_nearest",
+    # -- windows.py: all 5 never-checked --
+    "q_win_distinct_running", "q_win_peaks", "q_win_slope",
+    "q_win_rolling_median", "q_win_drawdown",
+    # -- sources: all 3 never-checked (src_binaryfile rows-only by
+    # design — path-bound binaryFile scan the view-bound oracle can't
+    # express; its first driver row lands here) --
+    "src_binaryfile", "src_csv_malformed", "src_json_malformed",
+    # -- scans.py: all 3 never-checked --
+    "q_scan_column_stats", "q_scan_partition_prune", "q_sample_split3",
+    # -- sink_ops.py: all 3 never-checked --
+    "snk_text_roundtrip", "snk_csv_quoted", "src_parquet_merge",
+    # -- udf_surface.py: all 3 never-checked --
+    "q_udf_pandas_iter", "udtf_mapinarrow", "q_sql_params",
+    # -- pipeline.py: both never-checked composites --
+    "pipe_events_e2e", "pipe_llm_corpus_e2e",
+    # -- tpch.py: the last 2 never-checked --
+    "q_tpch_q11", "q_tpch_q20",
+    # -- llm_dedup.py: the 2 eval-only rows queued from r9 --
+    "q_llm_dedup_curve", "q_llm_minhash_mae",
+    # -- slack (7): rewritten-since-verdict pair + 5 stalest-r3 banded
+    # dedup rows --
+    "q_agg_mannwhitney", "q_win_rolling_corr",
+    "llm_jaccard_prefix", "llm_minhash_banded", "llm_editdist_banded",
+    "llm_components_starcontract", "llm_cosine_pairs_blocked",
 )
 
 
