@@ -268,8 +268,13 @@ def main() -> None:
     # reads as host weather, not a plan regression — the statistic and
     # ratios are untouched, this is disclosure only (triage protocol:
     # SCALE.md "Round-9: a measured host brownout").
+    # Timings are rounded to 3 decimals, so clamp the floor of the
+    # ratio test to 1 ms (a 0.000 draw would otherwise disable
+    # detection for that query) and require an absolute spread of at
+    # least 250 ms (sub-second queries can trip 3x on normal jitter).
     stall_suspects = sorted(
-        n for n, r in raw_runs.items() if min(r) > 0 and max(r) >= 3 * min(r)
+        n for n, r in raw_runs.items()
+        if max(r) >= 3 * max(min(r), 0.001) and max(r) - min(r) >= 0.25
     )
     head = {n: timings[n] for n in names if n in timings}
     llm = {n: timings[n] for n in llm_names if n in timings}

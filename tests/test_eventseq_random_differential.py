@@ -24,12 +24,12 @@ SPECS = load_all()
 
 
 def _random_events(spark, tmp_path, name, n=None, users=18, minutes=300):
+    """Dense random stream: heavy (user, ts) and (type, ts) collisions."""
     if n is None:
         # committed lane runs at 700; the off-lane size sweep
         # re-runs the same differentials sparse (empty types,
         # single-row groups) and dense (heavier collisions)
         n = int(os.environ.get("SPARK_GRAFT_BATTERY_N", "700"))
-    """Dense random stream: heavy (user, ts) and (type, ts) collisions."""
     # stable per-op seed (process-salted builtin hash made a red
     # run unreproducible) + the sweep offset from conftest
     rng = random.Random(battery_seed(zlib.crc32(name.encode())))

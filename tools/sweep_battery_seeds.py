@@ -33,6 +33,20 @@ BATTERIES = [
     "tests/test_joinwin_random_differential.py",
 ]
 
+#: The batteries whose stream size honors SPARK_GRAFT_BATTERY_N (the
+#: two python-model differentials).  Named explicitly rather than
+#: sliced off BATTERIES so reordering/appending there can't silently
+#: point the size sweep at batteries that ignore the knob.
+SIZED_BATTERIES = [
+    "tests/test_eventseq_random_differential.py",
+    "tests/test_joinwin_random_differential.py",
+]
+
+#: A full battery file finishes well inside 15 min on this host; a hung
+#: Spark session would otherwise stall the whole campaign silently
+#: (capture_output swallows all progress).
+BATTERY_TIMEOUT_S = 2400
+
 
 def run_one(offset: int, n: str | None) -> bool:
     env = dict(os.environ, SPARK_GRAFT_BATTERY_SEED_OFFSET=str(offset))
@@ -41,14 +55,19 @@ def run_one(offset: int, n: str | None) -> bool:
     if n is not None:
         env["SPARK_GRAFT_BATTERY_N"] = n
         tag += f" n={n}"
-        # the size knob only reaches the two python-model differentials
-        files = BATTERIES[-2:]
+        files = SIZED_BATTERIES
     t0 = time.time()
-    proc = subprocess.run(
-        [sys.executable, "-m", "pytest", *files, "-q", "--tb=short"],
-        capture_output=True, text=True, cwd=os.path.dirname(
-            os.path.dirname(os.path.abspath(__file__))),
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-m", "pytest", *files, "-q", "--tb=short"],
+            capture_output=True, text=True, env=env, cwd=os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))),
+            timeout=BATTERY_TIMEOUT_S,
+        )
+    except subprocess.TimeoutExpired:
+        print(f"[HUNG] {tag}  killed after {BATTERY_TIMEOUT_S}s "
+              f"({', '.join(files)})")
+        return False
     ok = proc.returncode == 0
     last = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
     print(f"[{'PASS' if ok else 'FAIL'}] {tag}  {time.time()-t0:.0f}s  {last}")
