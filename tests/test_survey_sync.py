@@ -132,3 +132,74 @@ def test_bench_sections_name_registered_queries():
         f"bench.BASELINE_SF01 has baselines for unregistered queries: "
         f"{stale_baselines}"
     )
+
+
+def test_rewritten_implementations_are_queued_for_driver_recheck():
+    """The "implementation changed => driver lineage stale" rule, made
+    mechanical (r9 verdict order #3: q_agg_mannwhitney's rank-ledger
+    rewrite and q_win_rolling_corr's guard shipped in r9 while their
+    driver verdicts stayed at r7, and only the builder's memory queued
+    them).  IMPL_FINGERPRINTS.json pins, per query, the AST hash of the
+    registered callable at its last driver verdict; any query whose
+    current hash differs MUST sit in DRIVER_WINDOW_PRIORITY (queued for
+    a fresh verdict).  Refresh the ledger per round with
+    `tools/emit_impl_fingerprints.py --round N` after CORRECTNESS_r{N}
+    lands.  Helper-level rewrites don't move the hash — those still
+    need manual queueing (documented in the tool)."""
+    import json
+
+    from weather_etl_spark.registry import DRIVER_WINDOW_PRIORITY
+
+    sys_path_root = str(SURVEY.parent)
+    import sys as _sys
+    if sys_path_root not in _sys.path:
+        _sys.path.insert(0, sys_path_root)
+    from tools.emit_impl_fingerprints import current_hashes
+
+    ledger_path = SURVEY.parent / "IMPL_FINGERPRINTS.json"
+    assert ledger_path.exists(), (
+        "IMPL_FINGERPRINTS.json missing — run "
+        "tools/emit_impl_fingerprints.py --all"
+    )
+    committed = json.loads(ledger_path.read_text())
+    now = current_hashes()
+    assert set(committed) == set(now), (
+        "fingerprint ledger rows drifted from the registry — "
+        f"only-in-ledger={sorted(set(committed) - set(now))} "
+        f"only-in-registry={sorted(set(now) - set(committed))}"
+    )
+    window = set(DRIVER_WINDOW_PRIORITY)
+    unqueued = sorted(
+        n for n in now if committed[n] != now[n] and n not in window
+    )
+    assert not unqueued, (
+        "these queries' implementations changed since their recorded "
+        "driver verdict but are NOT queued in DRIVER_WINDOW_PRIORITY "
+        f"for a re-check: {unqueued} — add them to the window (or, if "
+        "a verdict already covers the new code, refresh the ledger "
+        "with tools/emit_impl_fingerprints.py --round N)"
+    )
+
+
+def test_impl_fingerprint_hash_tracks_semantics_not_formatting():
+    """Self-test for the fingerprint primitive (the auditors-get-
+    audited rule from r9): the AST hash must move when the body
+    changes and must NOT move for comment/whitespace-only edits —
+    otherwise the rewritten-implementation tripwire above is hollow."""
+    import ast
+    import hashlib
+    import textwrap
+
+    def h(src: str) -> str:
+        tree = ast.parse(textwrap.dedent(src))
+        return hashlib.sha256(ast.dump(tree).encode()).hexdigest()[:16]
+
+    base = "def f(x):\n    return x + 1\n"
+    reformatted = "def f(x):\n    # a comment\n    return (x + 1)\n"
+    changed = "def f(x):\n    return x + 2\n"
+    assert h(base) == h(reformatted), (
+        "comment/formatting edits must not move the fingerprint"
+    )
+    assert h(base) != h(changed), (
+        "a body change must move the fingerprint"
+    )
