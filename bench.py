@@ -148,6 +148,19 @@ def _bench_n() -> int:
     return max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "7")))
 
 
+def _cpu_jiffies() -> tuple[int, int] | None:
+    """(steal, total) jiffies from /proc/stat, or None off-Linux."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(v) for v in parts[1:]]
+        # user nice system idle iowait irq softirq steal [guest ...]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals[:8])
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def run_single(name: str, sf_dir: str) -> None:
     """Child mode: measure one query in this process, print JSON."""
     from weather_etl_spark import get_spark
@@ -164,9 +177,19 @@ def run_single(name: str, sf_dir: str) -> None:
     warm = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_WARM", "3")))
     for _ in range(warm):  # first-use codegen JIT, file listing, etc.
         run_once()
+    j0 = _cpu_jiffies()
     runs = [run_once() for _ in range(_bench_n())]
+    j1 = _cpu_jiffies()
+    # Hypervisor steal% over the timed window (r9 verdict order #5:
+    # make brownouts machine-detectable instead of inferred from
+    # spread).  Normal readings on this host are ~0; a brownout round
+    # carries its own evidence in the committed BENCH record.
+    steal_pct = None
+    if j0 and j1 and j1[1] > j0[1]:
+        steal_pct = round(100.0 * (j1[0] - j0[0]) / (j1[1] - j0[1]), 2)
     print(json.dumps({"name": name, "runs": runs,
-                      "median": round(statistics.median(runs), 3)}))
+                      "median": round(statistics.median(runs), 3),
+                      "steal_pct": steal_pct}))
     spark.stop()
 
 
@@ -218,6 +241,7 @@ def main() -> None:
     retried: dict[str, dict[str, float]] = {}
     errors: dict[str, str] = {}
     raw_runs: dict[str, list[float]] = {}
+    steal_pcts: dict[str, float] = {}
     for name in names + llm_names + tpch_names:
         result = measure(name)
         if result is None:
@@ -237,6 +261,8 @@ def main() -> None:
         # real regression?" without touching the statistic.
         timings[name] = result["median"]
         raw_runs[name] = result["runs"]
+        if result.get("steal_pct") is not None:
+            steal_pcts[name] = result["steal_pct"]
         if at_sf01 and baseline:
             ratios[name] = round(result["median"] / baseline, 2)
         if (
@@ -298,6 +324,7 @@ def main() -> None:
                 "errors": errors,
                 "runs": raw_runs,
                 "host_stall_suspects": stall_suspects,
+                "steal_pct": steal_pcts,
                 "method": "isolated-session-per-query",
                 "runs_per_query": _bench_n(),
                 "statistic": "median",
