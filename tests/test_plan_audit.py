@@ -84,3 +84,42 @@ def test_plan_snapshot_is_tight():
         f"stale: {sorted(set(SNAPSHOT) - set(NAMES))} "
         f"missing: {sorted(set(NAMES) - set(SNAPSHOT))}"
     )
+
+
+def test_sf1_plan_snapshot_pins_heaviest_selection():
+    """tests/plan_snapshot_sf1.json (r9 verdict order #7) must cover
+    exactly the 30 shuffle-heaviest snapshot rows per the tool's
+    mechanical selection rule, inline the committed sf0.01 counts it
+    claims to diff against, and carry the executed-join composition
+    fields — so the 10x ledger can't silently drift from the sf0.01
+    snapshot it annotates.  Regenerate with
+    tools/emit_plan_snapshot_sf1.py when plan_snapshot.json moves a
+    top-30 row."""
+    import sys
+
+    root = str(Path(__file__).resolve().parent.parent)
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    from tools.emit_plan_snapshot_sf1 import TOP_N, heaviest
+
+    path = Path(__file__).parent / "plan_snapshot_sf1.json"
+    assert path.exists(), (
+        "plan_snapshot_sf1.json missing — run "
+        "tools/emit_plan_snapshot_sf1.py"
+    )
+    ledger = json.loads(path.read_text())
+    want = set(heaviest(TOP_N))
+    assert set(ledger) == want, (
+        f"sf1 ledger rows drifted from the top-{TOP_N} selection — "
+        f"stale: {sorted(set(ledger) - want)} "
+        f"missing: {sorted(want - set(ledger))}"
+    )
+    for name, row in ledger.items():
+        assert row["sf001_exchanges"] == SNAPSHOT[name], (
+            f"{name}: ledger inlines sf0.01 count {row['sf001_exchanges']} "
+            f"but the committed snapshot says {SNAPSHOT[name]} — "
+            "regenerate the sf1 ledger"
+        )
+        for field in ("static_exchanges", "exec_bhj", "exec_smj",
+                      "exec_shj", "seconds"):
+            assert field in row, f"{name}: ledger row missing {field}"
