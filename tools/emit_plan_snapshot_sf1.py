@@ -48,7 +48,10 @@ from weather_etl_spark.session import get_spark
 
 SNAP = ROOT / "tests" / "plan_snapshot.json"
 OUT = ROOT / "tests" / "plan_snapshot_sf1.json"
-TOP_N = 30
+#: 30 at first emission (the verdict's ask); widened to 60 in the same
+#: round once the first pass came back with zero deltas — the marginal
+#: rows (<=7 exchanges) are cheap and double the flip-detection surface.
+TOP_N = 60
 
 
 def heaviest(n: int = TOP_N) -> list[str]:
