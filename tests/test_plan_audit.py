@@ -88,13 +88,13 @@ def test_plan_snapshot_is_tight():
 
 def test_sf1_plan_snapshot_pins_heaviest_selection():
     """tests/plan_snapshot_sf1.json (r9 verdict order #7) must cover
-    exactly the 30 shuffle-heaviest snapshot rows per the tool's
-    mechanical selection rule, inline the committed sf0.01 counts it
-    claims to diff against, and carry the executed-join composition
-    fields — so the 10x ledger can't silently drift from the sf0.01
-    snapshot it annotates.  Regenerate with
-    tools/emit_plan_snapshot_sf1.py when plan_snapshot.json moves a
-    top-30 row."""
+    exactly the TOP_N shuffle-heaviest snapshot rows (TOP_N lives in
+    the tool — 60 since the r10 widening) per the mechanical selection
+    rule, inline the committed sf0.01 counts it claims to diff
+    against, and carry the executed-join composition fields — so the
+    10x ledger can't silently drift from the sf0.01 snapshot it
+    annotates.  Regenerate with tools/emit_plan_snapshot_sf1.py when
+    plan_snapshot.json moves a top-TOP_N row."""
     import sys
 
     root = str(Path(__file__).resolve().parent.parent)

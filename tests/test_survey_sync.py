@@ -181,25 +181,40 @@ def test_rewritten_implementations_are_queued_for_driver_recheck():
     )
 
 
-def test_impl_fingerprint_hash_tracks_semantics_not_formatting():
+def test_impl_fingerprint_hash_tracks_semantics_not_formatting(tmp_path):
     """Self-test for the fingerprint primitive (the auditors-get-
     audited rule from r9): the AST hash must move when the body
     changes and must NOT move for comment/whitespace-only edits —
-    otherwise the rewritten-implementation tripwire above is hollow."""
-    import ast
-    import hashlib
-    import textwrap
+    otherwise the rewritten-implementation tripwire above is hollow.
+    Exercises the PRODUCTION impl_hash on real imported functions
+    (a local re-implementation of the hash would keep this test green
+    while the real primitive regressed)."""
+    import importlib.util
+    import sys as _sys
 
-    def h(src: str) -> str:
-        tree = ast.parse(textwrap.dedent(src))
-        return hashlib.sha256(ast.dump(tree).encode()).hexdigest()[:16]
+    root = str(SURVEY.parent)
+    if root not in _sys.path:
+        _sys.path.insert(0, root)
+    from tools.emit_impl_fingerprints import impl_hash
 
-    base = "def f(x):\n    return x + 1\n"
-    reformatted = "def f(x):\n    # a comment\n    return (x + 1)\n"
-    changed = "def f(x):\n    return x + 2\n"
-    assert h(base) == h(reformatted), (
+    def load(src: str):
+        mod_path = tmp_path / "fp_probe.py"
+        mod_path.write_text(src)
+        spec = importlib.util.spec_from_file_location("fp_probe", mod_path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        import linecache
+        linecache.clearcache()  # same path, new contents
+        return mod.f
+
+    base = impl_hash(load("def f(x):\n    return x + 1\n"))
+    reformatted = impl_hash(load(
+        "def f(x):\n    # a comment\n    return (x + 1)\n"
+    ))
+    changed = impl_hash(load("def f(x):\n    return x + 2\n"))
+    assert base == reformatted, (
         "comment/formatting edits must not move the fingerprint"
     )
-    assert h(base) != h(changed), (
+    assert base != changed, (
         "a body change must move the fingerprint"
     )

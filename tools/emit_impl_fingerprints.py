@@ -14,7 +14,14 @@ Refresh policy (mirrors FRESHNESS.json):
     PYTHONPATH=. python tools/emit_impl_fingerprints.py --round N
         after CORRECTNESS_r{N}.json lands: re-records the hash ONLY for
         the rows that round checked (their verdict now covers the
-        current source).
+        current source).  MUST be run as the FIRST action of the new
+        round, before any engine edit: the stamped hash is the CURRENT
+        source's, which equals the verified source's only while the
+        tree still matches the snapshot the driver judged.  The tool
+        enforces the cheap half of that contract by refusing to run
+        --round on a dirty working tree; a committed rewrite landing
+        between the driver run and the refresh would still be blessed
+        silently — that residual gap is why the ordering rule exists.
 
     PYTHONPATH=. python tools/emit_impl_fingerprints.py --all
         full (re)population — initial bootstrap, or after an audited
@@ -54,10 +61,30 @@ def current_hashes() -> dict[str, str]:
     return {name: impl_hash(spec.fn) for name, spec in load_all().items()}
 
 
+def _tree_is_dirty() -> bool:
+    import subprocess
+
+    out = subprocess.run(
+        ["git", "status", "--porcelain"], cwd=ROOT,
+        capture_output=True, text=True, check=True,
+    ).stdout
+    return bool(out.strip())
+
+
 def main() -> None:
     args = sys.argv[1:]
-    now = current_hashes()
-    if args and args[0] == "--round":
+    # Strict mode parsing: exactly --all, or exactly --round N.  A
+    # typo must be a usage error regardless of whether the ledger
+    # already exists on this machine.
+    if len(args) == 2 and args[0] == "--round" and args[1].isdigit():
+        if _tree_is_dirty():
+            raise SystemExit(
+                "--round refuses on a dirty working tree: the stamped "
+                "hashes must be the source the driver verified — "
+                "commit/stash first, and run this as the round's FIRST "
+                "action (see module docstring)"
+            )
+        now = current_hashes()
         rnd = int(args[1])
         cpath = ROOT / f"CORRECTNESS_r{rnd:02d}.json"
         checked = set(json.loads(cpath.read_text()))
@@ -67,7 +94,8 @@ def main() -> None:
             for n in sorted(now)
         }
         tag = f"--round {rnd} ({len(checked)} rows refreshed)"
-    elif args == ["--all"] or not LEDGER.exists():
+    elif args == ["--all"]:
+        now = current_hashes()
         ledger = dict(sorted(now.items()))
         tag = "--all (full repopulation)"
     else:

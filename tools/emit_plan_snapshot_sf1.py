@@ -83,27 +83,35 @@ def main() -> None:
     specs = load_all()
     ledger: dict[str, dict] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = specs[name].fn(spark, DST)
-        static = audit_plan(df).exchanges
-        df.count()
-        sec = round(time.perf_counter() - t0, 2)
-        final = df._jdf.queryExecution().executedPlan().toString()
-        ledger[name] = {
-            "static_exchanges": static,
-            "sf001_exchanges": sf001[name],
-            "exec_bhj": final.count("BroadcastHashJoin"),
-            "exec_smj": final.count("SortMergeJoin"),
-            "exec_shj": final.count("ShuffledHashJoin"),
-            "seconds": sec,
-        }
-        delta = static - sf001[name]
-        print(f"{name}: static={static} (sf0.01 {sf001[name]}, "
-              f"delta {delta:+d}) exec BHJ={ledger[name]['exec_bhj']} "
-              f"SMJ={ledger[name]['exec_smj']} "
-              f"SHJ={ledger[name]['exec_shj']} {sec}s", flush=True)
+        # A failure on row 59/60 must not discard hours of completed
+        # measurements: each row is guarded, and the ledger is
+        # rewritten after every row so a crash leaves a resumable file
+        # (an "error" row fails the pin test loudly — regenerate).
+        try:
+            t0 = time.perf_counter()
+            df = specs[name].fn(spark, DST)
+            static = audit_plan(df).exchanges
+            df.count()
+            sec = round(time.perf_counter() - t0, 2)
+            final = df._jdf.queryExecution().executedPlan().toString()
+            ledger[name] = {
+                "static_exchanges": static,
+                "sf001_exchanges": sf001[name],
+                "exec_bhj": final.count("BroadcastHashJoin"),
+                "exec_smj": final.count("SortMergeJoin"),
+                "exec_shj": final.count("ShuffledHashJoin"),
+                "seconds": sec,
+            }
+            delta = static - sf001[name]
+            print(f"{name}: static={static} (sf0.01 {sf001[name]}, "
+                  f"delta {delta:+d}) exec BHJ={ledger[name]['exec_bhj']} "
+                  f"SMJ={ledger[name]['exec_smj']} "
+                  f"SHJ={ledger[name]['exec_shj']} {sec}s", flush=True)
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            ledger[name] = {"error": f"{type(exc).__name__}: {exc}"}
+            print(f"{name}: ERROR {ledger[name]['error']}", flush=True)
+        OUT.write_text(json.dumps(ledger, indent=1, sort_keys=True) + "\n")
         release_session_checkpoints(spark)
-    OUT.write_text(json.dumps(ledger, indent=1, sort_keys=True) + "\n")
     print(f"wrote {OUT} ({len(ledger)} rows)", file=sys.stderr)
     flips = {
         n: r for n, r in ledger.items()

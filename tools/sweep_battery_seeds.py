@@ -64,9 +64,16 @@ def run_one(offset: int, n: str | None) -> bool:
                 os.path.dirname(os.path.abspath(__file__))),
             timeout=BATTERY_TIMEOUT_S,
         )
-    except subprocess.TimeoutExpired:
+    except subprocess.TimeoutExpired as exc:
         print(f"[HUNG] {tag}  killed after {BATTERY_TIMEOUT_S}s "
               f"({', '.join(files)})")
+        # TimeoutExpired carries whatever the child printed before the
+        # kill — the last test line is the stall's best diagnosis.
+        partial = exc.stdout or b""
+        if isinstance(partial, bytes):
+            partial = partial.decode(errors="replace")
+        if partial.strip():
+            print(partial[-4000:])
         return False
     ok = proc.returncode == 0
     last = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
