@@ -13,15 +13,16 @@ Refresh policy (mirrors FRESHNESS.json):
 
     PYTHONPATH=. python tools/emit_impl_fingerprints.py --round N
         after CORRECTNESS_r{N}.json lands: re-records the hash ONLY for
-        the rows that round checked (their verdict now covers the
-        current source).  MUST be run as the FIRST action of the new
-        round, before any engine edit: the stamped hash is the CURRENT
-        source's, which equals the verified source's only while the
-        tree still matches the snapshot the driver judged.  The tool
-        enforces the cheap half of that contract by refusing to run
-        --round on a dirty working tree; a committed rewrite landing
-        between the driver run and the refresh would still be blessed
-        silently — that residual gap is why the ordering rule exists.
+        the rows that round checked, computed AT THE COMMIT THE DRIVER
+        JUDGED — the parent of the commit that added
+        CORRECTNESS_r{N}.json (extracted via `git archive` into a temp
+        dir and hashed by a subprocess importing that tree).  A rewrite
+        landing after the driver ran therefore cannot be blessed: the
+        stamped hash is the verified source's, and the current tree's
+        divergence from it trips the test until the row is re-queued.
+        Falls back to hashing the current tree (with a loud warning)
+        only when git/lineage extraction fails, guarded by the
+        clean-tree refusal below.
 
     PYTHONPATH=. python tools/emit_impl_fingerprints.py --all
         full (re)population — initial bootstrap, or after an audited
@@ -71,6 +72,59 @@ def _tree_is_dirty() -> bool:
     return bool(out.strip())
 
 
+#: Inline hashing script run inside the extracted verdict-time tree —
+#: re-states impl_hash/current_hashes so it works in trees that
+#: predate this tool's existence.
+_HASH_SCRIPT = """
+import ast, hashlib, inspect, json, sys, textwrap, warnings
+warnings.filterwarnings("ignore")
+sys.path.insert(0, sys.argv[1])
+from weather_etl_spark.registry import load_all
+out = {}
+for name, spec in load_all().items():
+    src = textwrap.dedent(inspect.getsource(spec.fn))
+    out[name] = hashlib.sha256(
+        ast.dump(ast.parse(src)).encode()).hexdigest()[:16]
+print(json.dumps(out))
+"""
+
+
+def hashes_at_verdict_commit(rnd: int) -> dict[str, str] | None:
+    """Hashes of every registered fn at the snapshot the round-``rnd``
+    driver judged: the parent of the commit that added
+    CORRECTNESS_r{rnd}.json.  None when lineage can't be extracted
+    (no such commit / archive or import failure) — caller falls back
+    to the current tree with a warning."""
+    import subprocess
+    import tempfile
+
+    fname = f"CORRECTNESS_r{rnd:02d}.json"
+    try:
+        add_commit = subprocess.run(
+            ["git", "log", "--format=%H", "--diff-filter=A", "--", fname],
+            cwd=ROOT, capture_output=True, text=True, check=True,
+        ).stdout.split()
+        if not add_commit:
+            return None
+        snapshot = f"{add_commit[-1]}^"  # first add; parent = judged tree
+        with tempfile.TemporaryDirectory(prefix="fp-verdict-") as tmp:
+            tar = subprocess.run(
+                ["git", "archive", snapshot],
+                cwd=ROOT, capture_output=True, check=True,
+            ).stdout
+            subprocess.run(
+                ["tar", "-x", "-C", tmp], input=tar, check=True,
+            )
+            out = subprocess.run(
+                [sys.executable, "-c", _HASH_SCRIPT, tmp],
+                capture_output=True, text=True, check=True, cwd=tmp,
+            ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+    except (subprocess.CalledProcessError, OSError, ValueError,
+            IndexError):
+        return None
+
+
 def main() -> None:
     args = sys.argv[1:]
     # Strict mode parsing: exactly --all, or exactly --round N.  A
@@ -88,12 +142,22 @@ def main() -> None:
         rnd = int(args[1])
         cpath = ROOT / f"CORRECTNESS_r{rnd:02d}.json"
         checked = set(json.loads(cpath.read_text()))
+        verdict = hashes_at_verdict_commit(rnd)
+        src_label = "verdict-commit"
+        if verdict is None:
+            print("WARNING: could not hash the verdict-time snapshot "
+                  "(git lineage extraction failed) — falling back to "
+                  "the CURRENT tree; valid only if nothing was "
+                  "committed since the driver ran", file=sys.stderr)
+            verdict, src_label = now, "current-tree FALLBACK"
         old = json.loads(LEDGER.read_text()) if LEDGER.exists() else {}
         ledger = {
-            n: (now[n] if n in checked else old.get(n, now[n]))
+            n: (verdict.get(n, now[n]) if n in checked
+                else old.get(n, now[n]))
             for n in sorted(now)
         }
-        tag = f"--round {rnd} ({len(checked)} rows refreshed)"
+        tag = (f"--round {rnd} ({len(checked)} rows refreshed from "
+               f"{src_label})")
     elif args == ["--all"]:
         now = current_hashes()
         ledger = dict(sorted(now.items()))
