@@ -1715,7 +1715,7 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
          AS mae,
        ROUND(CAST(SUM(CAST(ROUND(est.est_j - exact.true_j, 6)
                            AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4)
-         AS bias,
+         + 0.0 AS bias,
        CAST(SUM(CASE WHEN ABS(est.est_j - exact.true_j) <= 0.25
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_within_025
 FROM est JOIN exact USING (id_a, id_b)
@@ -1856,12 +1856,19 @@ def q_llm_minhash_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count(F.lit(1)),
                 4,
             ).alias("mae"),
-            F.round(
-                F.sum(F.round(err, 6).cast("decimal(18,6)")).cast(
-                    "double"
+            # + 0.0 folds IEEE negative zero to +0.0: a tiny negative
+            # mean rounds to -0.0 in one engine and 0.0 in the other
+            # (caught by the offset-41414141 fresh-seed battery), and
+            # the driver canonicalizer stringifies the two differently
+            (
+                F.round(
+                    F.sum(F.round(err, 6).cast("decimal(18,6)")).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1)),
+                    4,
                 )
-                / F.count(F.lit(1)),
-                4,
+                + F.lit(0.0)
             ).alias("bias"),
             F.sum(F.when(F.abs(err) <= 0.25, 1).otherwise(0))
             .cast("bigint")

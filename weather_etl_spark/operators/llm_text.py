@@ -1603,7 +1603,8 @@ WITH toks AS (
 )
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
        CAST(SUM(oov) AS BIGINT) AS n_unseen,
-       ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 4) AS avg_nll
+       CAST((2 * CAST(SUM(nll) * 1000000 AS BIGINT) + 100 * COUNT(*))
+            // (200 * COUNT(*)) AS DOUBLE) / 10000.0 AS avg_nll
 FROM nll GROUP BY doc_id
 """,
     doc="Leak-free held-out perplexity (the methodologically-correct "
@@ -1678,12 +1679,35 @@ def q_llm_ppl_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("nll"),
         )
     )
-    return nll.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
-        F.sum("oov").cast("bigint").alias("n_unseen"),
-        F.round(
-            F.sum("nll").cast("double") / F.count(F.lit(1)), 4
-        ).alias("avg_nll"),
+    # avg_nll via EXACT integer half-up on micro-units: the decimal
+    # sum S (scale 6) over count c can land the rational mean exactly
+    # on a 4th-decimal half boundary (offset-41414141 battery: doc
+    # with one bigram 12x repeated -> mean exactly 1.75245), where
+    # Spark's HALF_UP-on-shortest-repr and DuckDB's binary-value round
+    # break the tie in opposite directions.  (2*S_micro + 100*c) div
+    # (200*c) is round-half-up(S_micro / (100*c)) for the always-
+    # positive NLL, computed identically in both engines' bigints.
+    return (
+        nll.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("oov").cast("bigint").alias("n_unseen"),
+            (F.sum("nll") * F.lit(1000000))
+            .cast("bigint")
+            .alias("s_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_unseen",
+            (
+                F.expr(
+                    "(2 * s_micro + 100 * n_bigrams) "
+                    "div (200 * n_bigrams)"
+                ).cast("double")
+                / 10000.0
+            ).alias("avg_nll"),
+        )
     )
 
 
