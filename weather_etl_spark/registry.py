@@ -348,11 +348,15 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_tpch_q11", "q_tpch_q20",
     # -- llm_dedup.py: the 2 eval-only rows queued from r9 --
     "q_llm_dedup_curve", "q_llm_minhash_mae",
-    # -- slack (7): rewritten-since-verdict pair + 5 stalest-r3 banded
-    # dedup rows --
-    "q_agg_mannwhitney", "q_win_rolling_corr",
+    # -- slack (7): rewritten-since-verdict rows first (the
+    # IMPL_FINGERPRINTS tripwire enforces their presence here), then
+    # stalest-r3 banded dedup rows.  q_llm_ppl_holdout joined mid-r10:
+    # its exact-tie avg_nll hardening (a3485b4) postdates its r9
+    # verdict, so it displaced llm_cosine_pairs_blocked (stale-r3 but
+    # UNCHANGED since its verdict — rotates with the r11 drain).
+    "q_agg_mannwhitney", "q_win_rolling_corr", "q_llm_ppl_holdout",
     "llm_jaccard_prefix", "llm_minhash_banded", "llm_editdist_banded",
-    "llm_components_starcontract", "llm_cosine_pairs_blocked",
+    "llm_components_starcontract",
 )
 
 
