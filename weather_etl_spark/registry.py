@@ -289,74 +289,65 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
     "q_graph_triangles", "q_graph_adamic_adar", "q_graph_lpa_communities",
     "q_graph_kcore", "q_graph_assortativity",
     "q_llm_dup_size_hist", "q_llm_dedup_incremental", "q_llm_minhash_eval",
-})
-
-#: Explicit order for the round-10 driver window (50 slots), executing
-#: the r9 verdict's orders #1/#3 exactly as locked during round 9:
-#: hold the REGISTRATION FREEZE, drain the last 43 never-checked rows
-#: to ZERO, and spend the 7 slack slots on the two rewritten-since-
-#: verdict rows plus the 5 stalest-r3 banded-dedup rows.  Done =
-#: CORRECTNESS_r10 50/50 green and zero never-driver-checked rows
-#: (driver coverage 379/379 unique).  The r9 window (all 22 llm_prep +
-#: 11 llm_vector + 9 llm_text + 5 graph + 3 llm_dedup) came back 50/50
-#: green, so those rows moved into DRIVER_VERIFIED above.
-#:
-#: r11 plan: finish draining DRIVER_STALE_R3 (40 rows remain after
-#: this window's 5) through the verified-tail rotation, stalest first.
-#:
-#: src_binaryfile (sources/binary.py:29 — the one row with zero driver
-#: lineage of any kind, r9 verdict order on it unchanged): it RIDES
-#: this window for its rows-only count.  It is rows-only by design
-#: because the driver's DuckDB oracle runs over the ten pre-registered
-#: parquet views only, while src_binaryfile reads raw image/audio
-#: files via Spark's binaryFile source from a path the query itself
-#: writes under /tmp — no view-bound SQL can express that scan; its
-#: bytes are instead byte-identity-tested against pyarrow ground truth
-#: in tests/test_sources.py.
-DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # ===== round-10 window (50 slots), per the r9 verdict orders
-    # #1/#3: the 43 remaining never-checked rows drain to ZERO, then
-    # the 7 slack slots go to (a) the two rows whose r9 rewrites
-    # postdate their last driver verdict (q_agg_mannwhitney rank-ledger
-    # 3db97a0, q_win_rolling_corr raise_error guard — both last seen by
-    # the driver in r7) and (b) the 5 stalest-r3 LLM banded-dedup rows
-    # (the highest-traffic members of DRIVER_STALE_R3). =====
-    # -- drift.py: all 14 never-checked, registration order --
+    # round 10 green (49/50 hash-pass + src_binaryfile rows-only by
+    # declaration) per CORRECTNESS_r10.json — the 43 never-checked
+    # backlog rows drained to zero (the 7 slack re-checks were already
+    # listed above from their first verdict)
     "q_agg_runs_test", "q_agg_chisq", "q_agg_spearman", "q_agg_theilsen",
     "q_agg_bootstrap_ci", "q_agg_ols2", "q_agg_kruskal", "q_agg_levene",
     "q_agg_cohens_kappa", "q_event_calibration", "q_agg_cohens_d",
     "q_agg_dispersion", "q_agg_quantile_norm", "q_time_stl_strength",
-    # -- joins.py: all 6 never-checked --
     "q_join_bloom", "q_join_asof_tol", "q_join_time_window_semi",
     "q_join_time_window_anti", "q_join_mark", "q_join_asof_nearest",
-    # -- windows.py: all 5 never-checked --
     "q_win_distinct_running", "q_win_peaks", "q_win_slope",
     "q_win_rolling_median", "q_win_drawdown",
-    # -- sources: all 3 never-checked (src_binaryfile rows-only by
-    # design — path-bound binaryFile scan the view-bound oracle can't
-    # express; its first driver row lands here) --
     "src_binaryfile", "src_csv_malformed", "src_json_malformed",
-    # -- scans.py: all 3 never-checked --
     "q_scan_column_stats", "q_scan_partition_prune", "q_sample_split3",
-    # -- sink_ops.py: all 3 never-checked --
     "snk_text_roundtrip", "snk_csv_quoted", "src_parquet_merge",
-    # -- udf_surface.py: all 3 never-checked --
     "q_udf_pandas_iter", "udtf_mapinarrow", "q_sql_params",
-    # -- pipeline.py: both never-checked composites --
     "pipe_events_e2e", "pipe_llm_corpus_e2e",
-    # -- tpch.py: the last 2 never-checked --
     "q_tpch_q11", "q_tpch_q20",
-    # -- llm_dedup.py: the 2 eval-only rows queued from r9 --
     "q_llm_dedup_curve", "q_llm_minhash_mae",
-    # -- slack (7): rewritten-since-verdict rows first (the
-    # IMPL_FINGERPRINTS tripwire enforces their presence here), then
-    # stalest-r3 banded dedup rows.  q_llm_ppl_holdout joined mid-r10:
-    # its exact-tie avg_nll hardening (a3485b4) postdates its r9
-    # verdict, so it displaced llm_cosine_pairs_blocked (stale-r3 but
-    # UNCHANGED since its verdict — rotates with the r11 drain).
-    "q_agg_mannwhitney", "q_win_rolling_corr", "q_llm_ppl_holdout",
-    "llm_jaccard_prefix", "llm_minhash_banded", "llm_editdist_banded",
-    "llm_components_starcontract",
+})
+
+#: Explicit order for the round-11 driver window (50 slots),
+#: executing the r10 verdict's order #2: the STALE DRAIN.  Every row is
+#: already driver-verified once, so this window is pure lineage
+#: refresh, stalest first: the 41 rows whose latest verdict still
+#: dates to round 3 (pre the r4 TIMESTAMP_NTZ runtime flip — the 45 in
+#: DRIVER_STALE_R3 minus the 4 banded-dedup rows re-checked in r10),
+#: then the 9 stalest round-4 rows.  Order within each lineage tier is
+#: the stalest-first rotation computed by tools/plan_driver_window.py
+#: from CORRECTNESS_r01..r10.  Done = CORRECTNESS_r11 50/50 green and
+#: max driver-lineage age <= 7 rounds (r12 then drains the remaining
+#: 35 r4 rows + 15 r5 rows).  The 10 rows-only rows in the r3 tier
+#: (llm_ann_ivf, src_pyds, src_fetch, the 7 st_* streaming-runtime
+#: rows) refresh their rows-only count — still valuable: it proves the
+#: callable executes on the current runtime even though the view-bound
+#: DuckDB oracle cannot express them (SURVEY §2 declares each).
+DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
+    # ===== round-11 window (50 slots): stale drain, stalest first =====
+    # -- r3 lineage, oracled (31) --
+    "q_fn_variant", "q_fn_try", "q_fn_bitwise", "q_fn_string2",
+    "q_fn_hash_encode",
+    "q_time_rollup", "q_time_gapfill", "q_agg_boolean", "q_agg_median",
+    "q_join_cbo", "q_join_lateral", "q_join_null_safe",
+    "q_llm_editdist", "q_llm_dedup_components", "llm_cosine_pairs_blocked",
+    "q_llm_split", "q_llm_winnow", "q_llm_winnow_pairs",
+    "q_llm_repetition", "llm_doc_embed_cohesion", "llm_mm_pixel_dedup",
+    "q_scan_filemeta", "q_set_union_byname", "snk_schema_evolution",
+    "q_set_except_all", "q_set_intersect_all",
+    "q_tpch_q5", "q_sql_cte_window", "q_udf_arrow",
+    "q_win_percent", "q_win_cume_nth",
+    # -- r3 lineage, rows-only by declaration (10) --
+    "llm_ann_ivf", "src_pyds", "src_fetch",
+    "st_trigger_availnow", "st_watermark", "st_dedup_wm",
+    "st_foreachbatch", "st_stateful_sessionizer",
+    "st_stream_stream_join", "st_transform_with_state",
+    # -- r4 lineage, stalest 9 in rotation order --
+    "q_fn_string", "q_fn_regexp", "q_fn_split", "q_fn_date",
+    "q_fn_math", "q_fn_cond",
+    "q_agg_q1", "q_agg_count_distinct", "q_agg_rollup",
 )
 
 
