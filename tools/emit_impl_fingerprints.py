@@ -151,9 +151,29 @@ def main() -> None:
                   "committed since the driver ran", file=sys.stderr)
             verdict, src_label = now, "current-tree FALLBACK"
         old = json.loads(LEDGER.read_text()) if LEDGER.exists() else {}
+        # Never silently bless the CURRENT tree's hash: a checked row
+        # absent from the verdict-time tree, or an unchecked row absent
+        # from the old ledger, has no verified fingerprint to carry
+        # forward.  Unreachable under the registration freeze, but this
+        # tool is the mechanical safety rail — refuse instead of
+        # defaulting (re-run with --all after an audited decision).
+        missing_verdict = sorted(n for n in now
+                                 if n in checked and n not in verdict)
+        missing_old = sorted(n for n in now
+                             if n not in checked and n not in old)
+        if missing_verdict or missing_old:
+            raise SystemExit(
+                "refusing to self-bless unverified implementations:\n"
+                f"  checked rows absent from the verdict-time tree: "
+                f"{missing_verdict}\n"
+                f"  unchecked rows absent from the old ledger: "
+                f"{missing_old}\n"
+                "these have no verified hash to carry forward — audit "
+                "them, then run --all if the current source is "
+                "verdict-covered"
+            )
         ledger = {
-            n: (verdict.get(n, now[n]) if n in checked
-                else old.get(n, now[n]))
+            n: (verdict[n] if n in checked else old[n])
             for n in sorted(now)
         }
         tag = (f"--round {rnd} ({len(checked)} rows refreshed from "

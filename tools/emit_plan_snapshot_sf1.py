@@ -113,10 +113,18 @@ def main() -> None:
         OUT.write_text(json.dumps(ledger, indent=1, sort_keys=True) + "\n")
         release_session_checkpoints(spark)
     print(f"wrote {OUT} ({len(ledger)} rows)", file=sys.stderr)
+    # A row that failed is {"error": ...} with no exchange counts —
+    # keep it out of the flips summary (a single failed query must not
+    # KeyError past the delta report and spark.stop()).
+    errors = {n: r for n, r in ledger.items() if "error" in r}
     flips = {
         n: r for n, r in ledger.items()
-        if r["static_exchanges"] != r["sf001_exchanges"]
+        if "static_exchanges" in r
+        and r["static_exchanges"] != r["sf001_exchanges"]
     }
+    if errors:
+        print(f"errored rows (excluded from delta report): "
+              f"{sorted(errors)}", file=sys.stderr)
     print(f"static-plan deltas vs sf0.01: {len(flips)}", file=sys.stderr)
     for n, r in sorted(flips.items()):
         print(f"  {n}: {r['sf001_exchanges']} -> {r['static_exchanges']}",

@@ -48,8 +48,39 @@ SIZED_BATTERIES = [
 BATTERY_TIMEOUT_S = 2400
 
 
+def child_env(offset: int) -> dict[str, str]:
+    """The exact env the campaign children inherit.  Factored out so
+    the canary and run_one cannot drift apart (the r10 env-dropping
+    bug silently re-ran committed seeds for a whole campaign)."""
+    return dict(os.environ, SPARK_GRAFT_BATTERY_SEED_OFFSET=str(offset))
+
+
+def canary(offset: int = 424243) -> None:
+    """Assert a child spawned with child_env() actually derives its
+    battery seeds from the given offset, via the same helper the
+    batteries import.  Raises on any discrepancy."""
+    probe = (
+        "import sys; sys.path.insert(0, '.'); "
+        "from tests.conftest import battery_seed; "
+        "print(battery_seed(0))"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", probe], capture_output=True, text=True,
+        env=child_env(offset), cwd=os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), timeout=60,
+    )
+    got = out.stdout.strip()
+    if out.returncode != 0 or got != str(offset):
+        raise RuntimeError(
+            f"seed canary FAILED: child derived battery_seed(0)={got!r}, "
+            f"expected {offset} (rc={out.returncode}, "
+            f"stderr={out.stderr[-500:]!r}) — the campaign would "
+            f"silently re-run committed seeds; aborting"
+        )
+
+
 def run_one(offset: int, n: str | None) -> bool:
-    env = dict(os.environ, SPARK_GRAFT_BATTERY_SEED_OFFSET=str(offset))
+    env = child_env(offset)
     tag = f"offset={offset}"
     files = BATTERIES
     if n is not None:
@@ -93,6 +124,8 @@ def main() -> int:
         int(time.time()) * 7 + k for k in range(3)
     ]
     print(f"offsets: {offsets}  sizes: {sizes or '-'}")
+    canary()  # refuse to start a campaign whose children drop the seed
+    print("seed canary: child receives SPARK_GRAFT_BATTERY_SEED_OFFSET ok")
     ok = True
     for off in offsets:
         ok &= run_one(off, None)
