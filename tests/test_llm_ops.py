@@ -466,25 +466,20 @@ def test_interval_overlap_windows_disjoint_from_geometry(spark, sf_dir):
 def test_pagerank_differential_vs_pure_python(spark):
     """Differential check of the PageRank loop on synthetic graphs
     (the star-contract testing pattern): a pure-python reference
-    mirrors the engine's arithmetic exactly — half-up rounding on the
-    shortest decimal repr (what Spark's ROUND and DuckDB both do for
-    doubles), exact DECIMAL(18,6) contribution sums, float damping —
-    so ranks must match to the last bit, not approximately."""
+    mirrors the engine's arithmetic exactly — the whole loop runs in
+    bigint micro-units with half-up integer division (the rule-8
+    exact-tie remedy; no float ROUND anywhere) — so ranks must match
+    to the last bit, not approximately."""
     import random
-    from decimal import ROUND_HALF_UP, Decimal
 
     from pyspark.sql import functions as F
 
     from weather_etl_spark.operators.graph import (
-        _DAMP,
+        _D100,
         _ITERS,
+        _R100,
         pagerank_frame,
     )
-
-    def r6(x: float) -> float:
-        return float(
-            Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP)
-        )
 
     def reference(pairs):
         edges = sorted(set(pairs) | {(v, u) for u, v in pairs})
@@ -492,18 +487,17 @@ def test_pagerank_differential_vs_pure_python(spark):
         for u, _ in edges:
             out[u] = out.get(u, 0) + 1
         n = len(out)
-        pr = {u: r6(1.0 / n) for u in out}
+        prm = {u: (2_000_000 + n) // (2 * n) for u in out}
         for _ in range(_ITERS):
-            sums = {u: Decimal(0) for u in out}
+            sums = {u: 0 for u in out}
             for u, v in edges:
-                sums[v] += Decimal(repr(r6(pr[u] / out[u]))).quantize(
-                    Decimal("1e-6")
-                )
-            pr = {
-                u: r6((1 - _DAMP) / n + _DAMP * float(sums[u]))
+                sums[v] += (2 * prm[u] + out[u]) // (2 * out[u])
+            prm = {
+                u: (2 * (_R100 * 1_000_000 + _D100 * sums[u] * n)
+                    + 100 * n) // (200 * n)
                 for u in out
             }
-        return pr
+        return {u: prm[u] / 1_000_000.0 for u in out}
 
     rng = random.Random(19)
     cases = [

@@ -47,3 +47,51 @@ def exact_avg(c: Column, alias: str, scale: int = 4) -> Column:
 
 def round4(c: Column, alias: str) -> Column:
     return F.round(c, 4).alias(alias)
+
+
+def ratio_round4_sql(num: str, den: str, intdiv: str) -> str:
+    """SQL for ROUND(num/den, 4) computed EXACTLY in integer space.
+
+    ``num``/``den`` are SQL expressions of non-negative bigints;
+    ``intdiv`` is the dialect's integer-division operator (Spark
+    ``div``, DuckDB ``//``).  Rationale (rule-8 exact-tie class, the
+    q_llm_ppl_holdout remedy generalized): when num/den lands exactly
+    on a 4th-decimal half boundary (e.g. 57/800 = 0.07125), Spark's
+    ROUND (HALF_UP on the double's shortest decimal repr) and DuckDB's
+    ROUND (half-away-from-zero on the fp-scaled product) break the tie
+    in OPPOSITE directions whenever the nearest double sits below the
+    true rational — measured: 21 of the 400 odd-numerator ties at
+    den=800 diverge.  Quotient/remainder decomposition keeps the
+    intermediate products at ~2e4 * den, far from bigint overflow:
+
+        round4(num/den) = (num div den) * 1e4
+                          + round_half_up((num mod den) * 1e4 / den)
+
+    Division by zero yields NULL in both dialects (matching the old
+    float path's NULL on empty groups).
+    """
+    q = f"(({num}) {intdiv} ({den}))"
+    r = f"(({num}) % ({den}))"
+    half = f"((20000 * {r} + ({den})) {intdiv} (2 * ({den})))"
+    return f"(CAST({q} * 10000 + {half} AS DOUBLE) / 10000.0)"
+
+
+def decimal_mean_round4_sql(
+    sum_int: str, count: str, scale: int, intdiv: str
+) -> str:
+    """SQL for ROUND(decimal_sum / count, 4) computed EXACTLY.
+
+    ``sum_int`` is the decimal sum scaled to an integer (sum * 10^scale,
+    as bigint); ``count`` the row count; ``scale`` >= 4.  Same integer
+    half-up as :func:`ratio_round4_sql`, generalizing the committed
+    q_llm_ppl_holdout formula ((2*S_micro + 100*c) div (200*c)) to any
+    decimal scale:
+
+        round4(S / (10^scale * c))
+          = (2*S + 10^(scale-4)*c) div (2 * 10^(scale-4) * c) / 1e4
+    """
+    p = 10 ** (scale - 4)
+    return (
+        f"(CAST((2 * ({sum_int}) + {p} * ({count})) {intdiv} "
+        f"(2 * {p} * ({count})) AS DOUBLE) / 10000.0)"
+    )

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from weather_etl_spark.functions.exact import ratio_round4_sql
 from weather_etl_spark.io import read_table
 from weather_etl_spark.registry import register
 
@@ -1616,17 +1617,19 @@ WITH seq AS (
   SELECT prev, next_type FROM trans
   WHERE next_ts >= TIMESTAMP '{_NEXTPRED_SPLIT}'
 )
-SELECT test.prev,
-       ANY_VALUE(model.predicted) AS predicted,
-       CAST(COUNT(*) AS BIGINT) AS n_test,
-       CAST(SUM(CASE WHEN test.next_type = model.predicted
-                     THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
-       ROUND(CAST(SUM(CASE WHEN test.next_type = model.predicted
-                           THEN 1 ELSE 0 END) AS DOUBLE)
-             / COUNT(*), 4) AS accuracy
-FROM test JOIN model USING (prev)
-GROUP BY test.prev
-ORDER BY test.prev
+, scored AS (
+  SELECT test.prev,
+         ANY_VALUE(model.predicted) AS predicted,
+         CAST(COUNT(*) AS BIGINT) AS n_test,
+         CAST(SUM(CASE WHEN test.next_type = model.predicted
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+  FROM test JOIN model USING (prev)
+  GROUP BY test.prev
+)
+SELECT prev, predicted, n_test, n_correct,
+       {ratio_round4_sql('n_correct', 'n_test', '//')} AS accuracy
+FROM scored
+ORDER BY prev
 """,
     doc="Next-event prediction backtest: a first-order Markov "
     "argmax model (most frequent successor per event type, "
@@ -1679,9 +1682,13 @@ def q_event_next_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.any_value(F.col("predicted")).alias("predicted"),
             F.count(F.lit(1)).cast("bigint").alias("n_test"),
             F.sum(hit).cast("bigint").alias("n_correct"),
-            F.round(F.sum(hit).cast("double") / F.count(F.lit(1)), 4).alias(
-                "accuracy"
-            ),
+        )
+        # exact integer half-up (rule-8 remedy): hit-rates like 57/800
+        # land exactly on the 4th-decimal half boundary, where the two
+        # engines' float ROUNDs break the tie in opposite directions
+        .withColumn(
+            "accuracy",
+            F.expr(ratio_round4_sql("n_correct", "n_test", "div")),
         )
         .orderBy("prev")
     )

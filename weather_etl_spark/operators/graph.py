@@ -30,6 +30,13 @@ from weather_etl_spark.registry import register
 #: can mirror the exact arithmetic).
 _DAMP = 0.85
 _ITERS = 3
+#: Damping as an exact integer percentage (rule-8 remedy: the
+#: whole rank loop runs in bigint micro-units, so no float ROUND
+#: ever sees a half-boundary tie — measured divergence example:
+#: ROUND(249e-6 / 2, 6) = 0.000124 in DuckDB's fp-scaled round vs
+#: 0.000125 in Spark's HALF_UP-on-shortest-repr).
+_D100 = round(_DAMP * 100)
+_R100 = 100 - _D100
 
 _EDGE_SQL = """
   SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
@@ -109,7 +116,7 @@ outdeg AS (
 ),
 n AS (SELECT COUNT(*) AS n FROM outdeg),
 pr0 AS (
-  SELECT u, outdeg, ROUND(1.0 / n.n, 6) AS pr
+  SELECT u, outdeg, (2000000 + n.n) // (2 * n.n) AS prm
   FROM outdeg CROSS JOIN n
 )
 """
@@ -118,13 +125,13 @@ pr0 AS (
         sql += f""",
 c{k} AS (
   SELECT edges.v AS u,
-         CAST(ROUND({prev}.pr / {prev}.outdeg, 6) AS DECIMAL(18,6)) AS w
+         (2 * {prev}.prm + {prev}.outdeg) // (2 * {prev}.outdeg) AS w
   FROM edges JOIN {prev} ON edges.u = {prev}.u
 ),
 pr{k} AS (
   SELECT c{k}.u, outdeg.outdeg,
-         ROUND((1 - {_DAMP}) / n.n
-               + {_DAMP} * CAST(SUM(w) AS DOUBLE), 6) AS pr
+         CAST((2 * ({_R100} * 1000000 + {_D100} * SUM(w) * n.n)
+               + 100 * n.n) // (200 * n.n) AS BIGINT) AS prm
   FROM c{k}
   JOIN outdeg ON c{k}.u = outdeg.u
   CROSS JOIN n
@@ -135,7 +142,7 @@ pr{k} AS (
     sql += f"""
 SELECT u AS node_id,
        CASE WHEN u % 2 = 0 THEN 'cust' ELSE 'supp' END AS kind,
-       pr
+       CAST(prm AS DOUBLE) / 1000000.0 AS pr
 FROM {prev}
 ORDER BY pr DESC, node_id ASC
 LIMIT 20
@@ -164,35 +171,40 @@ def pagerank_frame(undirected_edges: DataFrame) -> DataFrame:
         edges.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
     )
     n = outdeg.agg(F.count(F.lit(1)).alias("n"))
+    # The whole loop runs in EXACT bigint micro-units (1e-6 rank
+    # units, half-up division) — the float-ROUND formulation could
+    # land pr/outdeg exactly on a 6th-decimal half boundary, where
+    # Spark and DuckDB round doubles in opposite directions (rule-8
+    # exact-tie class).  Overflow bound: _D100 * s * n stays under
+    # int64 while the graph's total rank mass (~1e6 micro) times node
+    # count is below ~1e17 — comfortably true for any graph whose
+    # node count fits an int32.
     pr = outdeg.crossJoin(F.broadcast(n)).select(
         "u",
         "outdeg",
-        F.round(F.lit(1.0) / F.col("n"), 6).alias("pr"),
+        F.expr("(2000000 + n) div (2 * n)").alias("prm"),
     )
     prev_ids: set[int] = set()
     for it in range(_ITERS):
         contrib = edges.join(
-            pr.select(F.col("u").alias("src"), "outdeg", "pr"),
+            pr.select(F.col("u").alias("src"), "outdeg", "prm"),
             edges.u == F.col("src"),
         ).select(
             F.col("v").alias("u"),
-            F.round(F.col("pr") / F.col("outdeg"), 6)
-            .cast("decimal(18,6)")
-            .alias("w"),
+            F.expr("(2 * prm + outdeg) div (2 * outdeg)").alias("w"),
         )
         pr = (
             contrib.groupBy("u")
-            .agg(F.sum("w").alias("s"))
+            .agg(F.sum("w").cast("bigint").alias("s"))
             .join(outdeg, "u")
             .crossJoin(F.broadcast(n))
             .select(
                 "u",
                 "outdeg",
-                F.round(
-                    F.lit(1 - _DAMP) / F.col("n")
-                    + F.lit(_DAMP) * F.col("s").cast("double"),
-                    6,
-                ).alias("pr"),
+                F.expr(
+                    f"(2 * ({_R100} * 1000000 + {_D100} * s * n)"
+                    " + 100 * n) div (200 * n)"
+                ).alias("prm"),
             )
         )
         if it < _ITERS - 1:
@@ -200,7 +212,11 @@ def pagerank_frame(undirected_edges: DataFrame) -> DataFrame:
             pr, ids = tracked_local_checkpoint(pr)
             release_rdds(spark, prev_ids)
             prev_ids = ids
-    return pr
+    return pr.select(
+        "u",
+        "outdeg",
+        (F.col("prm").cast("double") / F.lit(1000000.0)).alias("pr"),
+    )
 
 
 @register(

@@ -28,6 +28,7 @@ from weather_etl_spark.checkpoints import (
     release_rdds,
     tracked_local_checkpoint,
 )
+from weather_etl_spark.functions.exact import ratio_round4_sql
 from weather_etl_spark.io import read_table
 from weather_etl_spark.registry import register
 
@@ -1496,7 +1497,7 @@ def q_llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_llm_minhash_eval",
-    oracle="""
+    oracle=f"""
 WITH sh AS (
   SELECT DISTINCT doc_id,
          unnest(list_transform(
@@ -1537,8 +1538,8 @@ WITH sh AS (
           JOIN cand USING (id_a, id_b)) AS tp
 )
 SELECT n_truth, n_candidates, tp,
-       ROUND(CAST(tp AS DOUBLE) / n_candidates, 4) AS precision,
-       ROUND(CAST(tp AS DOUBLE) / n_truth, 4) AS recall
+       {ratio_round4_sql('tp', 'n_candidates', '//')} AS precision,
+       {ratio_round4_sql('tp', 'n_truth', '//')} AS recall
 FROM m
 """,
     doc="Candidate-set quality evaluation of the banded MinHash "
@@ -1655,12 +1656,13 @@ def q_llm_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_truth",
         "n_candidates",
         "tp",
-        F.round(
-            F.col("tp").cast("double") / F.col("n_candidates"), 4
-        ).alias("precision"),
-        F.round(F.col("tp").cast("double") / F.col("n_truth"), 4).alias(
-            "recall"
+        # exact integer half-up (rule-8 remedy): recall/precision
+        # ratios like 57/800 land exactly on the 4th-decimal half
+        # boundary where the engines' float ROUNDs disagree
+        F.expr(ratio_round4_sql("tp", "n_candidates", "div")).alias(
+            "precision"
         ),
+        F.expr(ratio_round4_sql("tp", "n_truth", "div")).alias("recall"),
     )
 
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from weather_etl_spark.functions.exact import ratio_round4_sql
 from weather_etl_spark.io import read_table
 from weather_etl_spark.registry import register
 
@@ -998,15 +999,17 @@ WITH toks AS (
 ), first_seen AS (
   SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g
 )
-SELECT grams.doc_id AS doc_id,
-       COUNT(*) AS n_grams,
-       COUNT(CASE WHEN first_seen.first_doc = grams.doc_id THEN 1 END)
-         AS n_novel,
-       ROUND(CAST(COUNT(CASE WHEN first_seen.first_doc = grams.doc_id
-                         THEN 1 END) AS DOUBLE) / COUNT(*), 4)
-         AS novelty
-FROM grams JOIN first_seen USING (g)
-GROUP BY grams.doc_id
+, scored AS (
+  SELECT grams.doc_id AS doc_id,
+         COUNT(*) AS n_grams,
+         COUNT(CASE WHEN first_seen.first_doc = grams.doc_id THEN 1 END)
+           AS n_novel
+  FROM grams JOIN first_seen USING (g)
+  GROUP BY grams.doc_id
+)
+SELECT doc_id, n_grams, n_novel,
+       {ratio_round4_sql('n_novel', 'n_grams', '//')} AS novelty
+FROM scored
 """,
     doc="N-gram novelty score (the marginal-information measure "
     "dedup-aware curation ranks by): a document's distinct "
@@ -1040,12 +1043,19 @@ def q_llm_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     novel = F.count(
         F.when(F.col("first_doc") == F.col("doc_id"), 1)
     )
-    return joined.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_grams"),
-        novel.alias("n_novel"),
-        F.round(novel.cast("double") / F.count(F.lit(1)), 4).alias(
-            "novelty"
-        ),
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            novel.alias("n_novel"),
+        )
+        # exact integer half-up (rule-8 remedy): novelty ratios like
+        # 57/800 sit exactly on the 4th-decimal half boundary where
+        # the engines' float ROUNDs disagree
+        .withColumn(
+            "novelty",
+            F.expr(ratio_round4_sql("n_novel", "n_grams", "div")),
+        )
     )
 
 
@@ -1698,7 +1708,7 @@ WITH salted AS (
 )
 SELECT r.source, CAST(r.rank AS BIGINT) AS rank, r.gram, r.df,
        nd.n_docs,
-       ROUND(CAST(r.df AS DOUBLE) / nd.n_docs, 4) AS doc_share
+       {ratio_round4_sql('r.df', 'nd.n_docs', '//')} AS doc_share
 FROM ranked r JOIN nd USING (source)
 WHERE r.rank <= 10
 """,
@@ -1759,13 +1769,16 @@ def q_llm_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 10)
         .join(F.broadcast(nd), "source")
+        # exact integer half-up (rule-8 remedy): doc-shares like
+        # 57/800 sit exactly on the 4th-decimal half boundary where
+        # the engines' float ROUNDs disagree
         .select(
             "source",
             "rank",
             "gram",
             "df",
             "n_docs",
-            F.round(F.col("df").cast("double") / F.col("n_docs"), 4).alias(
+            F.expr(ratio_round4_sql("df", "n_docs", "div")).alias(
                 "doc_share"
             ),
         )

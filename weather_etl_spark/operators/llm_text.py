@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from weather_etl_spark.functions.exact import decimal_mean_round4_sql
 from weather_etl_spark.io import read_table
 from weather_etl_spark.registry import register
 
@@ -720,7 +721,7 @@ def q_llm_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_llm_perplexity",
-    oracle="""
+    oracle=f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t
   FROM documents WHERE len(string_split(text, ' ')) >= 2
@@ -742,9 +743,14 @@ WITH toks AS (
   JOIN c2 USING (bigram)
   JOIN c1 ON split_part(bg.bigram, ' ', 1) = c1.w1
 )
-SELECT doc_id, COUNT(*) AS n_bigrams,
-       ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 4) AS avg_nll
-FROM nll GROUP BY doc_id
+, scored AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         CAST(SUM(nll) * 1000000 AS BIGINT) AS s_micro
+  FROM nll GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+       {decimal_mean_round4_sql('s_micro', 'n_bigrams', 6, '//')} AS avg_nll
+FROM scored
 """,
     doc="Perplexity-proxy quality scoring (the published LM-based "
     "pretraining filter, here with the corpus as its own bigram LM): "
@@ -797,11 +803,26 @@ def q_llm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("nll"),
         )
     )
-    return nll.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(F.sum("nll").cast("double") / F.count(F.lit(1)), 4).alias(
-            "avg_nll"
-        ),
+    # avg_nll via EXACT integer half-up on micro-units (rule-8 remedy,
+    # the committed q_llm_ppl_holdout formula): the decimal NLL sum
+    # over the bigram count can land the rational mean exactly on a
+    # 4th-decimal half boundary, where the engines' float ROUNDs
+    # break the tie in opposite directions.
+    return (
+        nll.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.sum("nll") * F.lit(1000000))
+            .cast("bigint")
+            .alias("s_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.expr(
+                decimal_mean_round4_sql("s_micro", "n_bigrams", 6, "div")
+            ).alias("avg_nll"),
+        )
     )
 
 

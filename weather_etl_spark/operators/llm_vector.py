@@ -28,6 +28,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from weather_etl_spark.functions.exact import (
+    decimal_mean_round4_sql,
+    ratio_round4_sql,
+)
 from weather_etl_spark.io import read_table
 from weather_etl_spark.registry import register
 
@@ -935,7 +939,7 @@ def q_llm_embed_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_llm_embed_pq",
-    oracle="""
+    oracle=f"""
 WITH e AS (
   SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
          CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS q
@@ -965,15 +969,16 @@ WITH e AS (
          CAST(SUM(CAST(ROUND(
              -(CAST(u.c AS DOUBLE) / t.n)
               * ln(CAST(u.c AS DOUBLE) / t.n), 8)
-           AS DECIMAL(18,8))) AS DOUBLE) AS h,
+           AS DECIMAL(18,8))) * 100000000 AS BIGINT) AS h8,
          CAST(COUNT(*) AS BIGINT) AS codes_used
   FROM usage u JOIN tot t USING (j) GROUP BY u.j
+), sse AS (
+  SELECT j, CAST(SUM(d2) AS BIGINT) AS sum_d2 FROM best GROUP BY j
 )
 SELECT t.j AS subspace, t.n AS n_vecs, ent.codes_used,
-       ROUND((SELECT CAST(SUM(d2) AS DOUBLE) FROM best b
-              WHERE b.j = t.j) / t.n, 4) AS avg_sse,
-       ROUND(ent.h, 4) AS entropy_nats
-FROM tot t JOIN ent USING (j) ORDER BY subspace
+       {ratio_round4_sql('sse.sum_d2', 't.n', '//')} AS avg_sse,
+       {decimal_mean_round4_sql('ent.h8', '1', 8, '//')} AS entropy_nats
+FROM tot t JOIN ent USING (j) JOIN sse USING (j) ORDER BY subspace
 """,
     doc="Product quantization accounting: the 64-dim embeddings "
     "split into 8 subspaces of 8 dims; each subvector is assigned "
@@ -1026,23 +1031,30 @@ def q_llm_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         usage.join(tot, "j")
         .groupBy("j", "n")
         .agg(
-            F.sum(F.round(-p * F.log(p), 8).cast("decimal(18,8)"))
-            .cast("double")
-            .alias("h"),
+            (F.sum(F.round(-p * F.log(p), 8).cast("decimal(18,8)"))
+             * F.lit(100000000))
+            .cast("bigint")
+            .alias("h8"),
             F.count(F.lit(1)).cast("bigint").alias("codes_used"),
         )
     )
-    sse = best.groupBy("j").agg(
-        (F.sum("d2").cast("double")).alias("sum_d2")
-    )
+    sse = best.groupBy("j").agg(F.sum("d2").cast("bigint").alias("sum_d2"))
+    # exact integer half-up (rule-8 remedy): the SSE mean is a pure
+    # bigint/bigint ratio (57/800-class half-boundary ties diverge
+    # between the engines' float ROUNDs), and the entropy is a
+    # DECIMAL(18,8) sum rounded at 4 — both computed in integer space.
     return (
         ent.join(sse, "j")
         .select(
             F.col("j").alias("subspace"),
             F.col("n").alias("n_vecs"),
             "codes_used",
-            F.round(F.col("sum_d2") / F.col("n"), 4).alias("avg_sse"),
-            F.round("h", 4).alias("entropy_nats"),
+            F.expr(ratio_round4_sql("sum_d2", "n", "div")).alias(
+                "avg_sse"
+            ),
+            F.expr(decimal_mean_round4_sql("h8", "1", 8, "div")).alias(
+                "entropy_nats"
+            ),
         )
         .orderBy("subspace")
     )

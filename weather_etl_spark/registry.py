@@ -316,11 +316,16 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 #: refresh, stalest first: the 41 rows whose latest verdict still
 #: dates to round 3 (pre the r4 TIMESTAMP_NTZ runtime flip — the 45 in
 #: DRIVER_STALE_R3 minus the 4 banded-dedup rows re-checked in r10),
-#: then the 9 stalest round-4 rows.  Order within each lineage tier is
-#: the stalest-first rotation computed by tools/plan_driver_window.py
-#: from CORRECTNESS_r01..r10.  Done = CORRECTNESS_r11 50/50 green and
-#: max driver-lineage age <= 7 rounds (r12 then drains the remaining
-#: 35 r4 rows + 15 r5 rows).  The 10 rows-only rows in the r3 tier
+#: then the 7 rule-8 radar rows REWRITTEN this round to exact bigint
+#: half-up arithmetic (tests/test_rule8_tie_battery.py proved their
+#: float ROUNDs split across engines on 57/800-class half-boundary
+#: ties; the IMPL_FINGERPRINTS tripwire requires rewritten rows to
+#: queue here), then the 2 stalest round-4 rows in the remaining
+#: slack.  Order within each lineage tier is the stalest-first
+#: rotation computed by tools/plan_driver_window.py from
+#: CORRECTNESS_r01..r10.  Done = CORRECTNESS_r11 50/50 green.  r12
+#: then drains the remaining 42 r4 rows + 8 r5 rows.  The 10
+#: rows-only rows in the r3 tier
 #: (llm_ann_ivf, src_pyds, src_fetch, the 7 st_* streaming-runtime
 #: rows) refresh their rows-only count — still valuable: it proves the
 #: callable executes on the current runtime even though the view-bound
@@ -344,10 +349,18 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "st_trigger_availnow", "st_watermark", "st_dedup_wm",
     "st_foreachbatch", "st_stateful_sessionizer",
     "st_stream_stream_join", "st_transform_with_state",
-    # -- r4 lineage, stalest 9 in rotation order --
-    "q_fn_string", "q_fn_regexp", "q_fn_split", "q_fn_date",
-    "q_fn_math", "q_fn_cond",
-    "q_agg_q1", "q_agg_count_distinct", "q_agg_rollup",
+    # -- rewritten-since-verdict rows (7): the rule-8 radar rows, all
+    # hardened to exact bigint half-up arithmetic this round after the
+    # tie-targeting battery (tests/test_rule8_tie_battery.py) proved
+    # the 57/800-class half-boundary ties split the engines' float
+    # ROUNDs.  The IMPL_FINGERPRINTS tripwire enforces their presence
+    # here; they displace 7 of the 9 planned r4-lineage slots (those
+    # rotate into the r12 drain). --
+    "q_event_next_pred", "q_llm_gram_novelty", "q_llm_boilerplate",
+    "q_llm_minhash_eval", "q_llm_perplexity", "q_llm_embed_pq",
+    "q_graph_pagerank",
+    # -- r4 lineage, stalest 2 in rotation order --
+    "q_fn_string", "q_fn_regexp",
 )
 
 
