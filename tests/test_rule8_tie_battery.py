@@ -396,3 +396,51 @@ def test_tie_pagerank(spark, tmp_path):
     assert (2_000_000 + 4016) // (2 * 4016) == 249
     assert (2 * 249 + 2) // (2 * 2) == 125  # the half-up the engines share
     compare_to_oracle(spark, SPECS["q_graph_pagerank"], d)
+
+
+# ---------------------------------------------------------------------------
+# batch-2 sweep representatives (one per helper path): the same remedy
+# was applied to every remaining final-output rational ROUND in the
+# registry — these two pin the wide (base-100 long division) helper and
+# a count-ratio row end-to-end on crafted ties.
+# ---------------------------------------------------------------------------
+
+def test_tie_length_hist(spark, tmp_path):
+    """57 of 800 documents in one 10-token-wide length bucket: share =
+    57/800 = 0.07125, the diverging tie, through the overflow-safe wide
+    helper (signed_ratio_round_sql)."""
+    docs = []
+    for i in range(57):                                  # bucket_lo = 10
+        docs.append((i, " ".join(f"a{i}x{j}" for j in range(12)), "en", "s"))
+    for i in range(57, 800):                             # bucket_lo = 20
+        docs.append((i, " ".join(f"b{i}x{j}" for j in range(25)), "en", "s"))
+    d = _fixture_dir(tmp_path, "lenhist", {"documents": _docs_table(docs)})
+    spec = SPECS["q_llm_length_hist"]
+    out = {r["bucket_lo"]: r for r in spec.fn(spark, d).collect()}
+    assert out[10]["n_docs"] == 57
+    assert out[10]["share"] == 0.0713
+    compare_to_oracle(spark, spec, d)
+
+
+def test_tie_dau_wau(spark, tmp_path):
+    """One day with DAU=57 inside a trailing window of WAU=800:
+    stickiness = 57/800, the diverging tie."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 3, 4)
+    rows, eid = [], 0
+    # day 0: 800 distinct users
+    for u in range(800):
+        rows.append((eid, t0, u, "view", 1.0))
+        eid += 1
+    # day 3: 57 of them return -> WAU(day 3) = 800, DAU(day 3) = 57
+    for u in range(57):
+        rows.append((eid, t0 + datetime.timedelta(days=3), u, "view", 1.0))
+        eid += 1
+    d = _fixture_dir(tmp_path, "dauwau", {"events": _events_table(rows)})
+    spec = SPECS["q_event_dau_wau"]
+    out = {r["day"]: r for r in spec.fn(spark, d).collect()}
+    day3 = out[(t0 + datetime.timedelta(days=3)).date()]
+    assert (day3["dau"], day3["wau"]) == (57, 800)
+    assert day3["stickiness"] == 0.0713
+    compare_to_oracle(spark, spec, d)

@@ -70,10 +70,60 @@ def ratio_round4_sql(num: str, den: str, intdiv: str) -> str:
     Division by zero yields NULL in both dialects (matching the old
     float path's NULL on empty groups).
     """
+    return ratio_round_sql(num, den, 4, intdiv)
+
+
+def ratio_round_sql(num: str, den: str, scale: int, intdiv: str) -> str:
+    """:func:`ratio_round4_sql` at an arbitrary output scale."""
+    p = 10 ** scale
     q = f"(({num}) {intdiv} ({den}))"
     r = f"(({num}) % ({den}))"
-    half = f"((20000 * {r} + ({den})) {intdiv} (2 * ({den})))"
-    return f"(CAST({q} * 10000 + {half} AS DOUBLE) / 10000.0)"
+    half = f"(({2 * p} * {r} + ({den})) {intdiv} (2 * ({den})))"
+    return f"(CAST({q} * {p} + {half} AS DOUBLE) / {p}.0)"
+
+
+def signed_ratio_round4_sql(num: str, den: str, intdiv: str) -> str:
+    """Signed, overflow-safe ROUND(num/den, 4); see the general form."""
+    return signed_ratio_round_sql(num, den, 4, intdiv)
+
+
+def signed_ratio_round_sql(
+    num: str, den: str, scale: int, intdiv: str
+) -> str:
+    """Signed, overflow-safe ROUND(num/den, scale) in exact integers.
+
+    For ratios whose operands can reach ~1e15 (scale-8 decimal sums,
+    corpus-wide token totals), :func:`ratio_round4_sql`'s
+    ``2*10^scale * remainder`` product would overflow int64 — and the
+    engines disagree on overflow (Spark wraps silently off-ANSI,
+    DuckDB errors).  This variant long-divides the remainder in
+    base-100 steps (scale must be even), so no intermediate exceeds
+    ``100 * den``; the sign is split out because integer division of
+    negatives also differs across dialects (Spark ``div`` truncates
+    toward zero, DuckDB ``//`` floors).  ``den`` must be positive and
+    below ~9.2e16.
+
+        T = 10^scale * r = (sum_k d_k * 100^k) * den + r_last
+        round(|x|, scale)*10^scale = q*10^scale + digits + (2*r_last >= den)
+    """
+    assert scale % 2 == 0, "base-100 long division needs an even scale"
+    p = 10 ** scale
+
+    def positive(n: str) -> str:
+        q = f"(({n}) {intdiv} ({den}))"
+        r = f"(({n}) % ({den}))"
+        terms = [f"{q} * {p}"]
+        for step in range(scale // 2):
+            d = f"((100 * {r}) {intdiv} ({den}))"
+            r = f"((100 * {r}) % ({den}))"
+            terms.append(f"{d} * {10 ** (scale - 2 * (step + 1))}")
+        carry = f"(CASE WHEN 2 * {r} >= ({den}) THEN 1 ELSE 0 END)"
+        return "(" + " + ".join(terms) + f" + {carry})"
+
+    return (
+        f"(CAST(CASE WHEN ({num}) >= 0 THEN {positive(num)} "
+        f"ELSE -{positive(f'-({num})')} END AS DOUBLE) / {p}.0)"
+    )
 
 
 def decimal_mean_round4_sql(

@@ -22,6 +22,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from weather_etl_spark.functions.exact import (
+    decimal_mean_round4_sql,
+    ratio_round4_sql,
+    signed_ratio_round_sql,
+)
 from weather_etl_spark.io import read_table
 from weather_etl_spark.registry import register
 
@@ -108,8 +113,9 @@ WITH tagged AS (
   FROM tagged
 )
 SELECT CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
-       ROUND(MAX(abs(CAST(ca AS DOUBLE) / na
-                     - CAST(cb AS DOUBLE) / nb)), 4) AS ks_d,
+       {signed_ratio_round_sql('CAST(MAX(abs(ca * nb - cb * na)) AS BIGINT)',
+                               'CAST(MAX(na) * MAX(nb) AS BIGINT)',
+                               4, '//')} AS ks_d,
        MAX(abs(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb))
          > {_KS_C_ALPHA} * sqrt((MAX(na) + MAX(nb))
                                 / (CAST(MAX(na) AS DOUBLE) * MAX(nb)))
@@ -153,10 +159,19 @@ def q_agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ca").cast("double") / F.col("na")
         - F.col("cb").cast("double") / F.col("nb")
     )
+    # ks_d via the shared common denominator na*nb: the max of
+    # |ca/na - cb/nb| is max|ca*nb - cb*na| / (na*nb), a pure rational
+    # (rule-8 batch-2 sweep; exact while na*nb < 2^63 — beyond ~3e9
+    # samples per side, run the test on a sample).
     return cum.agg(
         F.max("na").cast("bigint").alias("n_a"),
         F.max("nb").cast("bigint").alias("n_b"),
-        F.round(F.max(diff), 4).alias("ks_d"),
+        F.expr(
+            signed_ratio_round_sql(
+                "CAST(max(abs(ca * nb - cb * na)) AS BIGINT)",
+                "CAST(max(na) * max(nb) AS BIGINT)", 4, "div",
+            )
+        ).alias("ks_d"),
         (
             F.max(diff)
             > _KS_C_ALPHA
@@ -2066,7 +2081,7 @@ def q_agg_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_agg_cohens_kappa",
-    oracle=r"""
+    oracle=rf"""
 WITH rated AS (
   SELECT CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS ra,
          CASE WHEN len(regexp_extract_all(text, '\bthe\b')) >= 2
@@ -2080,16 +2095,12 @@ WITH rated AS (
   FROM rated
 )
 SELECT n AS n_docs, a1 AS n_rater_a, b1 AS n_rater_b, n11 AS n_both,
-       ROUND(CAST(2 * n11 + n - a1 - b1 AS DOUBLE) / n, 4) AS p_o,
-       ROUND((CAST(a1 AS DOUBLE) * b1 + CAST(n - a1 AS DOUBLE) * (n - b1))
-             / (CAST(n AS DOUBLE) * n), 4) AS p_e,
-       ROUND((CAST(2 * n11 + n - a1 - b1 AS DOUBLE) / n
-              - (CAST(a1 AS DOUBLE) * b1
-                 + CAST(n - a1 AS DOUBLE) * (n - b1))
-                / (CAST(n AS DOUBLE) * n))
-             / (1 - (CAST(a1 AS DOUBLE) * b1
-                     + CAST(n - a1 AS DOUBLE) * (n - b1))
-                    / (CAST(n AS DOUBLE) * n)), 4) AS kappa
+       {ratio_round4_sql('2 * n11 + n - a1 - b1', 'n', '//')} AS p_o,
+       {signed_ratio_round_sql('a1 * b1 + (n - a1) * (n - b1)',
+                               'n * n', 4, '//')} AS p_e,
+       {signed_ratio_round_sql(
+           'n * (2 * n11 + n - a1 - b1) - (a1 * b1 + (n - a1) * (n - b1))',
+           'n * n - (a1 * b1 + (n - a1) * (n - b1))', 4, '//')} AS kappa
 FROM c
 """,
     doc="Cohen's kappa inter-rater agreement between two independent "
@@ -2120,22 +2131,30 @@ def q_agg_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rb").cast("bigint").alias("b1"),
         F.sum(F.col("ra") * F.col("rb")).cast("bigint").alias("n11"),
     )
-    p_o = (2 * F.col("n11") + F.col("n") - F.col("a1") - F.col("b1")).cast(
-        "double"
-    ) / F.col("n")
-    p_e = (
-        F.col("a1").cast("double") * F.col("b1")
-        + (F.col("n") - F.col("a1")).cast("double")
-        * (F.col("n") - F.col("b1"))
-    ) / (F.col("n").cast("double") * F.col("n"))
+    # exact integer half-up (rule-8 batch-2 sweep): p_o, p_e and
+    # kappa = (p_o - p_e)/(1 - p_e) are pure rationals of the four
+    # counts — common denominators n and n*n keep everything in
+    # bigints (exact while n < ~3e9 docs; sample beyond).
     return c.select(
         F.col("n").alias("n_docs"),
         F.col("a1").alias("n_rater_a"),
         F.col("b1").alias("n_rater_b"),
         F.col("n11").alias("n_both"),
-        F.round(p_o, 4).alias("p_o"),
-        F.round(p_e, 4).alias("p_e"),
-        F.round((p_o - p_e) / (1 - p_e), 4).alias("kappa"),
+        F.expr(
+            ratio_round4_sql("2 * n11 + n - a1 - b1", "n", "div")
+        ).alias("p_o"),
+        F.expr(
+            signed_ratio_round_sql(
+                "a1 * b1 + (n - a1) * (n - b1)", "n * n", 4, "div"
+            )
+        ).alias("p_e"),
+        F.expr(
+            signed_ratio_round_sql(
+                "n * (2 * n11 + n - a1 - b1)"
+                " - (a1 * b1 + (n - a1) * (n - b1))",
+                "n * n - (a1 * b1 + (n - a1) * (n - b1))", 4, "div",
+            )
+        ).alias("kappa"),
     )
 
 
@@ -2167,13 +2186,16 @@ WITH train AS (
 )
 SELECT tot.nt AS n_test,
        CAST(COUNT(*) AS BIGINT) AS n_buckets,
-       ROUND(CAST(SUM(CAST(ROUND(CAST(n_te AS DOUBLE) / tot.nt
-                                 * ABS(acc - conf), 8)
-                           AS DECIMAL(18,8))) AS DOUBLE), 4) AS ece,
+       {decimal_mean_round4_sql(
+           'CAST(SUM(CAST(ROUND(CAST(n_te AS DOUBLE) / tot.nt'
+           ' * ABS(acc - conf), 8) AS DECIMAL(18,8))) * 100000000'
+           ' AS BIGINT)', '1', 8, '//')} AS ece,
        ROUND(MAX(ABS(acc - conf)), 4) AS max_gap,
-       ROUND(CAST(SUM(CAST(ROUND(
-                 (n_te * conf * conf - 2 * conf * pos_te + pos_te)
-                 / tot.nt, 8) AS DECIMAL(18,8))) AS DOUBLE), 4) AS brier
+       {decimal_mean_round4_sql(
+           'CAST(SUM(CAST(ROUND('
+           '(n_te * conf * conf - 2 * conf * pos_te + pos_te)'
+           ' / tot.nt, 8) AS DECIMAL(18,8))) * 100000000 AS BIGINT)',
+           '1', 8, '//')} AS brier
 FROM b CROSS JOIN tot GROUP BY tot.nt
 """,
     doc="Probability-calibration backtest (ECE / max-gap / Brier) for "
@@ -2239,18 +2261,29 @@ def q_event_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("nt")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
-            F.round(F.sum(ece_term).cast("double"), 4).alias("ece"),
+            (F.sum(ece_term) * F.lit(100000000))
+            .cast("bigint")
+            .alias("se8"),
             F.round(F.max(F.abs(F.col("acc") - F.col("conf"))), 4).alias(
                 "max_gap"
             ),
-            F.round(F.sum(brier_term).cast("double"), 4).alias("brier"),
+            (F.sum(brier_term) * F.lit(100000000))
+            .cast("bigint")
+            .alias("sb8"),
         )
+        # exact integer half-up of the scale-8 decimal sums (rule-8
+        # batch-2 sweep); max_gap stays a float ROUND — it is a MAX of
+        # per-bucket fp products, not a constructible rational
         .select(
             F.col("nt").alias("n_test"),
             "n_buckets",
-            "ece",
+            F.expr(decimal_mean_round4_sql("se8", "1", 8, "div")).alias(
+                "ece"
+            ),
             "max_gap",
-            "brier",
+            F.expr(decimal_mean_round4_sql("sb8", "1", 8, "div")).alias(
+                "brier"
+            ),
         )
     )
 
@@ -2351,7 +2384,7 @@ def q_agg_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_agg_dispersion",
-    oracle="""
+    oracle=f"""
 WITH daily AS (
   SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
          CAST(COUNT(*) AS BIGINT) AS c
@@ -2364,9 +2397,9 @@ WITH daily AS (
   FROM daily GROUP BY event_type
 )
 SELECT event_type, n_days,
-       ROUND(CAST(sc AS DOUBLE) / n_days, 4) AS mean_daily,
-       ROUND((scc - CAST(sc AS DOUBLE) * sc / n_days) / (n_days - 1)
-             / (CAST(sc AS DOUBLE) / n_days), 4) AS dispersion,
+       {signed_ratio_round_sql('sc', 'n_days', 4, '//')} AS mean_daily,
+       {signed_ratio_round_sql('n_days * scc - sc * sc',
+                               '(n_days - 1) * sc', 4, '//')} AS dispersion,
        ((scc - CAST(sc AS DOUBLE) * sc / n_days) / (n_days - 1)
         / (CAST(sc AS DOUBLE) / n_days) - 1)
          * SQRT((n_days - 1) / 2.0) > 1.645 AS overdispersed
@@ -2401,11 +2434,20 @@ def q_agg_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("n_days") - 1)
         / mean
     )
+    # exact integer half-up (rule-8 batch-2 sweep): the mean and the
+    # dispersion index are pure rationals of the three bigint sums
+    # (exact while n_days*scc < 2^63; sample beyond)
     return m.select(
         "event_type",
         "n_days",
-        F.round(mean, 4).alias("mean_daily"),
-        F.round(disp, 4).alias("dispersion"),
+        F.expr(
+            signed_ratio_round_sql("sc", "n_days", 4, "div")
+        ).alias("mean_daily"),
+        F.expr(
+            signed_ratio_round_sql(
+                "n_days * scc - sc * sc", "(n_days - 1) * sc", 4, "div"
+            )
+        ).alias("dispersion"),
         (
             (disp - 1) * F.sqrt((F.col("n_days") - 1) / F.lit(2.0)) > 1.645
         ).alias("overdispersed"),

@@ -26,7 +26,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from weather_etl_spark.functions.exact import ratio_round4_sql
+from weather_etl_spark.functions.exact import (
+    decimal_mean_round4_sql,
+    ratio_round4_sql,
+    signed_ratio_round4_sql,
+)
 from weather_etl_spark.io import read_table
 from weather_etl_spark.registry import register
 
@@ -776,7 +780,7 @@ def q_event_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_event_dau_wau",
-    oracle="""
+    oracle=f"""
 WITH ud AS (
   SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
   FROM events
@@ -791,7 +795,7 @@ WITH ud AS (
   GROUP BY d.day
 )
 SELECT CAST(dau.day AS DATE) AS day, dau.dau AS dau, wau.wau AS wau,
-       ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 4) AS stickiness
+       {ratio_round4_sql('dau.dau', 'wau.wau', '//')} AS stickiness
 FROM dau JOIN wau USING (day)
 """,
     doc="DAU / WAU / stickiness (the product-analytics triple): "
@@ -839,9 +843,10 @@ def q_event_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day",
             "dau",
             "wau",
-            F.round(
-                F.col("dau").cast("double") / F.col("wau"), 4
-            ).alias("stickiness"),
+            # exact integer half-up (rule-8 batch-2 sweep)
+            F.expr(ratio_round4_sql("dau", "wau", "div")).alias(
+                "stickiness"
+            ),
         )
     )
 
@@ -1101,7 +1106,7 @@ def q_event_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_time_backtest",
-    oracle="""
+    oracle=f"""
 WITH daily AS (
   SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
          CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS y
@@ -1126,14 +1131,22 @@ WITH daily AS (
          CAST(ROUND(ABS(y - yhat_naive), 8) AS DECIMAL(24,8)) AS ae_naive
   FROM evald
 )
-SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_eval_days,
-       ROUND(CAST(SUM(ae_sma) AS DOUBLE) / COUNT(*) / 100, 4) AS mae_sma,
-       ROUND(CAST(SUM(ape_sma) AS DOUBLE) / COUNT(*), 4) AS mape_sma,
-       ROUND(CAST(SUM(ae_naive) AS DOUBLE) / COUNT(*) / 100, 4)
+, scored AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_eval_days,
+         CAST(SUM(ae_sma) * 100000000 AS BIGINT) AS sa8,
+         CAST(SUM(ape_sma) * 100000000 AS BIGINT) AS sp8,
+         CAST(SUM(ae_naive) * 100000000 AS BIGINT) AS sn8
+  FROM errs GROUP BY event_type
+)
+SELECT event_type, n_eval_days,
+       {decimal_mean_round4_sql('sa8', '100 * n_eval_days', 8, '//')}
+         AS mae_sma,
+       {decimal_mean_round4_sql('sp8', 'n_eval_days', 8, '//')}
+         AS mape_sma,
+       {decimal_mean_round4_sql('sn8', '100 * n_eval_days', 8, '//')}
          AS mae_naive,
-       ROUND(1 - CAST(SUM(ae_sma) AS DOUBLE)
-                 / CAST(SUM(ae_naive) AS DOUBLE), 4) AS skill
-FROM errs GROUP BY event_type ORDER BY event_type
+       {signed_ratio_round4_sql('sn8 - sa8', 'sn8', '//')} AS skill
+FROM scored ORDER BY event_type
 """,
     doc="Walk-forward forecast backtest: for each event type's "
     "daily-revenue series, forecast every day (after a 7-day "
@@ -1193,21 +1206,34 @@ def q_time_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_eval_days"),
-            F.round(
-                F.sum("ae_sma").cast("double") / F.count(F.lit(1)) / 100, 4
+            (F.sum("ae_sma") * F.lit(100000000))
+            .cast("bigint")
+            .alias("sa8"),
+            (F.sum("ape_sma") * F.lit(100000000))
+            .cast("bigint")
+            .alias("sp8"),
+            (F.sum("ae_naive") * F.lit(100000000))
+            .cast("bigint")
+            .alias("sn8"),
+        )
+        # exact integer half-up (rule-8 batch-2 sweep): the error
+        # means are scale-8 decimal sums over counts, and the skill
+        # score is a signed rational of the two sums (the wide helper
+        # keeps ~1e15 operands overflow-safe in both engines)
+        .select(
+            "event_type",
+            "n_eval_days",
+            F.expr(
+                decimal_mean_round4_sql("sa8", "100 * n_eval_days", 8, "div")
             ).alias("mae_sma"),
-            F.round(
-                F.sum("ape_sma").cast("double") / F.count(F.lit(1)), 4
+            F.expr(
+                decimal_mean_round4_sql("sp8", "n_eval_days", 8, "div")
             ).alias("mape_sma"),
-            F.round(
-                F.sum("ae_naive").cast("double") / F.count(F.lit(1)) / 100,
-                4,
+            F.expr(
+                decimal_mean_round4_sql("sn8", "100 * n_eval_days", 8, "div")
             ).alias("mae_naive"),
-            F.round(
-                F.lit(1)
-                - F.sum("ae_sma").cast("double")
-                / F.sum("ae_naive").cast("double"),
-                4,
+            F.expr(
+                signed_ratio_round4_sql("sn8 - sa8", "sn8", "div")
             ).alias("skill"),
         )
         .orderBy("event_type")
@@ -1216,7 +1242,7 @@ def q_time_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_event_markov2",
-    oracle="""
+    oracle=f"""
 WITH seq AS (
   SELECT user_id, event_type AS e1,
          lead(event_type, 1) OVER w AS e2,
@@ -1232,7 +1258,7 @@ WITH seq AS (
 )
 SELECT tri.e1 || '>' || tri.e2 AS context, tri.e3 AS next_type,
        tri.n_abc, ctx.n_ab,
-       ROUND(CAST(tri.n_abc AS DOUBLE) / ctx.n_ab, 4) AS p_next
+       {ratio_round4_sql('tri.n_abc', 'ctx.n_ab', '//')} AS p_next
 FROM tri JOIN ctx USING (e1, e2)
 ORDER BY tri.n_abc DESC, context ASC, next_type ASC
 LIMIT 25
@@ -1272,9 +1298,10 @@ def q_event_markov2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e3").alias("next_type"),
             "n_abc",
             "n_ab",
-            F.round(
-                F.col("n_abc").cast("double") / F.col("n_ab"), 4
-            ).alias("p_next"),
+            # exact integer half-up (rule-8 batch-2 sweep)
+            F.expr(ratio_round4_sql("n_abc", "n_ab", "div")).alias(
+                "p_next"
+            ),
         )
         .orderBy(
             F.col("n_abc").desc(),
@@ -1287,7 +1314,7 @@ def q_event_markov2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_event_decay_score",
-    oracle="""
+    oracle=f"""
 WITH anchor AS (
   SELECT MAX(CAST(date_trunc('day', ts) AS DATE)) AS maxday FROM events
 ), scored AS (
@@ -1300,7 +1327,8 @@ WITH anchor AS (
 )
 SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       ROUND(CAST(SUM(w) AS DOUBLE) / 100, 4) AS decay_score
+       {decimal_mean_round4_sql('CAST(SUM(w) * 1000000 AS BIGINT)',
+                               '100', 6, '//')} AS decay_score
 FROM scored GROUP BY user_id
 ORDER BY decay_score DESC, user_id ASC LIMIT 20
 """,
@@ -1338,10 +1366,15 @@ def q_event_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.round(F.sum("w").cast("double") / 100, 4).alias(
-                "decay_score"
-            ),
+            (F.sum("w") * F.lit(1000000)).cast("bigint").alias("w6"),
         )
+        # exact integer half-up (rule-8 batch-2 sweep): the decayed
+        # sum is a scale-6 decimal; decay_score = w6 / (1e6 * 100)
+        .withColumn(
+            "decay_score",
+            F.expr(decimal_mean_round4_sql("w6", "100", 6, "div")),
+        )
+        .drop("w6")
         .orderBy(F.col("decay_score").desc(), F.col("user_id").asc())
         .limit(20)
     )
@@ -1504,7 +1537,7 @@ def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_event_time_to_convert",
-    oracle="""
+    oracle=f"""
 WITH v AS (
   SELECT user_id, MIN(ts) AS t_view
   FROM events WHERE event_type = 'view' GROUP BY user_id
@@ -1518,12 +1551,12 @@ WITH v AS (
 )
 SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_viewers,
        CAST(COUNT(*) AS BIGINT) AS n_converters,
-       ROUND(100.0 * COUNT(*)
-             / (SELECT COUNT(*) FROM v), 4) AS conv_pct,
+       {ratio_round4_sql('100 * COUNT(*)',
+                  '(SELECT COUNT(*) FROM v)', '//')} AS conv_pct,
        ROUND(quantile_cont(lat_sec, 0.5) / 3600, 4) AS med_hours,
        ROUND(quantile_cont(lat_sec, 0.9) / 3600, 4) AS p90_hours,
-       ROUND(CAST(SUM(lat_sec) AS DOUBLE) / COUNT(*) / 3600, 4)
-         AS avg_hours
+       {ratio_round4_sql('CAST(SUM(lat_sec) AS BIGINT)',
+                  '3600 * COUNT(*)', '//')} AS avg_hours
 FROM p
 """,
     doc="Time-to-convert distribution: per user, the latency from "
@@ -1567,19 +1600,21 @@ def q_event_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_converters"),
             F.expr("percentile(lat_sec, 0.5)").alias("med_raw"),
             F.expr("percentile(lat_sec, 0.9)").alias("p90_raw"),
-            F.sum("lat_sec").cast("double").alias("sum_sec"),
+            F.sum("lat_sec").cast("bigint").alias("sum_sec"),
         )
         .crossJoin(F.broadcast(nv))
         .select(
             "n_viewers",
             "n_converters",
-            F.round(
-                100.0 * F.col("n_converters") / F.col("n_viewers"), 4
+            # exact integer half-up (rule-8 batch-2 sweep): conv_pct and
+            # avg_hours are pure rationals of bigint counts
+            F.expr(
+                ratio_round4_sql("100 * n_converters", "n_viewers", "div")
             ).alias("conv_pct"),
             F.round(F.col("med_raw") / 3600, 4).alias("med_hours"),
             F.round(F.col("p90_raw") / 3600, 4).alias("p90_hours"),
-            F.round(
-                F.col("sum_sec") / F.col("n_converters") / 3600, 4
+            F.expr(
+                ratio_round4_sql("sum_sec", "3600 * n_converters", "div")
             ).alias("avg_hours"),
         )
     )

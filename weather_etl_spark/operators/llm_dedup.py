@@ -28,7 +28,10 @@ from weather_etl_spark.checkpoints import (
     release_rdds,
     tracked_local_checkpoint,
 )
-from weather_etl_spark.functions.exact import ratio_round4_sql
+from weather_etl_spark.functions.exact import (
+    ratio_round4_sql,
+    signed_ratio_round_sql,
+)
 from weather_etl_spark.io import read_table
 from weather_etl_spark.registry import register
 
@@ -171,7 +174,7 @@ def _simhash(docs: DataFrame, n_bits: int = 60) -> DataFrame:
 
 @register(
     "q_llm_ngram_jaccard",
-    oracle="""
+    oracle=f"""
 WITH sh AS (
   SELECT DISTINCT doc_id,
          unnest(list_transform(
@@ -187,7 +190,7 @@ WITH sh AS (
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT id_a, id_b,
-       ROUND(CAST(common AS DOUBLE) / (ca.n + cb.n - common), 4) AS jaccard
+       {ratio_round4_sql('common', 'ca.n + cb.n - common', '//')} AS jaccard
 FROM pairs
 JOIN card ca ON ca.doc_id = id_a
 JOIN card cb ON cb.doc_id = id_b
@@ -224,13 +227,20 @@ def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.join(ca, "id_a")
         .join(cb, "id_b")
         .filter(jac >= 0.5)
-        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        # exact integer half-up (rule-8 batch-2 sweep)
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(
+                ratio_round4_sql("common", "n_a + n_b - common", "div")
+            ).alias("jaccard"),
+        )
     )
 
 
 @register(
     "llm_jaccard_prefix",
-    oracle="""
+    oracle=f"""
 WITH sh AS (
   SELECT DISTINCT doc_id,
          unnest(list_transform(
@@ -246,7 +256,7 @@ WITH sh AS (
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT id_a, id_b,
-       ROUND(CAST(common AS DOUBLE) / (ca.n + cb.n - common), 4) AS jaccard
+       {ratio_round4_sql('common', 'ca.n + cb.n - common', '//')} AS jaccard
 FROM pairs
 JOIN card ca ON ca.doc_id = id_a
 JOIN card cb ON cb.doc_id = id_b
@@ -326,12 +336,22 @@ def llm_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_b"),
     )
     common = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = common.cast("double") / (F.col("n_a") + F.col("n_b") - common)
+    jac = F.col("common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("common")
+    )
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
+        .select("id_a", "id_b", common.alias("common"), "n_a", "n_b")
         .filter(jac >= t)
-        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        # exact integer half-up (rule-8 batch-2 sweep)
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(
+                ratio_round4_sql("common", "n_a + n_b - common", "div")
+            ).alias("jaccard"),
+        )
     )
 
 
@@ -1021,7 +1041,7 @@ def llm_cosine_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_minhash_banded",
-    oracle="""
+    oracle=f"""
 WITH sh AS (
   SELECT DISTINCT doc_id,
          unnest(list_transform(
@@ -1053,7 +1073,7 @@ WITH sh AS (
   GROUP BY cand.id_a, cand.id_b
 )
 SELECT common.id_a, common.id_b,
-       ROUND(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 4) AS jaccard
+       {ratio_round4_sql('c', 'ca.n + cb.n - c', '//')} AS jaccard
 FROM common
 JOIN card ca ON ca.doc_id = common.id_a
 JOIN card cb ON cb.doc_id = common.id_b
@@ -1138,12 +1158,22 @@ def llm_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_b"),
     )
     common = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = common.cast("double") / (F.col("n_a") + F.col("n_b") - common)
+    jac = F.col("common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("common")
+    )
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
+        .select("id_a", "id_b", common.alias("common"), "n_a", "n_b")
         .filter(jac >= 0.5)
-        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        # exact integer half-up (rule-8 batch-2 sweep)
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(
+                ratio_round4_sql("common", "n_a + n_b - common", "div")
+            ).alias("jaccard"),
+        )
     )
 
 
@@ -1881,7 +1911,7 @@ def q_llm_minhash_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_llm_dedup_curve",
-    oracle="""
+    oracle=f"""
 WITH sh AS (
   SELECT DISTINCT doc_id,
          unnest(list_transform(
@@ -1917,7 +1947,7 @@ WITH sh AS (
   GROUP BY t
 )
 SELECT CAST(ROUND(pairsb.t, 1) AS DOUBLE) AS threshold, pairsb.n_pairs, docsb.n_docs,
-       ROUND(CAST(docsb.n_docs AS DOUBLE) / nd.total, 4) AS doc_frac
+       {signed_ratio_round_sql('docsb.n_docs', 'nd.total', 4, '//')} AS doc_frac
 FROM pairsb JOIN docsb USING (t) CROSS JOIN nd ORDER BY threshold
 """,
     doc="Near-dedup threshold operating curve: for Jaccard cutoffs "
@@ -1996,8 +2026,9 @@ def q_llm_dedup_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("t"), 1).alias("threshold"),
             "n_pairs",
             "n_docs",
-            F.round(
-                F.col("n_docs").cast("double") / F.col("total"), 4
+            # exact integer half-up (rule-8 batch-2 sweep)
+            F.expr(
+                signed_ratio_round_sql("n_docs", "total", 4, "div")
             ).alias("doc_frac"),
         )
         .orderBy("threshold")

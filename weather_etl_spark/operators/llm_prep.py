@@ -20,7 +20,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from weather_etl_spark.functions.exact import ratio_round4_sql
+from weather_etl_spark.functions.exact import (
+    ratio_round4_sql,
+    signed_ratio_round_sql,
+)
 from weather_etl_spark.io import read_table
 from weather_etl_spark.registry import register
 
@@ -166,7 +169,7 @@ def q_llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_llm_zipf",
-    oracle="""
+    oracle=f"""
 WITH tok AS (
   SELECT unnest(string_split(text, ' ')) AS token FROM documents
 ), freq AS (
@@ -180,7 +183,7 @@ WITH tok AS (
 )
 SELECT token, CAST(n AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank,
        CAST(n * rank AS BIGINT) AS zipf_product,
-       ROUND(CAST(n AS DOUBLE) / total, 6) AS share
+       {signed_ratio_round_sql('n', 'total', 6, '//')} AS share
 FROM ranked CROSS JOIN tot
 WHERE rank <= 20
 ORDER BY rank
@@ -212,7 +215,10 @@ def q_llm_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.col("rank").cast("bigint").alias("rank"),
         (F.col("n") * F.col("rank")).cast("bigint").alias("zipf_product"),
-        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+        # exact integer half-up (rule-8 batch-2 sweep)
+        F.expr(signed_ratio_round_sql("n", "total", 6, "div")).alias(
+            "share"
+        ),
     ).orderBy("rank")
 
 
@@ -361,7 +367,7 @@ def q_llm_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_llm_domain_mix",
-    oracle="""
+    oracle=f"""
 WITH per_src AS (
   SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
 ), tot AS (
@@ -370,9 +376,9 @@ WITH per_src AS (
   FROM per_src
 )
 SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
-       ROUND(CAST(n_docs AS DOUBLE) / total, 6) AS actual_share,
-       ROUND(1.0 / n_sources, 6) AS target_share,
-       ROUND((1.0 / n_sources) / (CAST(n_docs AS DOUBLE) / total), 4)
+       {signed_ratio_round_sql('n_docs', 'total', 6, '//')} AS actual_share,
+       {signed_ratio_round_sql('1', 'n_sources', 6, '//')} AS target_share,
+       {signed_ratio_round_sql('total', 'n_sources * n_docs', 4, '//')}
          AS weight
 FROM per_src CROSS JOIN tot
 """,
@@ -392,14 +398,21 @@ def q_llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_docs").cast("bigint").alias("total"),
         F.count(F.lit(1)).alias("n_sources"),
     )
-    actual = F.col("n_docs").cast("double") / F.col("total")
-    target = F.lit(1.0) / F.col("n_sources")
+    # exact integer half-up (rule-8 batch-2 sweep): all three
+    # outputs are pure rationals of bigint counts (weight =
+    # total / (n_sources * n_docs))
     return per_src.crossJoin(F.broadcast(tot)).select(
         "source",
         F.col("n_docs").cast("bigint").alias("n_docs"),
-        F.round(actual, 6).alias("actual_share"),
-        F.round(target, 6).alias("target_share"),
-        F.round(target / actual, 4).alias("weight"),
+        F.expr(
+            signed_ratio_round_sql("n_docs", "total", 6, "div")
+        ).alias("actual_share"),
+        F.expr(
+            signed_ratio_round_sql("1", "n_sources", 6, "div")
+        ).alias("target_share"),
+        F.expr(
+            signed_ratio_round_sql("total", "n_sources * n_docs", 4, "div")
+        ).alias("weight"),
     )
 
 
@@ -1404,7 +1417,7 @@ def q_llm_apply_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_llm_vocab_coverage",
-    oracle="""
+    oracle=f"""
 WITH tok AS (
   SELECT unnest(string_split(text, ' ')) AS token FROM documents
 ), ledger AS (
@@ -1425,8 +1438,8 @@ WITH tok AS (
 SELECT k, LEAST(k, tot.vocab) AS top_n,
        CAST(r.cum AS BIGINT) AS covered_occurrences,
        tot.total AS total_occurrences,
-       ROUND(CAST(r.cum AS DOUBLE) / tot.total, 4) AS coverage,
-       ROUND(1.0 - CAST(r.cum AS DOUBLE) / tot.total, 4) AS oov_rate
+       {signed_ratio_round_sql('r.cum', 'tot.total', 4, '//')} AS coverage,
+       {signed_ratio_round_sql('tot.total - r.cum', 'tot.total', 4, '//')} AS oov_rate
 FROM (VALUES (CAST(10 AS BIGINT)), (100), (1000), (10000)) ks(k)
 CROSS JOIN tot
 JOIN ranked r ON r.rnk = LEAST(ks.k, tot.vocab)
@@ -1480,10 +1493,12 @@ def q_llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("k", "vocab").alias("top_n"),
             F.col("cum").alias("covered_occurrences"),
             F.col("total").alias("total_occurrences"),
-            F.round(F.col("cum").cast("double") / F.col("total"), 4)
-            .alias("coverage"),
-            F.round(
-                F.lit(1.0) - F.col("cum").cast("double") / F.col("total"), 4
+            # exact integer half-up (rule-8 batch-2 sweep)
+            F.expr(
+                signed_ratio_round_sql("cum", "total", 4, "div")
+            ).alias("coverage"),
+            F.expr(
+                signed_ratio_round_sql("total - cum", "total", 4, "div")
             ).alias("oov_rate"),
         )
         .orderBy("k")
@@ -1525,7 +1540,8 @@ SELECT n_spans,
        CAST(SUM(n_tokens - n_masked + n_spans) AS BIGINT)
          AS tot_input_tokens,
        CAST(SUM(n_masked + n_spans) AS BIGINT) AS tot_target_tokens,
-       ROUND(CAST(SUM(n_masked) AS DOUBLE) / SUM(n_tokens), 4)
+       {signed_ratio_round_sql('CAST(SUM(n_masked) AS BIGINT)',
+                               'CAST(SUM(n_tokens) AS BIGINT)', 4, '//')}
          AS mask_ratio
 FROM m GROUP BY n_spans ORDER BY n_spans
 """,
@@ -1578,8 +1594,11 @@ def q_llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n_masked") + F.col("n_spans"))
             .cast("bigint")
             .alias("tot_target_tokens"),
-            F.round(
-                F.sum("n_masked").cast("double") / F.sum("n_tokens"), 4
+            # exact integer half-up (rule-8 batch-2 sweep)
+            F.expr(
+                signed_ratio_round_sql(
+                    "sum(n_masked)", "sum(n_tokens)", 4, "div"
+                )
             ).alias("mask_ratio"),
         )
         .orderBy("n_spans")
@@ -1787,7 +1806,7 @@ def q_llm_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_llm_distinct_n",
-    oracle="""
+    oracle=f"""
 WITH toks AS (
   SELECT source, string_split(text, ' ') AS t FROM documents
 ), u AS (
@@ -1805,12 +1824,14 @@ WITH toks AS (
 )
 SELECT u.source,
        CAST(COUNT(u.g) AS BIGINT) AS n_unigrams,
-       ROUND(CAST(COUNT(DISTINCT u.g) AS DOUBLE) / COUNT(u.g), 4)
-         AS distinct_1,
-       ROUND((SELECT CAST(COUNT(DISTINCT b.g) AS DOUBLE) / COUNT(b.g)
-              FROM b WHERE b.source = u.source), 4) AS distinct_2,
-       ROUND((SELECT CAST(COUNT(DISTINCT tr.g) AS DOUBLE) / COUNT(tr.g)
-              FROM tr WHERE tr.source = u.source), 4) AS distinct_3
+       {signed_ratio_round_sql('COUNT(DISTINCT u.g)', 'COUNT(u.g)',
+                               4, '//')} AS distinct_1,
+       (SELECT {signed_ratio_round_sql('COUNT(DISTINCT b.g)',
+                                       'COUNT(b.g)', 4, '//')}
+        FROM b WHERE b.source = u.source) AS distinct_2,
+       (SELECT {signed_ratio_round_sql('COUNT(DISTINCT tr.g)',
+                                       'COUNT(tr.g)', 4, '//')}
+        FROM tr WHERE tr.source = u.source) AS distinct_3
 FROM u GROUP BY u.source ORDER BY u.source
 """,
     doc="Corpus-level distinct-n diversity (Li et al. 2016's "
@@ -1846,11 +1867,22 @@ def q_llm_distinct_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def ratio(df: DataFrame, out: str) -> DataFrame:
-        return df.groupBy("source").agg(
-            F.count("g").cast("bigint").alias(f"_n_{out}"),
-            F.round(
-                F.countDistinct("g").cast("double") / F.count("g"), 4
-            ).alias(out),
+        # exact integer half-up (rule-8 batch-2 sweep)
+        return (
+            df.groupBy("source")
+            .agg(
+                F.count("g").cast("bigint").alias(f"_n_{out}"),
+                F.countDistinct("g").cast("bigint").alias(f"_d_{out}"),
+            )
+            .withColumn(
+                out,
+                F.expr(
+                    signed_ratio_round_sql(
+                        f"_d_{out}", f"_n_{out}", 4, "div"
+                    )
+                ),
+            )
+            .drop(f"_d_{out}")
         )
 
     r1 = ratio(grams(1), "distinct_1").withColumnRenamed(

@@ -16,7 +16,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from weather_etl_spark.functions.exact import decimal_mean_round4_sql
+from weather_etl_spark.functions.exact import (
+    decimal_mean_round4_sql,
+    ratio_round4_sql,
+    signed_ratio_round_sql,
+)
 from weather_etl_spark.io import read_table
 from weather_etl_spark.registry import register
 
@@ -122,9 +126,10 @@ def q_llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_llm_docprofile",
-    oracle="""
+    oracle=f"""
 SELECT lang, source, COUNT(*) AS n_docs,
-       ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars,
+       {signed_ratio_round_sql('CAST(SUM(n_chars) AS BIGINT)',
+                               'COUNT(*)', 4, '//')} AS avg_chars,
        MAX(n_chars) AS max_chars
 FROM documents GROUP BY lang, source
 """,
@@ -133,12 +138,23 @@ FROM documents GROUP BY lang, source
 )
 def q_llm_docprofile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    return docs.groupBy("lang", "source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.round(
-            F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4
-        ).alias("avg_chars"),
-        F.max("n_chars").alias("max_chars"),
+    # exact integer half-up (rule-8 batch-2 sweep)
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            F.expr(
+                signed_ratio_round_sql("sum_chars", "n_docs", 4, "div")
+            ).alias("avg_chars"),
+            "max_chars",
+        )
     )
 
 
@@ -227,13 +243,14 @@ WITH m AS (
               WHEN n_stop_kinds = 0 THEN 'no_stopwords'
               WHEN n_chars > 400 THEN 'long'
               ELSE 'ok' END AS bucket,
-         ROUND(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens, 4)
+         {ratio_round4_sql('n_chars - (n_tokens - 1)', 'n_tokens', '//')}
            AS avg_tok_len
   FROM m
 )
 SELECT lang, bucket, COUNT(*) AS n,
-       ROUND(CAST(SUM(CAST(avg_tok_len AS DECIMAL(18,4))) AS DOUBLE)
-             / COUNT(*), 4) AS mean_tok_len
+       {decimal_mean_round4_sql(
+           'CAST(SUM(CAST(avg_tok_len AS DECIMAL(18,4))) * 10000 AS BIGINT)',
+           'COUNT(*)', 4, '//')} AS mean_tok_len
 FROM q GROUP BY lang, bucket
 """,
     doc="Quality scoring: token counts, stopword presence, length "
@@ -258,19 +275,27 @@ def q_llm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("n_chars") > 400, "long")
         .otherwise("ok")
     )
-    avg_tok_len = F.round(
-        (F.col("n_chars") - (F.col("n_tokens") - 1)).cast("double")
-        / F.col("n_tokens"),
-        4,
+    # exact integer half-up (rule-8 batch-2 sweep)
+    avg_tok_len = F.expr(
+        ratio_round4_sql("n_chars - (n_tokens - 1)", "n_tokens", "div")
     )
     q = m.select("lang", bucket.alias("bucket"), avg_tok_len.alias("avg_tok_len"))
-    return q.groupBy("lang", "bucket").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(
-            F.sum(F.col("avg_tok_len").cast("decimal(18,4)")).cast("double")
-            / F.count(F.lit(1)),
-            4,
-        ).alias("mean_tok_len"),
+    return (
+        q.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.col("avg_tok_len").cast("decimal(18,4)")) * F.lit(10000))
+            .cast("bigint")
+            .alias("s4"),
+        )
+        .select(
+            "lang",
+            "bucket",
+            "n",
+            F.expr(decimal_mean_round4_sql("s4", "n", 4, "div")).alias(
+                "mean_tok_len"
+            ),
+        )
     )
 
 
@@ -476,7 +501,7 @@ def q_llm_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_llm_repetition",
-    oracle="""
+    oracle=f"""
 WITH tok AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents
 ), big AS (
@@ -492,7 +517,7 @@ WITH tok AS (
 )
 SELECT doc_id,
        CAST(n_bigrams AS BIGINT) AS n_bigrams,
-       ROUND(1.0 - CAST(n_uniq AS DOUBLE) / n_bigrams, 4) AS dup_bigram_frac
+       {ratio_round4_sql('n_bigrams - n_uniq', 'n_bigrams', '//')} AS dup_bigram_frac
 FROM counts WHERE n_bigrams > 0
 """,
     doc="Repetition quality signal: the duplicated-bigram fraction per "
@@ -518,11 +543,16 @@ def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.size("bigrams").cast("bigint").alias("n_bigrams"),
-            F.round(
-                F.lit(1.0)
-                - F.size(F.array_distinct("bigrams")).cast("double")
-                / F.size("bigrams"),
-                4,
+            F.size(F.array_distinct("bigrams"))
+            .cast("bigint")
+            .alias("n_uniq"),
+        )
+        # exact integer half-up (rule-8 batch-2 sweep)
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.expr(
+                ratio_round4_sql("n_bigrams - n_uniq", "n_bigrams", "div")
             ).alias("dup_bigram_frac"),
         )
     )
@@ -592,14 +622,14 @@ def q_llm_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_llm_corpus_stats",
-    oracle="""
+    oracle=f"""
 SELECT source,
        COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        COUNT(DISTINCT lang) AS n_langs,
        COUNT(*) - COUNT(DISTINCT text) AS n_exact_dups,
-       ROUND(CAST(COUNT(*) - COUNT(DISTINCT text) AS DOUBLE)
-             / COUNT(*), 4) AS dup_rate
+       {signed_ratio_round_sql('COUNT(*) - COUNT(DISTINCT text)',
+                               'COUNT(*)', 4, '//')} AS dup_rate
 FROM documents
 GROUP BY source
 """,
@@ -621,24 +651,35 @@ def q_llm_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("total_chars"),
         F.countDistinct("lang").alias("n_langs"),
         (n - F.countDistinct("text")).alias("n_exact_dups"),
-        F.round((n - F.countDistinct("text")).cast("double") / n, 4).alias(
-            "dup_rate"
-        ),
+    ).select(
+        "source",
+        "n_docs",
+        "total_chars",
+        "n_langs",
+        "n_exact_dups",
+        # exact integer half-up (rule-8 batch-2 sweep)
+        F.expr(
+            signed_ratio_round_sql("n_exact_dups", "n_docs", 4, "div")
+        ).alias("dup_rate"),
     )
 
 
 @register(
     "q_llm_length_hist",
-    oracle="""
+    oracle=f"""
 WITH t AS (
   SELECT (len(string_split(text, ' ')) // 10) * 10 AS bucket_lo
   FROM documents
 )
-SELECT CAST(bucket_lo AS BIGINT) AS bucket_lo,
-       COUNT(*) AS n_docs,
-       ROUND(CAST(COUNT(*) AS DOUBLE)
-             / SUM(COUNT(*)) OVER (), 4) AS share
-FROM t GROUP BY bucket_lo
+, agg AS (
+  SELECT CAST(bucket_lo AS BIGINT) AS bucket_lo,
+         COUNT(*) AS n_docs,
+         SUM(COUNT(*)) OVER () AS total
+  FROM t GROUP BY bucket_lo
+)
+SELECT bucket_lo, n_docs,
+       {signed_ratio_round_sql('n_docs', 'CAST(total AS BIGINT)', 4, '//')} AS share
+FROM agg
 """,
     doc="Token-length histogram (width-10 buckets) with each bucket's "
     "corpus share: the length distribution every pretraining pipeline "
@@ -656,12 +697,20 @@ def q_llm_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs")
     )
     w = Window.partitionBy()
-    return agg.select(
-        F.col("bucket_lo").cast("bigint").alias("bucket_lo"),
-        "n_docs",
-        F.round(
-            F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 4
-        ).alias("share"),
+    # exact integer half-up (rule-8 batch-2 sweep)
+    return (
+        agg.select(
+            F.col("bucket_lo").cast("bigint").alias("bucket_lo"),
+            "n_docs",
+            F.sum("n_docs").over(w).cast("bigint").alias("total"),
+        )
+        .select(
+            "bucket_lo",
+            "n_docs",
+            F.expr(
+                signed_ratio_round_sql("n_docs", "total", 4, "div")
+            ).alias("share"),
+        )
     )
 
 
@@ -828,7 +877,7 @@ def q_llm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_llm_ppl_bucket",
-    oracle="""
+    oracle=f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t
   FROM documents WHERE len(string_split(text, ' ')) >= 2
@@ -851,7 +900,9 @@ WITH toks AS (
   JOIN c1 ON split_part(bg.bigram, ' ', 1) = c1.w1
 ), ppl AS (
   SELECT doc_id,
-         ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 4) AS avg_nll
+         {decimal_mean_round4_sql(
+             'CAST(SUM(nll) * 1000000 AS BIGINT)', 'COUNT(*)', 6, '//')}
+           AS avg_nll
   FROM nll GROUP BY doc_id
 ), b AS (
   SELECT d.lang, p.avg_nll,
@@ -1114,7 +1165,7 @@ def q_llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_llm_filter_funnel",
-    oracle="""
+    oracle=f"""
 WITH flags AS (
   SELECT doc_id,
          ROW_NUMBER() OVER (PARTITION BY md5(text)
@@ -1150,7 +1201,7 @@ WITH flags AS (
 )
 SELECT stage, stage_name,
        CAST(n_killed + n_out AS BIGINT) AS n_in, n_killed, n_out,
-       ROUND(CAST(n_out AS DOUBLE) / tot.n_docs, 4) AS cum_survival
+       {signed_ratio_round_sql('n_out', 'tot.n_docs', 4, '//')} AS cum_survival
 FROM stages CROSS JOIN tot ORDER BY stage
 """,
     doc="Curation filter funnel: the ordered filter cascade every "
@@ -1250,8 +1301,11 @@ def q_llm_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n_killed + n_out).cast("bigint").alias("n_in"),
             n_killed.alias("n_killed"),
             n_out.alias("n_out"),
-            F.round(
-                n_out.cast("double") / F.col("n_docs"), 4
+            # exact integer half-up (rule-8 batch-2 sweep)
+            F.expr(
+                signed_ratio_round_sql(
+                    "coalesce(n_out_raw, 0)", "n_docs", 4, "div"
+                )
             ).alias("cum_survival"),
         )
         .orderBy("stage")
@@ -1354,12 +1408,16 @@ def _eval_pair_ngrams(docs: DataFrame) -> DataFrame:
 WITH {_EVAL_NGRAM_CTES}
 SELECT n,
        CAST(COUNT(*) AS BIGINT) AS n_pairs,
-       ROUND(CAST(SUM(overlap) AS DOUBLE) / SUM(cand_c), 4) AS precision,
-       ROUND(CAST(SUM(overlap) AS DOUBLE) / SUM(ref_c), 4) AS recall,
-       ROUND(2 * (CAST(SUM(overlap) AS DOUBLE) / SUM(cand_c))
-               * (CAST(SUM(overlap) AS DOUBLE) / SUM(ref_c))
-             / (CAST(SUM(overlap) AS DOUBLE) / SUM(cand_c)
-                + CAST(SUM(overlap) AS DOUBLE) / SUM(ref_c)), 4) AS f1
+       {signed_ratio_round_sql('CAST(SUM(overlap) AS BIGINT)',
+                               'CAST(SUM(cand_c) AS BIGINT)', 4, '//')}
+         AS precision,
+       {signed_ratio_round_sql('CAST(SUM(overlap) AS BIGINT)',
+                               'CAST(SUM(ref_c) AS BIGINT)', 4, '//')}
+         AS recall,
+       CASE WHEN SUM(overlap) = 0 THEN NULL ELSE
+       {signed_ratio_round_sql('CAST(2 * SUM(overlap) AS BIGINT)',
+                               'CAST(SUM(cand_c) + SUM(ref_c) AS BIGINT)',
+                               4, '//')} END AS f1
 FROM per_pair GROUP BY n ORDER BY n
 """,
     doc="Micro-averaged ROUGE-1/ROUGE-2 over (candidate, reference) "
@@ -1378,15 +1436,34 @@ FROM per_pair GROUP BY n ORDER BY n
 )
 def q_llm_rouge(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_pair = _eval_pair_ngrams(read_table(spark, sf_dir, "documents"))
-    p = F.sum("overlap").cast("double") / F.sum("cand_c")
-    r = F.sum("overlap").cast("double") / F.sum("ref_c")
+    # exact integer half-up (rule-8 batch-2 sweep): precision/recall
+    # are count ratios; the F1 harmonic mean simplifies to the exact
+    # rational 2*overlap / (cand + ref), with the old 0/0 -> NULL
+    # behavior preserved for zero-overlap pools
     return (
         per_pair.groupBy("n")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-            F.round(p, 4).alias("precision"),
-            F.round(r, 4).alias("recall"),
-            F.round(2 * p * r / (p + r), 4).alias("f1"),
+            F.sum("overlap").cast("bigint").alias("so"),
+            F.sum("cand_c").cast("bigint").alias("sc"),
+            F.sum("ref_c").cast("bigint").alias("sr"),
+        )
+        .select(
+            "n",
+            "n_pairs",
+            F.expr(
+                signed_ratio_round_sql("so", "sc", 4, "div")
+            ).alias("precision"),
+            F.expr(
+                signed_ratio_round_sql("so", "sr", 4, "div")
+            ).alias("recall"),
+            F.when(
+                F.col("so") == 0, F.lit(None).cast("double")
+            ).otherwise(
+                F.expr(
+                    signed_ratio_round_sql("2 * so", "sc + sr", 4, "div")
+                )
+            ).alias("f1"),
         )
         .orderBy("n")
     )
@@ -1401,6 +1478,10 @@ WITH {_EVAL_NGRAM_CTES}
            / SUM(CASE WHEN n = 1 THEN cand_c ELSE 0 END) AS p1,
          CAST(SUM(CASE WHEN n = 2 THEN overlap ELSE 0 END) AS DOUBLE)
            / SUM(CASE WHEN n = 2 THEN cand_c ELSE 0 END) AS p2,
+         CAST(SUM(CASE WHEN n = 1 THEN overlap ELSE 0 END) AS BIGINT) AS o1,
+         CAST(SUM(CASE WHEN n = 1 THEN cand_c ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN n = 2 THEN overlap ELSE 0 END) AS BIGINT) AS o2,
+         CAST(SUM(CASE WHEN n = 2 THEN cand_c ELSE 0 END) AS BIGINT) AS c2,
          CAST(SUM(CASE WHEN n = 1 THEN cand_c ELSE 0 END) AS BIGINT)
            AS cand_len,
          CAST(SUM(CASE WHEN n = 1 THEN ref_c ELSE 0 END) AS BIGINT)
@@ -1409,7 +1490,8 @@ WITH {_EVAL_NGRAM_CTES}
   FROM per_pair
 )
 SELECT n_pairs, cand_len, ref_len,
-       ROUND(p1, 4) AS p1, ROUND(p2, 4) AS p2,
+       {signed_ratio_round_sql('o1', 'c1', 4, '//')} AS p1,
+       {signed_ratio_round_sql('o2', 'c2', 4, '//')} AS p2,
        ROUND(CASE WHEN cand_len >= ref_len THEN 1.0
                   ELSE EXP(1 - CAST(ref_len AS DOUBLE) / cand_len) END, 4)
          AS brevity_penalty,
@@ -1443,6 +1525,18 @@ def q_llm_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(is2, F.col("overlap")).otherwise(0)).cast("double")
             / F.sum(F.when(is2, F.col("cand_c")).otherwise(0))
         ).alias("p2"),
+        F.sum(F.when(is1, F.col("overlap")).otherwise(0))
+        .cast("bigint")
+        .alias("o1"),
+        F.sum(F.when(is1, F.col("cand_c")).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(is2, F.col("overlap")).otherwise(0))
+        .cast("bigint")
+        .alias("o2"),
+        F.sum(F.when(is2, F.col("cand_c")).otherwise(0))
+        .cast("bigint")
+        .alias("c2"),
         F.sum(F.when(is1, F.col("cand_c")).otherwise(0))
         .cast("bigint")
         .alias("cand_len"),
@@ -1462,8 +1556,11 @@ def q_llm_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         "cand_len",
         "ref_len",
-        F.round("p1", 4).alias("p1"),
-        F.round("p2", 4).alias("p2"),
+        # exact integer half-up (rule-8 batch-2 sweep); the
+        # transcendental brevity-penalty/geometric-mean terms keep the
+        # float ROUND (not constructible rationals)
+        F.expr(signed_ratio_round_sql("o1", "c1", 4, "div")).alias("p1"),
+        F.expr(signed_ratio_round_sql("o2", "c2", 4, "div")).alias("p2"),
         F.round(bp, 4).alias("brevity_penalty"),
         F.round(
             bp * F.exp((F.log("p1") + F.log("p2")) / 2), 4

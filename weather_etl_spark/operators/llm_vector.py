@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from weather_etl_spark.functions.exact import (
     decimal_mean_round4_sql,
     ratio_round4_sql,
+    signed_ratio_round_sql,
 )
 from weather_etl_spark.io import read_table
 from weather_etl_spark.registry import register
@@ -843,7 +844,7 @@ def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_llm_embed_truncate",
-    oracle="""
+    oracle=f"""
 WITH e AS (
   SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
          CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS q
@@ -865,7 +866,9 @@ WITH e AS (
 )
 SELECT d AS dims_kept,
        CAST(COUNT(*) AS BIGINT) AS n_vecs,
-       ROUND(CAST(SUM(frac) AS DOUBLE) / COUNT(*), 4) AS avg_energy_frac,
+       {decimal_mean_round4_sql(
+           'CAST(SUM(frac) * 100000000 AS BIGINT)', 'COUNT(*)', 8, '//')}
+         AS avg_energy_frac,
        ROUND(CAST(MIN(frac) AS DOUBLE), 4) AS min_energy_frac
 FROM fracs GROUP BY d ORDER BY d
 """,
@@ -920,17 +923,20 @@ def q_llm_embed_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
         fracs.groupBy("d")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
-            F.round(
-                F.sum("frac").cast("double") / F.count(F.lit(1)), 4
-            ).alias("avg_energy_frac"),
+            (F.sum("frac") * F.lit(100000000))
+            .cast("bigint")
+            .alias("sf8"),
             F.round(F.min("frac").cast("double"), 4).alias(
                 "min_energy_frac"
             ),
         )
+        # exact integer half-up (rule-8 batch-2 sweep)
         .select(
             F.col("d").alias("dims_kept"),
             "n_vecs",
-            "avg_energy_frac",
+            F.expr(
+                decimal_mean_round4_sql("sf8", "n_vecs", 8, "div")
+            ).alias("avg_energy_frac"),
             "min_energy_frac",
         )
         .orderBy("dims_kept")
@@ -1137,7 +1143,7 @@ def q_llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_dq_embeddings",
-    oracle="""
+    oracle=f"""
 WITH v AS (
   SELECT label, len(embedding) AS dim,
          CAST(ROUND(SQRT(list_sum(list_transform(
@@ -1156,7 +1162,9 @@ SELECT label,
          AS n_zero_norm,
        ROUND(CAST(MIN(nrm) AS DOUBLE), 4) AS min_norm,
        ROUND(CAST(MAX(nrm) AS DOUBLE), 4) AS max_norm,
-       ROUND(CAST(SUM(nrm) AS DOUBLE) / COUNT(*), 4) AS mean_norm
+       {decimal_mean_round4_sql(
+           'CAST(SUM(nrm) * 1000000 AS BIGINT)', 'COUNT(*)', 6, '//')}
+         AS mean_norm
 FROM v GROUP BY label ORDER BY label
 """,
     doc="Embedding-column data-quality audit (the q_dq_audit "
@@ -1210,17 +1218,22 @@ def q_dq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_zero_norm"),
             F.round(F.min("nrm").cast("double"), 4).alias("min_norm"),
             F.round(F.max("nrm").cast("double"), 4).alias("max_norm"),
-            F.round(
-                F.sum("nrm").cast("double") / F.count(F.lit(1)), 4
-            ).alias("mean_norm"),
+            (F.sum("nrm") * F.lit(1000000)).cast("bigint").alias("sn6"),
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
         )
+        # exact integer half-up (rule-8 batch-2 sweep)
+        .withColumn(
+            "mean_norm",
+            F.expr(decimal_mean_round4_sql("sn6", "cnt", 6, "div")),
+        )
+        .drop("sn6", "cnt")
         .orderBy("label")
     )
 
 
 @register(
     "q_llm_retrieval_eval",
-    oracle="""
+    oracle=f"""
 WITH probes AS (
   SELECT vec_id AS probe_id, label AS plabel,
          CAST(embedding AS DOUBLE[]) AS pe
@@ -1254,9 +1267,11 @@ WITH probes AS (
   GROUP BY t.probe_id, t.plabel, nrel.n_rel
 )
 SELECT probe_id, plabel AS label, CAST(n_rel AS BIGINT) AS n_rel, hits10,
-       ROUND(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 4) AS ndcg10,
+       {signed_ratio_round_sql(
+           'CAST(dcg * 100000000 AS BIGINT)',
+           'CAST(idcg * 100000000 AS BIGINT)', 4, '//')} AS ndcg10,
        ROUND(rr, 4) AS mrr10,
-       ROUND(CAST(hits10 AS DOUBLE) / n_rel, 4) AS recall10
+       {ratio_round4_sql('hits10', 'CAST(n_rel AS BIGINT)', '//')} AS recall10
 FROM m ORDER BY probe_id
 """,
     doc="Retrieval-quality evaluation (NDCG@10, MRR@10, recall@10) "
@@ -1322,8 +1337,12 @@ def q_llm_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("probe_id", "plabel", "n_rel")
         .agg(
             F.sum("rel").cast("bigint").alias("hits10"),
-            F.sum(dcg_term).alias("dcg"),
-            F.sum(idcg_term).alias("idcg"),
+            (F.sum(dcg_term) * F.lit(100000000))
+            .cast("bigint")
+            .alias("dcg8"),
+            (F.sum(idcg_term) * F.lit(100000000))
+            .cast("bigint")
+            .alias("idcg8"),
             F.max(F.col("rel").cast("double") / F.col("rn")).alias("rr"),
         )
         .select(
@@ -1331,14 +1350,16 @@ def q_llm_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("plabel").alias("label"),
             F.col("n_rel").cast("bigint").alias("n_rel"),
             "hits10",
-            F.round(
-                F.col("dcg").cast("double") / F.col("idcg").cast("double"),
-                4,
+            # exact integer half-up (rule-8 batch-2 sweep): ndcg is a
+            # ratio of two scale-8 decimal sums (wide helper), recall
+            # a plain count ratio
+            F.expr(
+                signed_ratio_round_sql("dcg8", "idcg8", 4, "div")
             ).alias("ndcg10"),
             F.round("rr", 4).alias("mrr10"),
-            F.round(
-                F.col("hits10").cast("double") / F.col("n_rel"), 4
-            ).alias("recall10"),
+            F.expr(ratio_round4_sql("hits10", "n_rel", "div")).alias(
+                "recall10"
+            ),
         )
         .orderBy("probe_id")
     )
@@ -1732,7 +1753,7 @@ def q_llm_prf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_llm_align_uniform",
-    oracle="""
+    oracle=f"""
 WITH pr AS (
   SELECT a.label AS la, b.label AS lb,
          2 - 2 * CAST(list_cosine_similarity(
@@ -1749,7 +1770,9 @@ WITH pr AS (
   FROM pr
 )
 SELECT n_same AS n_pairs_same, n_all AS n_pairs_all,
-       ROUND(CAST(sum_d2_same AS DOUBLE) / n_same, 4) AS alignment,
+       {decimal_mean_round4_sql(
+           'CAST(sum_d2_same * 100000000 AS BIGINT)', 'n_same', 8, '//')}
+         AS alignment,
        ROUND(LN(CAST(sum_exp AS DOUBLE) / n_all), 4) AS uniformity
 FROM m
 """,
@@ -1803,8 +1826,12 @@ def q_llm_align_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         F.col("n_same").alias("n_pairs_same"),
         F.col("n_all").alias("n_pairs_all"),
-        F.round(
-            F.col("sum_d2_same").cast("double") / F.col("n_same"), 4
+        # exact integer half-up (rule-8 batch-2 sweep)
+        F.expr(
+            decimal_mean_round4_sql(
+                "CAST(sum_d2_same * 100000000 AS BIGINT)", "n_same", 8,
+                "div",
+            )
         ).alias("alignment"),
         F.round(
             F.log(F.col("sum_exp").cast("double") / F.col("n_all")), 4

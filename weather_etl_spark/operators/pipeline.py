@@ -17,6 +17,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from weather_etl_spark.incremental import run_incremental
+from weather_etl_spark.functions.exact import (
+    decimal_mean_round4_sql,
+    signed_ratio_round_sql,
+)
 from weather_etl_spark.io import read_table, scratch_dir
 from weather_etl_spark.registry import register
 from weather_etl_spark.sources.fetch import (
@@ -194,7 +198,7 @@ _SESSION_GAP_US = 30 * 60 * 1_000_000
 
 @register(
     "pipe_events_e2e",
-    oracle="""
+    oracle=f"""
 WITH ordered AS (
   SELECT user_id, ts, event_id, event_type,
          epoch_us(ts) AS ts_us,
@@ -232,10 +236,13 @@ WITH ordered AS (
 SELECT arm,
        CAST(COUNT(*) AS BIGINT) AS n_users,
        CAST(SUM(n_sessions) AS BIGINT) AS n_sessions,
-       ROUND(CAST(SUM(n_sessions) AS DOUBLE) / COUNT(*), 4)
+       {signed_ratio_round_sql('CAST(SUM(n_sessions) AS BIGINT)',
+                               'COUNT(*)', 4, '//')}
          AS sessions_per_user,
-       ROUND(CAST(SUM(CAST(total_dur_us AS HUGEINT)) AS DOUBLE)
-             / SUM(n_sessions) / 1000000, 4) AS mean_session_s,
+       {signed_ratio_round_sql(
+           'CAST(SUM(CAST(total_dur_us AS HUGEINT)) AS BIGINT)',
+           'CAST(1000000 * SUM(n_sessions) AS BIGINT)', 4, '//')}
+         AS mean_session_s,
        -- CAST: HUGEINT // BIGINT reaches pandas as float64 while
        -- Spark's DIV yields int64 (same driver-canonicalizer dtype
        -- trap as q_ab_metrics, tools/audit_driver_typing.py)
@@ -316,15 +323,18 @@ def pipe_events_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_users"),
             F.sum("n_sessions").cast("bigint").alias("n_sessions"),
-            F.round(
-                F.sum("n_sessions").cast("double") / F.count(F.lit(1)), 4
+            # exact integer half-up (rule-8 batch-2 sweep)
+            F.expr(
+                signed_ratio_round_sql(
+                    "sum(n_sessions)", "count(1)", 4, "div"
+                )
             ).alias("sessions_per_user"),
-            F.round(
-                F.sum(F.col("total_dur_us").cast("decimal(28,0)"))
-                .cast("double")
-                / F.sum("n_sessions")
-                / 1_000_000,
-                4,
+            F.expr(
+                signed_ratio_round_sql(
+                    "CAST(sum(CAST(total_dur_us AS DECIMAL(28,0)))"
+                    " AS BIGINT)",
+                    "1000000 * sum(n_sessions)", 4, "div",
+                )
             ).alias("mean_session_s"),
             F.expr(
                 "CAST(sum(converted) * 1000000 DIV count(1) AS BIGINT)"

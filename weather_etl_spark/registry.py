@@ -344,23 +344,40 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_set_except_all", "q_set_intersect_all",
     "q_tpch_q5", "q_sql_cte_window", "q_udf_arrow",
     "q_win_percent", "q_win_cume_nth",
-    # -- r3 lineage, rows-only by declaration (10) --
-    "llm_ann_ivf", "src_pyds", "src_fetch",
-    "st_trigger_availnow", "st_watermark", "st_dedup_wm",
-    "st_foreachbatch", "st_stateful_sessionizer",
-    "st_stream_stream_join", "st_transform_with_state",
-    # -- rewritten-since-verdict rows (7): the rule-8 radar rows, all
-    # hardened to exact bigint half-up arithmetic this round after the
-    # tie-targeting battery (tests/test_rule8_tie_battery.py) proved
-    # the 57/800-class half-boundary ties split the engines' float
-    # ROUNDs.  The IMPL_FINGERPRINTS tripwire enforces their presence
-    # here; they displace 7 of the 9 planned r4-lineage slots (those
-    # rotate into the r12 drain). --
+    # -- rewritten-since-verdict rows (17 of 38): the rule-8
+    # exact-tie sweep.  The 7 radar rows were hardened to exact bigint
+    # half-up arithmetic after the tie-targeting battery
+    # (tests/test_rule8_tie_battery.py) proved the 57/800-class
+    # half-boundary ties split the engines' float ROUNDs; the batch-2
+    # sweep then applied the same remedy to every remaining
+    # final-output rational ROUND in the registry (31 more rows).  The
+    # IMPL_FINGERPRINTS tripwire enforces that every rewritten row
+    # queues here; the 17 highest-traffic ones (bench headliners,
+    # shared-machinery rows) take window slots — displacing the 7
+    # planned r4-lineage slots and the 10 rows-only lineage refreshes,
+    # whose verdicts carry strictly less information than a first
+    # oracle verdict on rewritten code (rows-only rows re-queue in the
+    # r12 drain; their runnability is already suite-asserted).  The
+    # other 21 rewrites queue BEHIND slot 50 (below) for r12. --
     "q_event_next_pred", "q_llm_gram_novelty", "q_llm_boilerplate",
     "q_llm_minhash_eval", "q_llm_perplexity", "q_llm_embed_pq",
     "q_graph_pagerank",
+    "llm_jaccard_prefix", "llm_minhash_banded", "q_llm_ngram_jaccard",
+    "q_agg_ks_test", "q_agg_cohens_kappa", "q_llm_ppl_bucket",
+    "pipe_events_e2e", "q_time_backtest", "q_llm_rouge",
+    "q_llm_retrieval_eval",
     # -- r4 lineage, stalest 2 in rotation order --
     "q_fn_string", "q_fn_regexp",
+    # ===== beyond slot 50: the remaining 21 batch-2 rewrites, queued
+    # for the r12 window (tripwire-tracked; the driver never reaches
+    # them this round) =====
+    "q_agg_dispersion", "q_dq_embeddings", "q_event_calibration",
+    "q_event_dau_wau", "q_event_decay_score", "q_event_markov2",
+    "q_event_time_to_convert", "q_llm_align_uniform", "q_llm_bleu",
+    "q_llm_corpus_stats", "q_llm_dedup_curve", "q_llm_distinct_n",
+    "q_llm_docprofile", "q_llm_domain_mix", "q_llm_embed_truncate",
+    "q_llm_filter_funnel", "q_llm_length_hist", "q_llm_quality",
+    "q_llm_span_corruption", "q_llm_vocab_coverage", "q_llm_zipf",
 )
 
 
