@@ -40,6 +40,12 @@ JUSTIFIED: dict[str, str] = {
     "src_parquet_merge": "op writes two schema-divergent parquet "
     "generations itself and reads them mergeSchema'd; the test "
     "asserts the merged accounting — the adversarial input IS the op",
+    "src_fetch_values": "the op's input IS a fixed deterministic "
+    "payload (seeded fake transport, sf-independent); its VALUES "
+    "oracle pins every cell, and the fetch edge behavior (NaN "
+    "placement, retry envelope, wire framing) is covered by "
+    "test_fetch_http / flatbuf codec tests — no data-dependent "
+    "semantics exist for a battery to vary",
     # -- composites of individually battery-covered stages --
     "pipe_llm_corpus_e2e": "composite of gates/dedup/split stages, "
     "each independently battery-covered (text battery); e2e test "

@@ -126,7 +126,11 @@ def test_image_codec_roundtrip_and_failfast():
 @pytest.mark.full  # ~21 s randomized battery (see pytest.ini)
 def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
     """IVF (nprobe=2 of 8 cells) must recall a meaningful share of the
-    exact top-5 and be deterministic across runs (fixed init, no RNG)."""
+    exact top-5 and be deterministic across runs (fixed init, no RNG).
+    Floor raised 0.2 -> 0.5 per the r10 verdict's order #6 (measured
+    0.92 at sf0.01; the structural exact-twin guarantee is separately
+    pinned by test_embed_adversarial_parity.py's planted-duplicate
+    battery, which parametrizes over llm_ann_ivf)."""
     exact = SPECS["q_llm_knn"].fn(spark, sf_dir).collect()
     a1 = SPECS["llm_ann_ivf"].fn(spark, sf_dir).collect()
     a2 = SPECS["llm_ann_ivf"].fn(spark, sf_dir).collect()
@@ -139,7 +143,7 @@ def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert set(ivf_sets) <= set(exact_sets)
     hits = sum(len(exact_sets[p] & ivf_sets.get(p, set())) for p in exact_sets)
     total = sum(len(s) for s in exact_sets.values())
-    assert hits / total >= 0.2, f"IVF recall {hits}/{total} too low"
+    assert hits / total >= 0.5, f"IVF recall {hits}/{total} too low"
 
 
 def test_embed_dedup_greedy_minid(spark, sf_dir):

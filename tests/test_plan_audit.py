@@ -109,13 +109,20 @@ def test_sf1_plan_snapshot_pins_heaviest_selection():
     )
     ledger = json.loads(path.read_text())
     want = set(heaviest(TOP_N))
-    assert set(ledger) == want, (
-        f"sf1 ledger rows drifted from the top-{TOP_N} selection — "
-        f"stale: {sorted(set(ledger) - want)} "
+    # The ledger must cover AT LEAST the mechanical top-TOP_N
+    # selection; a SUPERSET is the r10 verdict's order #5 executed
+    # (one full-width 379-row run, after which per-round cost drops
+    # back to diffing) — extra rows never weaken the pin.
+    assert want <= set(ledger), (
+        f"sf1 ledger no longer covers the top-{TOP_N} selection — "
         f"missing: {sorted(want - set(ledger))}"
     )
     for name, row in ledger.items():
-        assert row["sf001_exchanges"] == SNAPSHOT[name], (
+        if "error" in row:
+            continue  # errored rows print separately in the tool
+        assert name not in SNAPSHOT or (
+            row["sf001_exchanges"] == SNAPSHOT[name]
+        ), (
             f"{name}: ledger inlines sf0.01 count {row['sf001_exchanges']} "
             f"but the committed snapshot says {SNAPSHOT[name]} — "
             "regenerate the sf1 ledger"
@@ -123,3 +130,9 @@ def test_sf1_plan_snapshot_pins_heaviest_selection():
         for field in ("static_exchanges", "exec_bhj", "exec_smj",
                       "exec_shj", "seconds"):
             assert field in row, f"{name}: ledger row missing {field}"
+    # errored rows must never hide a top-selection member
+    errored = {n for n, r in ledger.items() if "error" in r}
+    assert not (errored & want), (
+        f"top-{TOP_N} rows errored in the sf1 ledger: "
+        f"{sorted(errored & want)}"
+    )

@@ -524,6 +524,10 @@ DRIVER_DEFERRED: frozenset[str] = frozenset({
     "q_time_stl_strength",
     # fifty-third late batch (windowed co-occurrence matrix)
     "q_llm_cooccur_window",
+    # round-11 late registration (freeze lifted at zero backlog): the
+    # full-payload fetch value twin — queues behind the r11 stale-
+    # drain window, first verdict in r12
+    "src_fetch_values",
 })
 
 

@@ -290,3 +290,68 @@ def src_fetch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for frame in per_measure[1:]:
         out = out.unionAll(frame)
     return out
+
+
+def _fetch_values_oracle() -> str:
+    """Generate the exact expected payload as a DuckDB VALUES literal.
+
+    The fake transport is fully deterministic (seeded numpy draws,
+    documented NaN placement, fixed time axis) and INDEPENDENT of
+    sf_dir, so the complete 192-row x 9-column payload can be pinned
+    as an oracle: every float64 literal is the shortest repr of the
+    widened float32 value (round-trips bit-exact), NaN cells emit
+    'nan'::DOUBLE, and the time axis is epoch-us bigints.  This turns
+    the fetch path's VALUE surface into a driver-checkable row —
+    src_fetch itself stays rows-only because its declared schema
+    carries a raw timestamp column (SURVEY §7.4 rule 5 keeps raw
+    timestamps out of oracled outputs)."""
+    import math
+
+    n = (1704240000 - 1704067200) // 900
+    cols = generate_measure_vectors(n)
+    rows = []
+    for i in range(n):
+        ts = (1704067200 + 900 * i) * 1_000_000
+        cells = [str(ts)]
+        for m in MEASURES:
+            v = float(cols[m][i])
+            # string -> DOUBLE casts dodge DuckDB's VALUES decimal
+            # unification, which rescales (rounds!) literals of mixed
+            # fractional width before the double conversion
+            cells.append(
+                "'nan'::DOUBLE" if math.isnan(v) else f"'{v!r}'::DOUBLE"
+            )
+        rows.append("(" + ", ".join(cells) + ")")
+    names = ", ".join(["ts_us"] + list(MEASURES))
+    return (
+        "SELECT * FROM (VALUES\n"
+        + ",\n".join(rows)
+        + f"\n) AS t({names})"
+    )
+
+
+@register(
+    "src_fetch_values",
+    oracle=_fetch_values_oracle(),
+    doc="Full-payload value verification of the fetch path: the same "
+    "retried wire-format fetch as src_fetch, projected to portable "
+    "types (epoch-us bigint time axis + the 8 float64 measure columns, "
+    "NaNs preserved per A10) and compared cell-by-cell against the "
+    "deterministic expected payload pinned as a VALUES oracle — the "
+    "192 x 9 value surface src_fetch's rows-only verdict could not "
+    "cover. sf-independent by construction (the transport is an "
+    "external boundary).",
+    scale_notes="Same driver-side boundary as src_fetch; the "
+    "projection is a normal distributed plan over the landed frame. "
+    "The VALUES oracle pins the fixture contract, not a scale path.",
+)
+def src_fetch_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = fetch_timeseries(
+        spark,
+        transport=fake_columnar_transport(fail_times=2),
+        sleep=lambda _s: None,
+    )
+    return df.select(
+        F.unix_micros(F.col("date")).alias("ts_us"),
+        *[F.col(m) for m in MEASURES],
+    )
