@@ -378,6 +378,11 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_llm_docprofile", "q_llm_domain_mix", "q_llm_embed_truncate",
     "q_llm_filter_funnel", "q_llm_length_hist", "q_llm_quality",
     "q_llm_span_corruption", "q_llm_vocab_coverage", "q_llm_zipf",
+    # r11 robustness fix queued for r12: the full-width sf1 sweep
+    # caught st_trigger_availnow failing on directory-shaped parquet
+    # (shutil.copy of a Spark-written table dir); it now lands part
+    # files flat for the file-stream source.
+    "st_trigger_availnow",
 )
 
 

@@ -107,10 +107,22 @@ def st_trigger_availnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="st_availnow_")
     try:
         in_dir = f"{tmp}/in"
+        import glob
         import os
 
         os.makedirs(in_dir)
-        shutil.copy(table_path(sf_dir, "events"), f"{in_dir}/events.parquet")
+        # The events table may be a single flat file (the driver
+        # fixtures) or a Spark-written DIRECTORY of part files (any
+        # real-scale dataset, and the sf1 synthetic fixture — the
+        # full-width plan sweep caught shutil.copy failing on it).
+        # The file-stream source wants plain files in its input dir,
+        # so land the parts flat either way.
+        src = table_path(sf_dir, "events")
+        if os.path.isdir(src):
+            for i, p in enumerate(sorted(glob.glob(f"{src}/*.parquet"))):
+                shutil.copy(p, f"{in_dir}/events_{i:05d}.parquet")
+        else:
+            shutil.copy(src, f"{in_dir}/events.parquet")
         ev = _stream_events(spark, in_dir)
         agg = (
             ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
