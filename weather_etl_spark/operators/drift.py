@@ -428,16 +428,16 @@ WITH buckets AS (
   FROM events GROUP BY event_type, bucket_id
 ), scored AS (
   SELECT event_type, bucket_id, c,
-         avg(c) OVER w AS baseline,
+         CAST(sum(c) OVER w AS BIGINT) AS s_hist,
          count(c) OVER w AS n_hist
   FROM buckets
   WINDOW w AS (PARTITION BY event_type ORDER BY bucket_id
                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
 )
 SELECT event_type, bucket_id, CAST(c AS BIGINT) AS n_events,
-       ROUND(baseline, 4) AS baseline,
-       ROUND(c / baseline, 4) AS burst_ratio,
-       c > {_BURST_FACTOR} * baseline AS is_burst
+       {signed_ratio_round_sql('s_hist', 'n_hist', 4, '//')} AS baseline,
+       {signed_ratio_round_sql('c * n_hist', 's_hist', 4, '//')} AS burst_ratio,
+       c * n_hist > {_BURST_FACTOR} * s_hist AS is_burst
 FROM scored WHERE n_hist >= {_BURST_MIN_HIST}
 """,
     doc="Burst detection on event RATES (the volume complement of "
@@ -470,16 +470,25 @@ def q_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "bucket_id",
         "c",
-        F.avg("c").over(w).alias("baseline"),
+        F.sum("c").over(w).cast("bigint").alias("s_hist"),
         F.count("c").over(w).alias("n_hist"),
     )
+    # exact integer half-up (rule-8 batch-2 sweep): the trailing-mean
+    # baseline and the burst ratio are pure rationals of hourly counts
+    # (c/baseline = c*n_hist/s_hist); the burst predicate compares in
+    # integers so the threshold never shifts with fp rounding.
     return scored.filter(F.col("n_hist") >= _BURST_MIN_HIST).select(
         "event_type",
         "bucket_id",
         F.col("c").cast("bigint").alias("n_events"),
-        F.round("baseline", 4).alias("baseline"),
-        F.round(F.col("c") / F.col("baseline"), 4).alias("burst_ratio"),
-        (F.col("c") > _BURST_FACTOR * F.col("baseline")).alias("is_burst"),
+        F.expr(
+            signed_ratio_round_sql("s_hist", "n_hist", 4, "div")
+        ).alias("baseline"),
+        F.expr(
+            signed_ratio_round_sql("c * n_hist", "s_hist", 4, "div")
+        ).alias("burst_ratio"),
+        (F.col("c") * F.col("n_hist") > _BURST_FACTOR * F.col("s_hist"))
+        .alias("is_burst"),
     )
 
 
@@ -2290,7 +2299,7 @@ def q_event_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_agg_cohens_d",
-    oracle="""
+    oracle=f"""
 WITH s AS (
   SELECT event_type,
          CAST(COUNT(*) AS BIGINT) AS n,
@@ -2308,15 +2317,15 @@ WITH s AS (
          MAX(CASE WHEN event_type = 'click' THEN ss END) AS ss2
   FROM s
 ), c AS (
-  SELECT n1, n2,
+  SELECT n1, n2, sm1, sm2,
          CAST(sm1 AS DOUBLE) / n1 AS m1, CAST(sm2 AS DOUBLE) / n2 AS m2,
          (ss1 - CAST(sm1 AS DOUBLE) * sm1 / n1) AS ssd1,
          (ss2 - CAST(sm2 AS DOUBLE) * sm2 / n2) AS ssd2
   FROM w
 )
 SELECT n1, n2,
-       ROUND(m1 / 100, 4) AS mean_purchase,
-       ROUND(m2 / 100, 4) AS mean_click,
+       {signed_ratio_round_sql('sm1', '100 * n1', 4, '//')} AS mean_purchase,
+       {signed_ratio_round_sql('sm2', '100 * n2', 4, '//')} AS mean_click,
        ROUND((m1 - m2) / SQRT((ssd1 + ssd2) / (n1 + n2 - 2)), 4)
          AS cohens_d,
        ROUND((m1 - m2) / SQRT((ssd1 + ssd2) / (n1 + n2 - 2))
@@ -2370,11 +2379,18 @@ def q_agg_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (m1 - m2) / F.sqrt(
         (ssd1 + ssd2) / (F.col("n1") + F.col("n2") - 2)
     )
+    # exact integer half-up (rule-8 batch-2 sweep): the cent-sum
+    # means are pure rationals; the d/g effect sizes keep the float
+    # ROUND (sqrt chain, not a constructible rational)
     return w.select(
         "n1",
         "n2",
-        F.round(m1 / 100, 4).alias("mean_purchase"),
-        F.round(m2 / 100, 4).alias("mean_click"),
+        F.expr(
+            signed_ratio_round_sql("sm1", "100 * n1", 4, "div")
+        ).alias("mean_purchase"),
+        F.expr(
+            signed_ratio_round_sql("sm2", "100 * n2", 4, "div")
+        ).alias("mean_click"),
         F.round(d, 4).alias("cohens_d"),
         F.round(
             d * (1 - 3.0 / (4 * (F.col("n1") + F.col("n2")) - 9)), 4

@@ -383,6 +383,10 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # (shutil.copy of a Spark-written table dir); it now lands part
     # files flat for the file-stream source.
     "st_trigger_availnow",
+    # r11 batch-2 stragglers (found by the post-sweep re-grep of
+    # uncast oracle ROUND forms): trailing-mean baseline + burst
+    # ratio, and the cent-sum means
+    "q_event_bursts", "q_agg_cohens_d",
 )
 
 
