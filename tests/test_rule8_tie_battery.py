@@ -444,3 +444,53 @@ def test_tie_dau_wau(spark, tmp_path):
     assert (day3["dau"], day3["wau"]) == (57, 800)
     assert day3["stickiness"] == 0.0713
     compare_to_oracle(spark, spec, d)
+
+
+def test_tie_event_bursts(spark, tmp_path):
+    """Burst ratio c*n_hist/s_hist = 3*19/800 = 57/800, the diverging
+    tie: one event type with 19 history hour-buckets summing 800
+    events, then a current bucket of 3.  (The trailing BASELINE itself
+    can never tie — every reachable n_hist <= 24 with a 2^a*5^b
+    structure scales to an integer — so the ratio is the exposed
+    output.)"""
+    import datetime
+
+    t0 = datetime.datetime(2024, 3, 1)
+    rows, eid = [], 0
+    # 19 buckets: 18 of 42 events + 1 of 44 = 800
+    sizes = [42] * 18 + [44]
+    assert sum(sizes) == 800
+    for b, size in enumerate(sizes):
+        for k in range(size):
+            rows.append((eid, t0 + datetime.timedelta(hours=b, seconds=k),
+                         k % 7, "view", 1.0))
+            eid += 1
+    for k in range(3):  # current bucket: c = 3
+        rows.append((eid, t0 + datetime.timedelta(hours=19, seconds=k),
+                     k, "view", 1.0))
+        eid += 1
+    d = _fixture_dir(tmp_path, "bursts", {"events": _events_table(rows)})
+    spec = SPECS["q_event_bursts"]
+    out = {r["bucket_id"]: r for r in spec.fn(spark, d).collect()}
+    row = out[max(out)]
+    assert (row["n_events"], row["is_burst"]) == (3, False)
+    assert row["burst_ratio"] == 0.0713  # exact half-up of 57/800
+    compare_to_oracle(spark, spec, d)
+
+
+def test_tie_cohens_d_means(spark, tmp_path):
+    """mean_purchase = sm1/(100*n1) = 57/800 cents-dollars, the
+    diverging tie: 8 purchases totaling 57 cents."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 3, 1)
+    rows = [(i, t0 + datetime.timedelta(minutes=i), i, "purchase",
+             0.57 if i == 0 else 0.0) for i in range(8)]
+    rows += [(100 + i, t0 + datetime.timedelta(minutes=i), i, "click",
+              1.25) for i in range(4)]
+    d = _fixture_dir(tmp_path, "cohend", {"events": _events_table(rows)})
+    spec = SPECS["q_agg_cohens_d"]
+    row = spec.fn(spark, d).collect()[0]
+    assert row["n1"] == 8
+    assert row["mean_purchase"] == 0.0713  # exact half-up of 57/800
+    compare_to_oracle(spark, spec, d)
