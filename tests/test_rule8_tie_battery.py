@@ -494,3 +494,65 @@ def test_tie_cohens_d_means(spark, tmp_path):
     assert row["n1"] == 8
     assert row["mean_purchase"] == 0.0713  # exact half-up of 57/800
     compare_to_oracle(spark, spec, d)
+
+
+def test_tie_markov2(spark, tmp_path):
+    """Second-order transition probability n_abc/n_ab = 57/800: the
+    context (A, B) occurs 800 times, 57 followed by C, 743 by D."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 3, 1)
+    rows, eid = [], 0
+    for k in range(800):
+        for typ in ("A", "B", "C" if k < 57 else "D"):
+            rows.append((eid, t0 + datetime.timedelta(seconds=eid),
+                         k, "X" + typ, 1.0))
+            eid += 1
+    d = _fixture_dir(tmp_path, "markov2", {"events": _events_table(rows)})
+    spec = SPECS["q_event_markov2"]
+    out = {(r["context"], r["next_type"]): r for r in spec.fn(spark, d).collect()}
+    row = out[("XA>XB", "XC")]
+    assert (row["n_abc"], row["n_ab"]) == (57, 800)
+    assert row["p_next"] == 0.0713
+    compare_to_oracle(spark, spec, d)
+
+
+def test_tie_vocab_coverage(spark, tmp_path):
+    """Top-10 coverage = 57/800 occurrences: ten head tokens totaling
+    57, the remaining 743 occurrences spread over rarer tokens that
+    rank strictly below the head."""
+    head = []
+    for j in range(10):          # counts 6x7 + 5x3 = 57
+        head += [f"h{j:02d}"] * (6 if j < 7 else 5)
+    tail = []
+    k = 0
+    while len(tail) < 743:       # counts of 4 rank below every head token
+        tail += [f"t{k:04d}"] * min(4, 743 - len(tail))
+        k += 1
+    docs = [(0, " ".join(head), "en", "s"), (1, " ".join(tail), "en", "s")]
+    d = _fixture_dir(tmp_path, "vocab", {"documents": _docs_table(docs)})
+    spec = SPECS["q_llm_vocab_coverage"]
+    out = {r["k"]: r for r in spec.fn(spark, d).collect()}
+    row = out[10]
+    assert (row["covered_occurrences"], row["total_occurrences"]) == (57, 800)
+    assert row["coverage"] == 0.0713
+    assert row["oov_rate"] == 0.9288  # 743/800 = 0.92875, half-up
+    compare_to_oracle(spark, spec, d)
+
+
+def test_tie_filter_funnel(spark, tmp_path):
+    """Stage-4 cumulative survival = 57/800: 744 exact copies of one
+    good doc (743 die at the dedup stage, 1 survives every gate) plus
+    56 more good docs -> 57 survivors of 800."""
+    good = "the quick example " * 7  # 21 tokens, has stopword, 21 distinct-ish
+    # ensure repetition gate passes: distinct/total >= 0.3
+    good = " ".join(f"w{j} the" for j in range(10))  # 20 tokens, 11 distinct
+    docs = [(i, good, "en", "s") for i in range(744)]
+    docs += [(744 + i, " ".join(f"u{i}x{j} of" for j in range(8)), "en", "s")
+             for i in range(56)]
+    d = _fixture_dir(tmp_path, "funnel", {"documents": _docs_table(docs)})
+    spec = SPECS["q_llm_filter_funnel"]
+    out = {r["stage"]: r for r in spec.fn(spark, d).collect()}
+    assert (out[4]["n_out"], out[1]["n_in"]) == (57, 800)
+    assert out[4]["cum_survival"] == 0.0713
+    compare_to_oracle(spark, spec, d)
