@@ -300,13 +300,20 @@ def main() -> None:
     # least 250 ms (sub-second queries can trip 3x on normal jitter).
     # The 250 ms floor blinds the 3x rule for queries whose min run is
     # under ~125 ms, so a second rule catches order-of-magnitude
-    # stalls on fast queries: >=10x spread with >=100 ms absolute gap
-    # (normal jitter on this host never reaches 10x; r9's measured
-    # brownouts did).  Both rules are disclosed in the emitted record.
+    # stalls on fast queries: >=10x spread with an absolute gap of at
+    # least max(50 ms, 12.5x the min run) — runtime-scaled (r11
+    # verdict order #6) so the old fixed 100 ms floor no longer blinds
+    # sub-10 ms queries, while sub-50 ms hiccups (GC-pause scale, and
+    # irrelevant to a median-of-7 statistic) are never flagged.  For
+    # min runs >= 8 ms the scaled gap is >= the old 100 ms floor, so
+    # the rule only got stricter-or-equal above that point.  (Normal
+    # jitter on this host never reaches 10x; r9's measured brownouts
+    # did.)  Both rules are disclosed in the emitted record.
     stall_suspects = sorted(
         n for n, r in raw_runs.items()
         if (max(r) >= 3 * max(min(r), 0.001) and max(r) - min(r) >= 0.25)
-        or (max(r) >= 10 * max(min(r), 0.001) and max(r) - min(r) >= 0.1)
+        or (max(r) >= 10 * max(min(r), 0.001)
+            and max(r) - min(r) >= max(0.05, 12.5 * min(r)))
     )
     head = {n: timings[n] for n in names if n in timings}
     llm = {n: timings[n] for n in llm_names if n in timings}
@@ -332,8 +339,9 @@ def main() -> None:
                 "host_stall_suspects": stall_suspects,
                 "host_stall_detector": (
                     "3x ratio with >=250ms spread, or 10x ratio with "
-                    ">=100ms spread; queries with min run <~10ms sit "
-                    "below both absolute floors"
+                    "spread >= max(50ms, 12.5x min run) — runtime-"
+                    "scaled floor, so fast queries are covered; "
+                    "sub-50ms hiccups are never flagged"
                 ),
                 "steal_pct": steal_pcts,
                 "method": "isolated-session-per-query",

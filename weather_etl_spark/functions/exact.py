@@ -74,12 +74,25 @@ def ratio_round4_sql(num: str, den: str, intdiv: str) -> str:
 
 
 def ratio_round_sql(num: str, den: str, scale: int, intdiv: str) -> str:
-    """:func:`ratio_round4_sql` at an arbitrary output scale."""
+    """:func:`ratio_round4_sql` at an arbitrary output scale.
+
+    The quotient/remainder decomposition is only half-up-correct for
+    NON-NEGATIVE operands (Spark ``div`` truncates toward zero while
+    DuckDB ``//`` floors, so a signed numerator would silently diverge
+    across engines).  The emitted SQL therefore guards the numerator:
+    a negative value yields NULL identically in both dialects — loud
+    in any oracle diff — instead of a plausible-but-split digit.  A
+    signed call site must use :func:`signed_ratio_round_sql` (r11
+    ADVICE).
+    """
     p = 10 ** scale
     q = f"(({num}) {intdiv} ({den}))"
     r = f"(({num}) % ({den}))"
     half = f"(({2 * p} * {r} + ({den})) {intdiv} (2 * ({den})))"
-    return f"(CAST({q} * {p} + {half} AS DOUBLE) / {p}.0)"
+    return (
+        f"(CASE WHEN ({num}) < 0 THEN NULL "
+        f"ELSE CAST({q} * {p} + {half} AS DOUBLE) / {p}.0 END)"
+    )
 
 
 def signed_ratio_round4_sql(num: str, den: str, intdiv: str) -> str:
@@ -105,8 +118,20 @@ def signed_ratio_round_sql(
 
         T = 10^scale * r = (sum_k d_k * 100^k) * den + r_last
         round(|x|, scale)*10^scale = q*10^scale + digits + (2*r_last >= den)
+
+    Scale cap: each long-division step re-embeds the previous
+    remainder expression in BOTH the digit and next-remainder terms,
+    so the generated SQL's operand text grows ~2^(scale/2)-fold —
+    fine at the scales used here (4-8; <= 16 operand copies), but a
+    plan-size hazard beyond that, hence the hard cap (r11 ADVICE).
     """
     assert scale % 2 == 0, "base-100 long division needs an even scale"
+    assert scale <= 8, (
+        "signed_ratio_round_sql caps scale at 8: the base-100 steps "
+        "duplicate the remainder expression ~2^(scale/2) times, which "
+        "balloons plan/analysis cost at higher scales — restructure "
+        "with per-step derived columns if you genuinely need more"
+    )
     p = 10 ** scale
 
     def positive(n: str) -> str:

@@ -310,67 +310,33 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
     "q_llm_dedup_curve", "q_llm_minhash_mae",
 })
 
-#: Explicit order for the round-11 driver window (50 slots),
-#: executing the r10 verdict's order #2: the STALE DRAIN.  Every row is
-#: already driver-verified once, so this window is pure lineage
-#: refresh, stalest first: the 41 rows whose latest verdict still
-#: dates to round 3 (pre the r4 TIMESTAMP_NTZ runtime flip — the 45 in
-#: DRIVER_STALE_R3 minus the 4 banded-dedup rows re-checked in r10),
-#: then the 7 rule-8 radar rows REWRITTEN this round to exact bigint
-#: half-up arithmetic (tests/test_rule8_tie_battery.py proved their
-#: float ROUNDs split across engines on 57/800-class half-boundary
-#: ties; the IMPL_FINGERPRINTS tripwire requires rewritten rows to
-#: queue here), then the 2 stalest round-4 rows in the remaining
-#: slack.  Order within each lineage tier is the stalest-first
-#: rotation computed by tools/plan_driver_window.py from
-#: CORRECTNESS_r01..r10.  Done = CORRECTNESS_r11 50/50 green.  r12
-#: then drains the remaining 42 r4 rows + 8 r5 rows.  The 10
-#: rows-only rows in the r3 tier
-#: (llm_ann_ivf, src_pyds, src_fetch, the 7 st_* streaming-runtime
-#: rows) refresh their rows-only count — still valuable: it proves the
-#: callable executes on the current runtime even though the view-bound
-#: DuckDB oracle cannot express them (SURVEY §2 declares each).
+#: Explicit order for the round-12 driver window (50 slots),
+#: executing the r11 verdict's order #1: LAND THE STAGED QUEUE.
+#: Composition: src_fetch_values first (the only registry row with no
+#: driver verdict — registered mid-r11 after the window froze; locally
+#: oracle-verified against the full 192x9 decoded payload), then the
+#: 24 rewritten/fixed rows queued behind slot 50 last round (21
+#: batch-2 rule-8 exact-rounding rewrites + the st_trigger_availnow
+#: directory-shape fix + the q_event_bursts / q_agg_cohens_d
+#: stragglers — the IMPL_FINGERPRINTS tripwire requires every
+#: rewritten row to re-check before its verdict is trusted again),
+#: then the 9 remaining r3-era rows-only rows (their callables last
+#: executed on the driver runtime in r3; a rows-only re-run proves
+#: current-runtime runnability — r11 verdict order #5), then the 16
+#: stalest r4 oracled rows in the rotation order computed by
+#: tools/plan_driver_window.py from CORRECTNESS_r01..r11.  Done =
+#: CORRECTNESS_r12 50/50 (40 oracled green + 10 rows-only with
+#: spark_rows recorded) and zero rows-with-no-verdict.  Beyond slot
+#: 50: the remaining 23 r4-lineage rows, then the 45 r5 rows, queued
+#: stalest-first so the r13 rotation just promotes the next 50.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # ===== round-11 window (50 slots): stale drain, stalest first =====
-    # -- r3 lineage, oracled (31) --
-    "q_fn_variant", "q_fn_try", "q_fn_bitwise", "q_fn_string2",
-    "q_fn_hash_encode",
-    "q_time_rollup", "q_time_gapfill", "q_agg_boolean", "q_agg_median",
-    "q_join_cbo", "q_join_lateral", "q_join_null_safe",
-    "q_llm_editdist", "q_llm_dedup_components", "llm_cosine_pairs_blocked",
-    "q_llm_split", "q_llm_winnow", "q_llm_winnow_pairs",
-    "q_llm_repetition", "llm_doc_embed_cohesion", "llm_mm_pixel_dedup",
-    "q_scan_filemeta", "q_set_union_byname", "snk_schema_evolution",
-    "q_set_except_all", "q_set_intersect_all",
-    "q_tpch_q5", "q_sql_cte_window", "q_udf_arrow",
-    "q_win_percent", "q_win_cume_nth",
-    # -- rewritten-since-verdict rows (17 of 38): the rule-8
-    # exact-tie sweep.  The 7 radar rows were hardened to exact bigint
-    # half-up arithmetic after the tie-targeting battery
-    # (tests/test_rule8_tie_battery.py) proved the 57/800-class
-    # half-boundary ties split the engines' float ROUNDs; the batch-2
-    # sweep then applied the same remedy to every remaining
-    # final-output rational ROUND in the registry (31 more rows).  The
-    # IMPL_FINGERPRINTS tripwire enforces that every rewritten row
-    # queues here; the 17 highest-traffic ones (bench headliners,
-    # shared-machinery rows) take window slots — displacing the 7
-    # planned r4-lineage slots and the 10 rows-only lineage refreshes,
-    # whose verdicts carry strictly less information than a first
-    # oracle verdict on rewritten code (rows-only rows re-queue in the
-    # r12 drain; their runnability is already suite-asserted).  The
-    # other 21 rewrites queue BEHIND slot 50 (below) for r12. --
-    "q_event_next_pred", "q_llm_gram_novelty", "q_llm_boilerplate",
-    "q_llm_minhash_eval", "q_llm_perplexity", "q_llm_embed_pq",
-    "q_graph_pagerank",
-    "llm_jaccard_prefix", "llm_minhash_banded", "q_llm_ngram_jaccard",
-    "q_agg_ks_test", "q_agg_cohens_kappa", "q_llm_ppl_bucket",
-    "pipe_events_e2e", "q_time_backtest", "q_llm_rouge",
-    "q_llm_retrieval_eval",
-    # -- r4 lineage, stalest 2 in rotation order --
-    "q_fn_string", "q_fn_regexp",
-    # ===== beyond slot 50: the remaining 21 batch-2 rewrites, queued
-    # for the r12 window (tripwire-tracked; the driver never reaches
-    # them this round) =====
+    # ===== round-12 window (50 slots): staged queue + stale drain =====
+    # -- first driver verdict (1): registered mid-r11 --
+    "src_fetch_values",
+    # -- rewritten-since-verdict rows (24): the 21 batch-2 rule-8
+    # exact-tie rewrites queued from r11, the st_trigger_availnow
+    # directory-shape robustness fix, and the two post-sweep
+    # stragglers (trailing-mean burst ratio, cent-sum means) --
     "q_agg_dispersion", "q_dq_embeddings", "q_event_calibration",
     "q_event_dau_wau", "q_event_decay_score", "q_event_markov2",
     "q_event_time_to_convert", "q_llm_align_uniform", "q_llm_bleu",
@@ -378,15 +344,63 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_llm_docprofile", "q_llm_domain_mix", "q_llm_embed_truncate",
     "q_llm_filter_funnel", "q_llm_length_hist", "q_llm_quality",
     "q_llm_span_corruption", "q_llm_vocab_coverage", "q_llm_zipf",
-    # r11 robustness fix queued for r12: the full-width sf1 sweep
-    # caught st_trigger_availnow failing on directory-shaped parquet
-    # (shutil.copy of a Spark-written table dir); it now lands part
-    # files flat for the file-stream source.
-    "st_trigger_availnow",
-    # r11 batch-2 stragglers (found by the post-sweep re-grep of
-    # uncast oracle ROUND forms): trailing-mean baseline + burst
-    # ratio, and the cent-sum means
-    "q_event_bursts", "q_agg_cohens_d",
+    "st_trigger_availnow", "q_event_bursts", "q_agg_cohens_d",
+    # -- r3-era rows-only lineage refresh (9; st_trigger_availnow
+    # above is the 10th): proves each callable executes on the
+    # CURRENT driver runtime even though the view-bound DuckDB oracle
+    # cannot express them (SURVEY §2 declares each; engine tests pin
+    # their semantics) --
+    "llm_ann_ivf", "src_pyds", "src_fetch",
+    "st_watermark", "st_dedup_wm", "st_foreachbatch",
+    "st_stateful_sessionizer", "st_stream_stream_join",
+    "st_transform_with_state",
+    # -- r4 lineage, stalest 16 in rotation order --
+    "q_fn_split", "q_fn_date", "q_fn_math", "q_fn_cond",
+    "q_agg_q1", "q_agg_count_distinct", "q_agg_rollup", "q_agg_cube",
+    "q_agg_gsets", "q_agg_having", "q_agg_percentile",
+    "q_agg_skew_salted", "q_agg_pivot", "q_agg_unpivot", "q_agg_stats",
+    "q_join_bcast",
+    # ===== beyond slot 50: the r13 drain queue, stalest first (the
+    # driver never reaches these this round; r13 rotation promotes
+    # the next 50) =====
+    # -- r12 helper rewrite (11): ratio_round_sql gained a
+    # negative-numerator NULL guard (r11 ADVICE item 1).  The emitted
+    # SQL of every unsigned ratio_round* call site changed — value-
+    # identical for the non-negative operands all call sites feed it
+    # (CASE picks the ELSE branch), locally parity-green, but the
+    # rewritten-row protocol queues every changed row for a fresh
+    # driver verdict.  The 4 call-site rows already inside the r12
+    # window re-check this round; these 11 carry r11 verdicts and
+    # re-check first in r13 (the fingerprint tripwire can't see
+    # shared-helper rewrites — IMPL_FINGERPRINTS.json docstring — so
+    # this queueing is the hand-maintained half of the rule). --
+    "llm_jaccard_prefix", "llm_minhash_banded", "q_llm_repetition",
+    "q_agg_cohens_kappa", "q_event_next_pred", "q_llm_ngram_jaccard",
+    "q_llm_minhash_eval", "q_llm_gram_novelty", "q_llm_boilerplate",
+    "q_llm_embed_pq", "q_llm_retrieval_eval",
+    # -- remaining r4 rows (23; the 2 rows-only at the tail) --
+    "q_join_smj", "q_join_left", "q_join_full", "q_join_semi",
+    "q_join_anti", "q_join_cross", "q_join_range", "q_join_bucketed",
+    "q_join_dpp", "q_llm_exact_dedup", "q_llm_fingerprint",
+    "q_llm_embed_dedup", "q_llm_tokenstats", "q_llm_langid",
+    "q_llm_cosine_pairs", "q_llm_knn", "src_fetch_profile",
+    "pipe_reference_e2e", "q_scan_project", "snk_append_idem",
+    "q_udf_py", "q_agg_approx_cd", "llm_near_dedup",
+    # -- r5 rows (45) --
+    "q_fn_ts", "q_fn_array", "q_fn_json", "q_fn_cast_decimal",
+    "q_fn_sql_udf", "q_agg_global_max", "q_agg_collect",
+    "q_agg_minmax_by", "q_agg_mode", "q_time_interp", "q_agg_regr",
+    "q_agg_hll_portable", "q_agg_kmv_portable", "q_join_asof",
+    "q_join_asof_fwd", "q_llm_simhash", "q_llm_tokencount",
+    "q_llm_c4_filter", "q_llm_pack", "q_scan_count", "q_filter_cmp",
+    "q_filter_in_between", "q_filter_ts_cursor", "q_null_norm",
+    "q_seq_timeaxis", "q_sample_hash", "q_sample_stratified",
+    "snk_orc_roundtrip", "snk_xml_roundtrip", "q_sql_pipe",
+    "q_sql_recursive_cte", "q_win_rownum", "q_win_rank", "q_win_lag",
+    "q_win_runsum", "q_win_moving", "q_win_rangeframe", "q_win_ntile",
+    "q_win_firstlast", "q_topk_group", "q_win_sessionize",
+    "q_win_islands", "q_stream_tumbling", "q_stream_sliding",
+    "q_stream_session",
 )
 
 

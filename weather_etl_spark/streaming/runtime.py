@@ -119,7 +119,18 @@ def st_trigger_availnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         # so land the parts flat either way.
         src = table_path(sf_dir, "events")
         if os.path.isdir(src):
-            for i, p in enumerate(sorted(glob.glob(f"{src}/*.parquet"))):
+            # Recursive: a Hive-partitioned layout nests part files
+            # under key=value subdirectories; a top-level-only glob
+            # would silently feed the stream an EMPTY input dir
+            # (r11 ADVICE).  Zero matches is a broken table — raise.
+            parts = sorted(
+                glob.glob(f"{src}/**/*.parquet", recursive=True)
+            )
+            if not parts:
+                raise FileNotFoundError(
+                    f"no part files under events table dir {src!r}"
+                )
+            for i, p in enumerate(parts):
                 shutil.copy(p, f"{in_dir}/events_{i:05d}.parquet")
         else:
             shutil.copy(src, f"{in_dir}/events.parquet")
