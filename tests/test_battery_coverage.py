@@ -46,6 +46,12 @@ JUSTIFIED: dict[str, str] = {
     "placement, retry envelope, wire framing) is covered by "
     "test_fetch_http / flatbuf codec tests — no data-dependent "
     "semantics exist for a battery to vary",
+    "snk_jdbc_idem": "sink-state plumbing, not value arithmetic: the "
+    "oracle pins only overlap-insert COUNTS, which a fabricated corpus "
+    "would exercise identically; the conflict semantics themselves "
+    "(planted-overlap second batch, duplicate-key rejection, timestamp "
+    "round-trip fidelity) are asserted directly by test_jdbc_sink.py "
+    "against data the test plants",
     # -- composites of individually battery-covered stages --
     "pipe_llm_corpus_e2e": "composite of gates/dedup/split stages, "
     "each independently battery-covered (text battery); e2e test "

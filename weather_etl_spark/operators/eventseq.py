@@ -656,8 +656,17 @@ WITH RECURSIVE s AS (
   JOIN s ON s.event_type = rec.event_type AND s.idx = rec.idx + 1
   JOIN mu ON mu.event_type = rec.event_type
 )
+-- Portable ROUND (SURVEY 7.4 rule 8, the q_time_holt idiom): float
+-- ROUND(x,4) diverges between engines on shortest-repr half ties —
+-- the r12 seed campaign (offset 20260816121) caught this recursion
+-- landing on 2.72875 exactly (Spark half-up 2.7288, DuckDB's
+-- double-multiply 2.7287).  CAST-through-VARCHAR reproduces Spark's
+-- BigDecimal shortest-repr half-up semantics; cusum >= 0 by
+-- construction so the sub-half-ulp guard only needs the zero branch.
 SELECT r.event_type, epoch_us(s.h) AS h_us,
-       ROUND(r.cusum, 4) AS cusum,
+       CASE WHEN r.cusum < 0.00005 THEN 0.0
+            ELSE CAST(CAST(r.cusum AS VARCHAR) AS DECIMAL(30,4))::DOUBLE
+       END AS cusum,
        r.cusum > {_CUSUM_H} AS alarm
 FROM rec r JOIN s ON s.event_type = r.event_type AND s.idx = r.idx
 """,

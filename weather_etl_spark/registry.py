@@ -378,6 +378,12 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_agg_cohens_kappa", "q_event_next_pred", "q_llm_ngram_jaccard",
     "q_llm_minhash_eval", "q_llm_gram_novelty", "q_llm_boilerplate",
     "q_llm_embed_pq", "q_llm_retrieval_eval",
+    # -- r12 oracle rewrite (1): q_time_cusum's oracle moved from
+    # float ROUND to the q_time_holt portable-ROUND idiom after the
+    # r12 seed campaign (offset 20260816121) caught a genuine
+    # shortest-repr half tie (2.72875) splitting the engines.  Spark
+    # side unchanged; re-checks at the r13 drain head. --
+    "q_time_cusum",
     # -- remaining r4 rows (23; the 2 rows-only at the tail) --
     "q_join_smj", "q_join_left", "q_join_full", "q_join_semi",
     "q_join_anti", "q_join_cross", "q_join_range", "q_join_bucketed",
@@ -551,6 +557,11 @@ DRIVER_DEFERRED: frozenset[str] = frozenset({
     # full-payload fetch value twin — queues behind the r11 stale-
     # drain window, first verdict in r12
     "src_fetch_values",
+    # round-12 late registration: the embedded-Derby JDBC MERGE sink
+    # (the reference's ON CONFLICT semantics against a real database,
+    # r11 verdict order #8) — queues behind the frozen r12 window,
+    # first verdict in r13
+    "snk_jdbc_idem",
 })
 
 
