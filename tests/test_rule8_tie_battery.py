@@ -556,3 +556,31 @@ def test_tie_filter_funnel(spark, tmp_path):
     assert (out[4]["n_out"], out[1]["n_in"]) == (57, 800)
     assert out[4]["cum_survival"] == 0.0713
     compare_to_oracle(spark, spec, d)
+
+
+def test_tie_cusum_chain(spark, tmp_path):
+    """The r12 seed-campaign regression (offset 31337007), distilled:
+    a CUSUM chain value landing EXACTLY on a 4th-decimal half.  Two
+    hourly buckets of one event each (8.0, 1.5425) give mu = 4.77125
+    and S_1 = 8.0 - mu - 0.5 = 2.72875 — shortest-repr "...5", where
+    float ROUND splits the engines (Spark half-up 2.7288, DuckDB
+    fp-scale 2.7287; _spark_round/_duck_round pin both).  The chain
+    output is a DOUBLE, not a pure rational, so the remedy is the
+    q_time_holt portable-ROUND oracle idiom, not the bigint helpers:
+    both engines compute the bit-identical chain double and the oracle
+    reproduces Spark's shortest-repr rounding."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 3, 1, 12)
+    rows = [
+        (0, t0, 1, "view", 8.0),
+        (1, t0 + datetime.timedelta(hours=1), 2, "view", 1.5425),
+    ]
+    d = _fixture_dir(tmp_path, "cusum", {"events": _events_table(rows)})
+    # the crafted chain value really lands the diverging tie
+    assert _spark_round(8.0 - 4.77125 - 0.5) == 2.7288
+    assert _duck_round(8.0 - 4.77125 - 0.5) == 2.7287
+    spec = SPECS["q_time_cusum"]
+    out = sorted(spec.fn(spark, d).collect(), key=lambda r: r["h_us"])
+    assert [r["cusum"] for r in out] == [2.7288, 0.0], "tie construction"
+    compare_to_oracle(spark, spec, d)
