@@ -167,6 +167,38 @@ def _one_type_stream():
     ]
 
 
+def _half_tie_stream():
+    """Raw values planted EXACTLY on 4th-decimal half-boundary reprs
+    (x.xxxx5) plus a sixteenth-fraction lane whose chain arithmetic
+    stays exact in doubles — the rule-8 exposure for GENUINE fp
+    outputs (raw ROUND(value, 4) passthroughs, fp recursions over
+    low-precision decimals).  Added in r12 after the seed campaign
+    tripped q_time_cusum on a constructed 2.72875: this stream hunts
+    that class deterministically instead of waiting for a random
+    offset to land one (first run tripped q_time_ewma/q_time_anomaly,
+    both fixed with the portable-ROUND oracle idiom).  One event per
+    (hour, lane) keeps bucket means equal to raw planted values."""
+    rng = random.Random(battery_seed(27275))
+    t0 = datetime.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for k in range(500):
+        v = float(f"{rng.randint(0, 9)}.{rng.randint(0, 9999):04d}5")
+        rows.append((
+            eid,
+            t0 + datetime.timedelta(hours=k % 96, minutes=rng.randint(0, 59)),
+            rng.randint(1, 8),
+            rng.choice(["view", "click", "purchase", "error"]),
+            v,
+        ))
+        eid += 1
+    for k in range(100):  # exact-sixteenth chain lane
+        rows.append((eid, t0 + datetime.timedelta(hours=k, seconds=30), 9,
+                     "view", rng.randint(1, 400) / 16.0))
+        eid += 1
+    return rows
+
+
 @pytest.fixture(scope="module")
 def ties_dir(spark, tmp_path_factory):
     return _write_events(
@@ -212,3 +244,15 @@ def test_adversarial_skew_parity(spark, skew_dir, name):
 @pytest.mark.parametrize("name", EVENTS_OPS)
 def test_one_type_exhaustion_parity(spark, one_type_dir, name):
     compare_to_oracle(spark, SPECS[name], one_type_dir)
+
+
+@pytest.fixture(scope="module")
+def half_tie_dir(spark, tmp_path_factory):
+    return _write_events(
+        spark, tmp_path_factory.mktemp("adv"), "halftie", _half_tie_stream()
+    )
+
+
+@pytest.mark.parametrize("name", EVENTS_OPS)
+def test_half_tie_parity(spark, half_tie_dir, name):
+    compare_to_oracle(spark, SPECS[name], half_tie_dir)

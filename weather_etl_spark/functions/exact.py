@@ -170,3 +170,27 @@ def decimal_mean_round4_sql(
         f"(CAST((2 * ({sum_int}) + {p} * ({count})) {intdiv} "
         f"(2 * {p} * ({count})) AS DOUBLE) / 10000.0)"
     )
+
+
+def portable_round4_sql(expr: str) -> str:
+    """DuckDB-side portable ROUND(expr, 4) for a GENUINE double output
+    (fp chains / raw column values) — the q_time_holt oracle idiom as
+    a shared helper (first extracted in r12 when the seed campaign
+    tripped q_time_cusum and a planted half-tie stream tripped
+    q_time_ewma/q_time_anomaly's raw ``ROUND(value, 4)``).
+
+    Spark's ``round(x, 4)`` is HALF_UP on the double's shortest
+    decimal repr; DuckDB's ``ROUND`` scales in double and the two
+    split on half-boundary reprs (x.xxxx5).  CAST-through-VARCHAR
+    reproduces the shortest repr, the DECIMAL parse rounds it half-up,
+    and the ABS guard covers DuckDB's sci-notation mantissa mis-parse
+    below the half-ulp of scale 4.  Valid for |x| < ~1e9;
+    fuzz-pinned equivalent to Spark round() (incl. negatives and
+    -0.0) by tests/test_portable_round.py.  For pure RATIONAL outputs
+    use the exact bigint helpers above instead — they fix the
+    arithmetic, not just the presentation.
+    """
+    return (
+        f"CASE WHEN ABS({expr}) < 0.00005 THEN 0.0 "
+        f"ELSE CAST(CAST({expr} AS VARCHAR) AS DECIMAL(30,4))::DOUBLE END"
+    )

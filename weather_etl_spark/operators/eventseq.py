@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from weather_etl_spark.functions.exact import (
     decimal_mean_round4_sql,
+    portable_round4_sql,
     ratio_round4_sql,
     signed_ratio_round4_sql,
 )
@@ -67,9 +68,14 @@ _EWMA_NUM_D, _EWMA_DEN_D = _ewma_sql(
 @register(
     "q_time_ewma",
     oracle=f"""
+-- Portable ROUND (SURVEY 7.4 rule 8): both outputs are genuine fp
+-- (raw column value / ratio of fp kernel sums), so float ROUND
+-- diverges on planted half-tie reprs (r12 half-tie stream:
+-- value_r 4.69185, chained ewma ties) — portable_round4_sql
+-- reproduces Spark's shortest-repr half-up on both.
 SELECT user_id, event_id,
-       ROUND(value, 4) AS value_r,
-       ROUND(({_EWMA_NUM_D}) / ({_EWMA_DEN_D}), 4) AS ewma
+       {portable_round4_sql('value')} AS value_r,
+       {portable_round4_sql(f'({_EWMA_NUM_D}) / ({_EWMA_DEN_D})')} AS ewma
 FROM events
 """,
     doc="Exponentially weighted moving average of events.value per "
@@ -122,7 +128,11 @@ WITH w AS (
   WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
                  ROWS BETWEEN {_ANOM_FRAME} PRECEDING AND 1 PRECEDING)
 )
-SELECT event_id, event_type, ROUND(value, 4) AS value_r,
+-- value_r takes the portable ROUND (raw doubles land planted
+-- half-tie reprs — r12 half-tie stream); zscore keeps float ROUND:
+-- sd is a sqrt, so a terminating-decimal tie is unconstructible
+-- there (the r10 transcendental-term ruling).
+SELECT event_id, event_type, {portable_round4_sql('value')} AS value_r,
        ROUND((value - mu) / sd, 4) + 0.0 AS zscore,
        CAST(abs((value - mu) / sd) > {_ANOM_Z} AS BOOLEAN) AS is_anomaly
 FROM w
@@ -658,15 +668,12 @@ WITH RECURSIVE s AS (
 )
 -- Portable ROUND (SURVEY 7.4 rule 8, the q_time_holt idiom): float
 -- ROUND(x,4) diverges between engines on shortest-repr half ties —
--- the r12 seed campaign (offset 20260816121) caught this recursion
+-- the r12 seed campaign (offset 31337007) caught this recursion
 -- landing on 2.72875 exactly (Spark half-up 2.7288, DuckDB's
--- double-multiply 2.7287).  CAST-through-VARCHAR reproduces Spark's
--- BigDecimal shortest-repr half-up semantics; cusum >= 0 by
--- construction so the sub-half-ulp guard only needs the zero branch.
+-- double-multiply 2.7287).  portable_round4_sql reproduces Spark's
+-- BigDecimal shortest-repr half-up semantics.
 SELECT r.event_type, epoch_us(s.h) AS h_us,
-       CASE WHEN r.cusum < 0.00005 THEN 0.0
-            ELSE CAST(CAST(r.cusum AS VARCHAR) AS DECIMAL(30,4))::DOUBLE
-       END AS cusum,
+       {portable_round4_sql('r.cusum')} AS cusum,
        r.cusum > {_CUSUM_H} AS alarm
 FROM rec r JOIN s ON s.event_type = r.event_type AND s.idx = r.idx
 """,

@@ -378,12 +378,14 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_agg_cohens_kappa", "q_event_next_pred", "q_llm_ngram_jaccard",
     "q_llm_minhash_eval", "q_llm_gram_novelty", "q_llm_boilerplate",
     "q_llm_embed_pq", "q_llm_retrieval_eval",
-    # -- r12 oracle rewrite (1): q_time_cusum's oracle moved from
-    # float ROUND to the q_time_holt portable-ROUND idiom after the
-    # r12 seed campaign (offset 20260816121) caught a genuine
-    # shortest-repr half tie (2.72875) splitting the engines.  Spark
-    # side unchanged; re-checks at the r13 drain head. --
-    "q_time_cusum",
+    # -- r12 oracle rewrites (3): float ROUND -> the shared
+    # portable-ROUND idiom (functions/exact.py portable_round4_sql)
+    # after the r12 seed campaign (offset 31337007) caught the cusum
+    # recursion landing a genuine shortest-repr half tie (2.72875),
+    # and the planted half-tie stream then tripped ewma/anomaly's raw
+    # ROUND(value, 4).  Spark sides unchanged; re-check at the r13
+    # drain head. --
+    "q_time_cusum", "q_time_ewma", "q_time_anomaly",
     # -- remaining r4 rows (23; the 2 rows-only at the tail) --
     "q_join_smj", "q_join_left", "q_join_full", "q_join_semi",
     "q_join_anti", "q_join_cross", "q_join_range", "q_join_bucketed",
