@@ -554,11 +554,12 @@ def src_parquet_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "snk_jdbc_idem",
     oracle="""
-SELECT (SELECT COUNT(*) FROM events WHERE event_id % 3 <> 0)
+SELECT (SELECT COUNT(*) FROM events WHERE event_id % 6 = 2)
            AS first_insert,
-       (SELECT COUNT(*) FROM events WHERE event_id % 3 = 0)
+       (SELECT COUNT(*) FROM events WHERE event_id % 6 = 5)
            AS second_insert,
-       (SELECT COUNT(*) FROM events) AS total_rows
+       (SELECT COUNT(*) FROM events WHERE event_id % 6 IN (2, 5))
+           AS total_rows
 """,
     doc="Idempotent keyed append through a REAL JDBC database: the "
     "reference's PostgreSQL `INSERT ... ON CONFLICT (date) DO NOTHING` "
@@ -602,16 +603,27 @@ def snk_jdbc_idem(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
             ["event_id"],
         )
+        # The batches are a deterministic THIRD of events (one embedded
+        # Derby database boots per call and ingests row-batches through
+        # a single JVM — the hermetic stand-in, not the scale path, so
+        # the declared row bounds its cost; the cluster shape stages
+        # the full batch executor-parallel into a server DB).
         first = jdbc_merge_append(
             spark,
-            ev.filter(F.col("event_id") % 3 != 0),
+            ev.filter(F.col("event_id") % 6 == 2),
             url,
             "target",
             ["event_id"],
         )
         # Batch 2 is a SUPERSET of batch 1 — the reference's overlapping
         # incremental window; only the genuinely new keys may insert.
-        second = jdbc_merge_append(spark, ev, url, "target", ["event_id"])
+        second = jdbc_merge_append(
+            spark,
+            ev.filter((F.col("event_id") % 6).isin(2, 5)),
+            url,
+            "target",
+            ["event_id"],
+        )
         total = jdbc_read_table(spark, url, "target").count()
         return spark.createDataFrame(
             [(first, second, total)],
