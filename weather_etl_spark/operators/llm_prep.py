@@ -1256,12 +1256,9 @@ def _bpe_train_oracle(rounds: int = _BPE_ROUNDS) -> str:
     return ctes + "\n" + "\nUNION ALL\n".join(selects)
 
 
-def _bpe_round(docs: DataFrame, keep_cnt: bool) -> tuple[DataFrame, DataFrame]:
-    """One BPE merge round on a (doc_id, txt) corpus: count adjacent
-    pairs, pick the (cnt DESC, pair ASC) argmax, rewrite the corpus
-    with the double-space delimiter trick. Returns (rewritten docs,
-    the 1-row merge table). Shared by q_llm_bpe_train and
-    q_llm_apply_bpe so train and apply can never desynchronize."""
+def _bpe_best(docs: DataFrame, keep_cnt: bool) -> DataFrame:
+    """One round's merge selection: count adjacent pairs over the
+    current corpus, pick the (cnt DESC, pair ASC) argmax (1 row)."""
     toks = docs.select(F.split("txt", " ").alias("t")).filter(
         F.size("t") >= 2
     )
@@ -1281,7 +1278,18 @@ def _bpe_round(docs: DataFrame, keep_cnt: bool) -> tuple[DataFrame, DataFrame]:
     best = counted.orderBy(
         F.col("cnt").desc(), F.col("pair").asc()
     ).limit(1)
-    best = best.select("pair", "cnt") if keep_cnt else best.select("pair")
+    return best.select("pair", "cnt") if keep_cnt else best.select("pair")
+
+
+def _bpe_rewrite(
+    docs: DataFrame, best: DataFrame, keep_meta: bool = False
+) -> DataFrame:
+    """Apply one merge corpus-wide (double-space delimiter trick); the
+    1-row merge table travels as a broadcast crossJoin, no driver pull.
+    ``keep_meta=True`` keeps the merge's (pair, cnt) as constant
+    columns on every rewritten row, so a checkpoint of the rewrite also
+    materializes the round's merge-table entry (q_llm_bpe_train reads
+    it back without re-counting the corpus)."""
     spaced = F.concat(
         F.lit(" "), F.replace(F.col("txt"), F.lit(" "), F.lit("  ")),
         F.lit(" "),
@@ -1296,13 +1304,26 @@ def _bpe_round(docs: DataFrame, keep_cnt: bool) -> tuple[DataFrame, DataFrame]:
         F.replace(F.col("pair"), F.lit(" "), F.lit("+")),
         F.lit(" "),
     )
-    rewritten = docs.crossJoin(F.broadcast(best)).select(
-        "doc_id",
-        F.trim(
-            F.regexp_replace(F.replace(spaced, pat, rep), " +", " ")
-        ).alias("txt"),
+    txt = F.trim(
+        F.regexp_replace(F.replace(spaced, pat, rep), " +", " ")
+    ).alias("txt")
+    if keep_meta:
+        return docs.crossJoin(F.broadcast(best)).select(
+            "doc_id", txt, "pair", "cnt"
+        )
+    return docs.crossJoin(F.broadcast(best.select("pair"))).select(
+        "doc_id", txt
     )
-    return rewritten, best
+
+
+def _bpe_round(docs: DataFrame, keep_cnt: bool) -> tuple[DataFrame, DataFrame]:
+    """One BPE merge round on a (doc_id, txt) corpus: count adjacent
+    pairs, pick the (cnt DESC, pair ASC) argmax, rewrite the corpus
+    with the double-space delimiter trick. Returns (rewritten docs,
+    the 1-row merge table). Shared by q_llm_bpe_train and
+    q_llm_apply_bpe so train and apply can never desynchronize."""
+    best = _bpe_best(docs, keep_cnt)
+    return _bpe_rewrite(docs, best), best
 
 
 @register(
@@ -1334,26 +1355,42 @@ def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out_steps = []
     for step in range(1, _BPE_ROUNDS + 1):
-        docs, best = _bpe_round(docs, keep_cnt=True)
-        # Materialize each round's rewritten corpus: round N's argmax,
-        # token recount, AND round N+1's pair count all branch off
-        # docs_N, so without a checkpoint every branch re-executes the
-        # whole rewrite chain (1+2+..+rounds corpus passes — isolated
-        # sf0.1 medians 4.69 s -> 3.57 s train, 4.40 -> 3.62 apply
-        # with checkpoints).  Blocks stay alive
+        best = _bpe_best(docs, keep_cnt=True)
+        rewritten = _bpe_rewrite(docs, best, keep_meta=True)
+        # Materialize each round's rewritten corpus: round N's merge
+        # row, token recount, AND round N+1's pair count all branch
+        # off docs_N, so without a checkpoint every branch re-executes
+        # the whole rewrite chain (1+2+..+rounds corpus passes —
+        # isolated sf0.1 medians 4.69 s -> 3.57 s train, 4.40 -> 3.62
+        # apply with checkpoints).  r12: the checkpoint carries the
+        # round's (pair, cnt) as constant columns (keep_meta), so the
+        # output job reads the merge table back from the materialized
+        # rows instead of re-running the pair-count+argmax a second
+        # time per round (profiled: the output job re-counted every
+        # round's corpus, ~3 s of the 8.9 s executor total at sf0.1;
+        # executor CPU 6.2 s -> 2.1 s with the re-count gone).  Same
+        # one action per round as before.  Blocks stay alive
         # until the consumer finishes (bench/tests release per query);
         # at real scale trainers run on a q_sample_hash sample, so the
         # retained snapshots are sample-sized, not corpus-sized.
-        docs = docs.localCheckpoint()
-        tokens_after = docs.agg(
-            F.sum(F.size(F.split("txt", " "))).cast("bigint").alias("n")
-        )
+        checkpointed = rewritten.localCheckpoint()
+        docs = checkpointed.select("doc_id", "txt")
+        # one global agg over the checkpoint: the round's merge row +
+        # post-merge token count.  An empty round (no 2-token docs)
+        # materializes zero rows, so first(pair) is NULL and the filter
+        # reproduces the old crossJoin-with-empty-best semantics.
         out_steps.append(
-            best.crossJoin(tokens_after).select(
-                F.lit(step).alias("step"),
-                "pair",
-                "cnt",
-                F.col("n").alias("tokens_after"),
+            checkpointed.groupBy()
+            .agg(
+                F.first("pair").alias("pair"),
+                F.first("cnt").alias("cnt"),
+                F.sum(F.size(F.split("txt", " ")))
+                .cast("bigint")
+                .alias("tokens_after"),
+            )
+            .filter(F.col("pair").isNotNull())
+            .select(
+                F.lit(step).alias("step"), "pair", "cnt", "tokens_after"
             )
         )
     out = out_steps[0]
