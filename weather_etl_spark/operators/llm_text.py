@@ -831,11 +831,28 @@ def q_llm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bigram"),
     )
-    c2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n2"))
+    # r12 (guide §2.3 aggregate-before-shuffle + §5 lineage cut): the
+    # bigram count table feeds two consumers (the NLL join build side
+    # and, below, the unigram derivation), and Catalyst re-plans the
+    # whole scan+explode+agg under each (the join's pushed isnotnull
+    # defeats ReuseExchange), so materialize the VOCABULARY-sized table
+    # once.  At 100 TB this is the LM itself — checkpointing it is the
+    # natural artifact boundary.
+    c2 = bg.groupBy("bigram").agg(
+        F.count(F.lit(1)).alias("n2")
+    ).localCheckpoint()
+    # n1(w1) = Σ n2 over the bigrams starting with w1 — EXACTLY the old
+    # full-corpus recount, derived from c2 instead of a second
+    # scan+explode of every document (profiled at sf0.1: corpus passes
+    # 3 -> 2, the dropped pass was ~0.65 s of the 2.0 s executor
+    # total; at 100 TB it is a full corpus pass).
     c1 = (
-        bg.select(F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"))
+        c2.select(
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"),
+            "n2",
+        )
         .groupBy("w1")
-        .agg(F.count(F.lit(1)).alias("n1"))
+        .agg(F.sum("n2").alias("n1"))
     )
     # c2/c1 are bigram-/unigram-vocabulary-sized and grow with the
     # corpus: NO broadcast hints (a hint never degrades — at 100 TB it
