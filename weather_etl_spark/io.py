@@ -37,6 +37,33 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: (path, stat signature) -> inferred StructType.  Schema inference is
+#: the expensive half of ``spark.read.parquet`` on the driver (~95 ms
+#: vs ~23 ms with an explicit schema, measured warm at sf0.1 — r12
+#: optimization round, guide §1.2 per-task/driver work): a query that
+#: reads 6 tables paid ~0.5 s of pure footer re-reads PER RUN.  The
+#: cache holds only the python-side StructType (no JVM handles, so it
+#: is valid across sessions) and is keyed by a stat signature of the
+#: path, so any rewrite of the file/directory (fixtures regenerated
+#: between battery checks, scratch overwrites) invalidates the entry.
+#: Never caches data or file listings — the scan's file index is still
+#: built fresh per query, so this cannot stale row results.
+_SCHEMA_CACHE: dict[tuple, object] = {}
+
+
+def _path_sig(path: str) -> tuple:
+    st = os.stat(path)
+    if os.path.isdir(path):
+        names = sorted(os.listdir(path))
+        return (
+            st.st_mtime_ns,
+            tuple(
+                (n, os.stat(os.path.join(path, n)).st_mtime_ns)
+                for n in names
+            ),
+        )
+    return (st.st_mtime_ns, st.st_size)
+
 _SCRATCH_ROOT: str | None = None
 
 
@@ -105,7 +132,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             f"table {name!r} not found at {path} (fail-fast schema contract, "
             "reference invariant A9)"
         )
-    df = spark.read.parquet(path)
+    key = (path, _path_sig(path))
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        if len(_SCHEMA_CACHE) > 256:  # bounded: paths are few in practice
+            _SCHEMA_CACHE.clear()
+        _SCHEMA_CACHE[key] = schema
+    df = spark.read.schema(schema).parquet(path)
     if name == "events":
         ts_dtype = dict(df.dtypes).get("ts")
         if ts_dtype == "bigint":

@@ -672,37 +672,49 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    late = (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .filter(
+    # r12 decorrelation (guide §2.3/§2.4): for a late line l1, EXISTS
+    # another-supplier line on the order <=> the order has >= 2 distinct
+    # suppliers (l1's own supplier is one of them), and NOT EXISTS
+    # another-supplier LATE line <=> the order has exactly 1 distinct
+    # late supplier (l1 itself is late, so that one is l1's).  Both
+    # correlated legs therefore collapse into ONE per-orderkey aggregate
+    # computed in the same pass that flags lateness — replacing the
+    # previous shape's two extra lineitem passes (the (orderkey,
+    # suppkey)-DISTINCT pairs leg and the late-DISTINCT leg) and two
+    # semi/anti joins with one aggregate + one join, all sharing the
+    # orderkey partitioning.  Line multiplicity is preserved: late rows
+    # pass through an inner join against the 1-row-per-order aggregate.
+    flagged = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
             F.col("l_shipdate")
             > F.col("o_orderdate")
             + F.expr(f"INTERVAL {_Q21_LATE_DAYS} DAYS")
-        )
-        .select("l_orderkey", "l_suppkey")
+        ).alias("is_late"),
     )
-    # EXISTS/NOT EXISTS legs: multiplicity-free (orderkey, suppkey)
-    # pairs so the semi/anti probes shuffle keys, not lines.
-    pairs = li.select("l_orderkey", "l_suppkey").distinct()
-    l1 = late.alias("l1")
-    other = pairs.alias("l2")
-    late_other = late.select("l_orderkey", "l_suppkey").distinct().alias("l3")
-    waited = l1.join(
-        other,
-        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
-        "left_semi",
-    ).join(
-        late_other,
-        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
-        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
-        "left_anti",
+    # two-level aggregate instead of two countDistincts: no Expand
+    # doubling, one (orderkey, suppkey)-keyed partial agg then an
+    # orderkey rollup
+    pair_late = flagged.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("is_late").cast("int")).alias("supp_late")
+    )
+    per_order = pair_late.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("supp_late").alias("n_late_supp"),
+    )
+    late = flagged.filter("is_late").select("l_orderkey", "l_suppkey")
+    waited = late.join(
+        per_order.filter(
+            (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+        ).select("l_orderkey"),
+        "l_orderkey",
     )
     supp = read_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name"
     )
     return (
-        waited.join(supp, F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        waited.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
