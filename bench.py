@@ -320,6 +320,27 @@ def main() -> None:
     tpch = {n: timings[n] for n in tpch_names if n in timings}
     total = round(sum(head.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # r13 (r12 verdict order #2a): the per-run arrays grew the one-line
+    # record past the driver's capture (r11's BENCH tail truncated
+    # mid-JSON -> parsed: null -> the whole round-over-round PERF table
+    # silently died).  Raw runs and per-query steal now land in a
+    # SIDECAR file next to this script; the printed line stays compact
+    # (~1.3 KB) and carries the sidecar name plus the max steal reading
+    # so brownout rounds still self-disclose.  Timing loop, statistic,
+    # query sets and all summary keys are unchanged; every raw run is
+    # also still echoed to stderr per query, so nothing is lost even if
+    # the sidecar write fails.
+    sidecar = {"runs": raw_runs, "steal_pct": steal_pcts}
+    sidecar_name = "bench_raw_runs.json"
+    try:
+        sidecar_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), sidecar_name
+        )
+        with open(sidecar_path, "w") as fh:
+            json.dump(sidecar, fh)
+        print(f"[bench] raw runs -> {sidecar_path}", file=sys.stderr)
+    except OSError as e:
+        print(f"[bench] sidecar write failed: {e}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -335,7 +356,7 @@ def main() -> None:
                 "baseline_ratios": ratios,
                 "retried": retried,
                 "errors": errors,
-                "runs": raw_runs,
+                "raw_runs_file": sidecar_name,
                 "host_stall_suspects": stall_suspects,
                 "host_stall_detector": (
                     "3x ratio with >=250ms spread, or 10x ratio with "
@@ -343,7 +364,9 @@ def main() -> None:
                     "scaled floor, so fast queries are covered; "
                     "sub-50ms hiccups are never flagged"
                 ),
-                "steal_pct": steal_pcts,
+                "steal_pct_max": (
+                    max(steal_pcts.values()) if steal_pcts else None
+                ),
                 "method": "isolated-session-per-query",
                 "runs_per_query": _bench_n(),
                 "statistic": "median",

@@ -27,15 +27,32 @@ def battery_seed(default: int) -> int:
     return default + int(os.environ.get("SPARK_GRAFT_BATTERY_SEED_OFFSET", "0"))
 
 
-def pytest_collection_modifyitems(items):
+def pytest_collection_modifyitems(config, items):
     """Lane contract (see pytest.ini): modules mark themselves `full`
     (parity sweeps, plan audits); everything else is auto-tagged
-    `fast` so `pytest -m fast` needs no per-test bookkeeping."""
+    `fast` so `pytest -m fast` needs no per-test bookkeeping.
+
+    r13 (r12 verdict order #2b): a bare ``pytest tests/`` now runs the
+    FAST lane only — the heavy lane (2-SF parity sweeps, registry-wide
+    plan audits, adversarial batteries) grew to 30-50 min and timed out
+    the driver's fixed pytest budget, reporting red with zero failing
+    tests.  The heavy lane still runs when explicitly selected
+    (``-m full`` / ``-m "fast or full"``) or when
+    ``SPARK_GRAFT_TEST_FULL=1`` is set; the round gate is
+    ``SPARK_GRAFT_TEST_FULL=1 pytest tests/``.  Deselection (not skip)
+    keeps the default run's report clean."""
     import pytest as _pytest
 
     for item in items:
         if "full" not in item.keywords:
             item.add_marker(_pytest.mark.fast)
+    markexpr = config.getoption("-m", default="") or ""
+    if os.environ.get("SPARK_GRAFT_TEST_FULL") or "full" in markexpr:
+        return
+    heavy = [i for i in items if "full" in i.keywords]
+    if heavy:
+        config.hook.pytest_deselected(items=heavy)
+        items[:] = [i for i in items if "full" not in i.keywords]
 
 
 @pytest.fixture(scope="session")

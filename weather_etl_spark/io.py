@@ -51,18 +51,42 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _SCHEMA_CACHE: dict[tuple, object] = {}
 
 
-def _path_sig(path: str) -> tuple:
-    st = os.stat(path)
-    if os.path.isdir(path):
-        names = sorted(os.listdir(path))
-        return (
-            st.st_mtime_ns,
-            tuple(
-                (n, os.stat(os.path.join(path, n)).st_mtime_ns)
-                for n in names
-            ),
-        )
-    return (st.st_mtime_ns, st.st_size)
+def _path_sig(path: str) -> tuple | None:
+    """Bounded stat signature for the schema cache, or ``None`` when the
+    path is unsuitable for caching — callers then skip the cache and
+    infer fresh every time.  r13 hardening (guide §6 + r12 ADVICE):
+
+    - **O(1)-bounded**: at most 64 direct children are stat'ed.  A
+      production table with 10^5-10^6 part files must never pay a
+      per-file stat loop on every ``read_table`` just to validate a
+      schema cache that saves one footer read — past the bound the
+      cache is skipped outright.
+    - **Nested layouts are never cached**: a partitioned dataset
+      (``table/part=X/file``) can be rewritten one level down without
+      bumping the parent OR child-dir mtime that a one-level signature
+      sees, so any directory child disqualifies the path.
+    - **Race-safe**: a child deleted between listing and stat raises
+      OSError; that bypasses the cache instead of crashing the read.
+    - Child sizes are included so an equal-mtime in-place rewrite
+      (clock-granularity collisions) still invalidates.
+    """
+    try:
+        st = os.stat(path)
+        if not os.path.isdir(path):
+            return (st.st_mtime_ns, st.st_size)
+        with os.scandir(path) as it:
+            entries = sorted(it, key=lambda e: e.name)
+        if len(entries) > 64:
+            return None
+        sig = []
+        for e in entries:
+            if e.is_dir():
+                return None
+            est = e.stat()
+            sig.append((e.name, est.st_mtime_ns, est.st_size))
+        return (st.st_mtime_ns, tuple(sig))
+    except OSError:
+        return None
 
 _SCRATCH_ROOT: str | None = None
 
@@ -132,13 +156,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             f"table {name!r} not found at {path} (fail-fast schema contract, "
             "reference invariant A9)"
         )
-    key = (path, _path_sig(path))
-    schema = _SCHEMA_CACHE.get(key)
-    if schema is None:
+    sig = _path_sig(path)
+    if sig is None:  # uncacheable path shape (see _path_sig) — infer fresh
         schema = spark.read.parquet(path).schema
-        if len(_SCHEMA_CACHE) > 256:  # bounded: paths are few in practice
-            _SCHEMA_CACHE.clear()
-        _SCHEMA_CACHE[key] = schema
+    else:
+        key = (path, sig)
+        schema = _SCHEMA_CACHE.get(key)
+        if schema is None:
+            schema = spark.read.parquet(path).schema
+            if len(_SCHEMA_CACHE) > 256:  # bounded: paths are few in practice
+                _SCHEMA_CACHE.clear()
+            _SCHEMA_CACHE[key] = schema
     df = spark.read.schema(schema).parquet(path)
     if name == "events":
         ts_dtype = dict(df.dtypes).get("ts")

@@ -637,11 +637,7 @@ def _banded_cells(
     """
     import numpy as np
 
-    from weather_etl_spark.operators.llm_vector import (
-        _assign_cell,
-        cosine,
-        lloyd_kmeans,
-    )
+    from weather_etl_spark.operators.llm_vector import lloyd_kmeans
 
     r = float(np.sqrt(2.0 - 2.0 * t))
 

@@ -459,7 +459,11 @@ HAVING COUNT(*) >= 3
     "fingerprint's contribution at cap^2, making the join cost linear "
     "in corpus size for fixed cap. Winnowing emits ~len/w fingerprints "
     "per doc vs ~len shingles, so the index is w times smaller for the "
-    "same guarantee.",
+    "same guarantee. r13: the (doc_id, fp) index is checkpointed once "
+    "— it feeds the df aggregate and both self-join sides, and "
+    "re-planning it per consumer re-ran the per-position md5 pass 8x "
+    "(one scan per plan subtree); at 100 TB the materialized index is "
+    "the winnowing paper's build-once artifact.",
 )
 def q_llm_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").filter(
@@ -481,6 +485,17 @@ def q_llm_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("fp"),
     )
+    # r13 (guide §5 lineage cut, the jaccard_prefix ruling): the
+    # fingerprint table feeds the df aggregate AND both sides of the
+    # pair self-join, and Catalyst re-plans the whole
+    # scan+md5-transform+explode subtree under each consumer — the
+    # before-plan shows EIGHT documents.parquet scans, each re-hashing
+    # every character position of the corpus.  Checkpoint the
+    # (doc_id, fp) table once: the per-position md5 work runs exactly
+    # once per query and every downstream pass reads 16-byte rows.  At
+    # 100 TB this is the fingerprint-index materialization the
+    # winnowing paper assumes (build the index once, then join on it).
+    fps = fps.localCheckpoint()
     rare = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))

@@ -666,55 +666,55 @@ LIMIT 25
     "Top-25 is TakeOrderedAndProject.",
 )
 def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r13: the r12 decorrelation (one per-orderkey two-level aggregate
+    # replacing the semi/anti legs) was REVERTED per the r12 verdict's
+    # prove-or-revert gate: a quiet-host A/B (3 alternated fresh-process
+    # pairs, 7 noop runs each) measured the aggregate shape at ~1.18x
+    # the semi/anti shape at sf0.1 (new medians 1.99/2.12/1.99 s vs old
+    # 1.73/1.70(stall-free)/1.54 s) — above the verdict's 1.15x revert
+    # threshold.  At sf0.1 every old-shape leg rides broadcast joins,
+    # so its extra lineitem passes are cheap scans while the aggregate
+    # shape pays two mandatory shuffled aggregations; the decorrelated
+    # shape only wins once the sides outgrow broadcast (true cluster
+    # scale), which this host cannot measure.  OPTIMIZATION_r13.md
+    # records the full A/B.
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate"
     )
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    # r12 decorrelation (guide §2.3/§2.4): for a late line l1, EXISTS
-    # another-supplier line on the order <=> the order has >= 2 distinct
-    # suppliers (l1's own supplier is one of them), and NOT EXISTS
-    # another-supplier LATE line <=> the order has exactly 1 distinct
-    # late supplier (l1 itself is late, so that one is l1's).  Both
-    # correlated legs therefore collapse into ONE per-orderkey aggregate
-    # computed in the same pass that flags lateness — replacing the
-    # previous shape's two extra lineitem passes (the (orderkey,
-    # suppkey)-DISTINCT pairs leg and the late-DISTINCT leg) and two
-    # semi/anti joins with one aggregate + one join, all sharing the
-    # orderkey partitioning.  Line multiplicity is preserved: late rows
-    # pass through an inner join against the 1-row-per-order aggregate.
-    flagged = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
-        "l_orderkey",
-        "l_suppkey",
-        (
+    late = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
             F.col("l_shipdate")
             > F.col("o_orderdate")
             + F.expr(f"INTERVAL {_Q21_LATE_DAYS} DAYS")
-        ).alias("is_late"),
+        )
+        .select("l_orderkey", "l_suppkey")
     )
-    # two-level aggregate instead of two countDistincts: no Expand
-    # doubling, one (orderkey, suppkey)-keyed partial agg then an
-    # orderkey rollup
-    pair_late = flagged.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max(F.col("is_late").cast("int")).alias("supp_late")
-    )
-    per_order = pair_late.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.sum("supp_late").alias("n_late_supp"),
-    )
-    late = flagged.filter("is_late").select("l_orderkey", "l_suppkey")
-    waited = late.join(
-        per_order.filter(
-            (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
-        ).select("l_orderkey"),
-        "l_orderkey",
+    # EXISTS/NOT EXISTS legs: multiplicity-free (orderkey, suppkey)
+    # pairs so the semi/anti probes shuffle keys, not lines.
+    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    l1 = late.alias("l1")
+    other = pairs.alias("l2")
+    late_other = late.select("l_orderkey", "l_suppkey").distinct().alias("l3")
+    waited = l1.join(
+        other,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    ).join(
+        late_other,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
     )
     supp = read_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name"
     )
     return (
-        waited.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        waited.join(supp, F.col("l1.l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())

@@ -155,6 +155,10 @@ def register(
 #: last (they stay regression-guarded by tests/test_oracle_parity.py).
 #: Update after each round from CORRECTNESS_r{N}.json.
 DRIVER_VERIFIED: frozenset[str] = frozenset({
+    # round 12 first verdict (1): registered mid-r11, hash-green in
+    # CORRECTNESS_r12.json (the other 49 r12 window rows were already
+    # verified in earlier rounds)
+    "src_fetch_values",
     # round 1 green (42) + rows-only-by-design rows that got a row (2)
     "q_fn_string", "q_fn_regexp", "q_fn_split", "q_fn_date", "q_fn_ts",
     "q_fn_math", "q_fn_cond",
@@ -310,83 +314,39 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
     "q_llm_dedup_curve", "q_llm_minhash_mae",
 })
 
-#: Explicit order for the round-12 driver window (50 slots),
-#: executing the r11 verdict's order #1: LAND THE STAGED QUEUE.
-#: Composition: src_fetch_values first (the only registry row with no
-#: driver verdict — registered mid-r11 after the window froze; locally
-#: oracle-verified against the full 192x9 decoded payload), then the
-#: 24 rewritten/fixed rows queued behind slot 50 last round (21
-#: batch-2 rule-8 exact-rounding rewrites + the st_trigger_availnow
-#: directory-shape fix + the q_event_bursts / q_agg_cohens_d
-#: stragglers — the IMPL_FINGERPRINTS tripwire requires every
-#: rewritten row to re-check before its verdict is trusted again),
-#: then the 9 remaining r3-era rows-only rows (their callables last
-#: executed on the driver runtime in r3; a rows-only re-run proves
-#: current-runtime runnability — r11 verdict order #5), then the 16
-#: stalest r4 oracled rows in the rotation order computed by
-#: tools/plan_driver_window.py from CORRECTNESS_r01..r11.  Done =
-#: CORRECTNESS_r12 50/50 (40 oracled green + 10 rows-only with
-#: spark_rows recorded) and zero rows-with-no-verdict.  Beyond slot
-#: 50: the remaining 23 r4-lineage rows, then the 45 r5 rows, queued
-#: stalest-first so the r13 rotation just promotes the next 50.
+#: Explicit order for the round-13 driver window (50 slots).
+#: Composition: snk_jdbc_idem first (the only registry row with no
+#: driver verdict — registered mid-r12, deferred to r13), then every
+#: rewritten-since-verdict row (the IMPL_FINGERPRINTS tripwire plus
+#: the hand-maintained shared-helper queue from r12), then the r12
+#: DuckDB-side oracle rewrites, then the stalest lineage rows (all 23
+#: remaining r4 rows + the first 8 r5 rows) in the rotation order
+#: computed by tools/plan_driver_window.py from CORRECTNESS_r01..r12.
+#: Done = CORRECTNESS_r13 50/50 green and zero rows-with-no-verdict.
+#: Beyond slot 50: the remaining r5 rows, queued stalest-first so the
+#: next rotation just promotes them.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # ===== round-12 window (50 slots): staged queue + stale drain =====
-    # -- first driver verdict (1): registered mid-r11 --
-    "src_fetch_values",
-    # -- rewritten-since-verdict rows (24): the 21 batch-2 rule-8
-    # exact-tie rewrites queued from r11, the st_trigger_availnow
-    # directory-shape robustness fix, and the two post-sweep
-    # stragglers (trailing-mean burst ratio, cent-sum means) --
-    "q_agg_dispersion", "q_dq_embeddings", "q_event_calibration",
-    "q_event_dau_wau", "q_event_decay_score", "q_event_markov2",
-    "q_event_time_to_convert", "q_llm_align_uniform", "q_llm_bleu",
-    "q_llm_corpus_stats", "q_llm_dedup_curve", "q_llm_distinct_n",
-    "q_llm_docprofile", "q_llm_domain_mix", "q_llm_embed_truncate",
-    "q_llm_filter_funnel", "q_llm_length_hist", "q_llm_quality",
-    "q_llm_span_corruption", "q_llm_vocab_coverage", "q_llm_zipf",
-    "st_trigger_availnow", "q_event_bursts", "q_agg_cohens_d",
-    # -- r3-era rows-only lineage refresh (9; st_trigger_availnow
-    # above is the 10th): proves each callable executes on the
-    # CURRENT driver runtime even though the view-bound DuckDB oracle
-    # cannot express them (SURVEY §2 declares each; engine tests pin
-    # their semantics) --
-    "llm_ann_ivf", "src_pyds", "src_fetch",
-    "st_watermark", "st_dedup_wm", "st_foreachbatch",
-    "st_stateful_sessionizer", "st_stream_stream_join",
-    "st_transform_with_state",
-    # -- r4 lineage, stalest 16 in rotation order --
-    "q_fn_split", "q_fn_date", "q_fn_math", "q_fn_cond",
-    "q_agg_q1", "q_agg_count_distinct", "q_agg_rollup", "q_agg_cube",
-    "q_agg_gsets", "q_agg_having", "q_agg_percentile",
-    "q_agg_skew_salted", "q_agg_pivot", "q_agg_unpivot", "q_agg_stats",
-    "q_join_bcast",
-    # ===== beyond slot 50: the r13 drain queue, stalest first (the
-    # driver never reaches these this round; r13 rotation promotes
-    # the next 50) =====
-    # -- r12 helper rewrite (11): ratio_round_sql gained a
-    # negative-numerator NULL guard (r11 ADVICE item 1).  The emitted
-    # SQL of every unsigned ratio_round* call site changed — value-
-    # identical for the non-negative operands all call sites feed it
-    # (CASE picks the ELSE branch), locally parity-green, but the
-    # rewritten-row protocol queues every changed row for a fresh
-    # driver verdict.  The 4 call-site rows already inside the r12
-    # window re-check this round; these 11 carry r11 verdicts and
-    # re-check first in r13 (the fingerprint tripwire can't see
-    # shared-helper rewrites — IMPL_FINGERPRINTS.json docstring — so
-    # this queueing is the hand-maintained half of the rule). --
-    "llm_jaccard_prefix", "llm_minhash_banded", "q_llm_repetition",
-    "q_agg_cohens_kappa", "q_event_next_pred", "q_llm_ngram_jaccard",
-    "q_llm_minhash_eval", "q_llm_gram_novelty", "q_llm_boilerplate",
-    "q_llm_embed_pq", "q_llm_retrieval_eval",
-    # -- r12 oracle rewrites (3): float ROUND -> the shared
-    # portable-ROUND idiom (functions/exact.py portable_round4_sql)
-    # after the r12 seed campaign (offset 31337007) caught the cusum
-    # recursion landing a genuine shortest-repr half tie (2.72875),
-    # and the planted half-tie stream then tripped ewma/anomaly's raw
-    # ROUND(value, 4).  Spark sides unchanged; re-check at the r13
-    # drain head. --
+    # ===== round-13 window (50 slots) =====
+    # -- first driver verdict (1): embedded-Derby JDBC MERGE sink --
+    "snk_jdbc_idem",
+    # -- rewritten-since-verdict rows (6): the r12/r13 optimization
+    # rewrites (jaccard key compression, minhash signature leg +
+    # verify keys, winnow fingerprint checkpoint, bpe output job,
+    # perplexity c1-from-c2) and q_tpch_q21, whose r12 decorrelation
+    # was REVERTED in r13 (A/B below the revert gate) — re-checked so
+    # the reverted shape carries a fresh verdict --
+    "q_llm_winnow_pairs", "llm_minhash_banded", "q_llm_bpe_train",
+    "q_llm_perplexity", "llm_jaccard_prefix", "q_tpch_q21",
+    # -- r12 oracle rewrites (3): float ROUND -> portable_round4_sql
+    # after the r12 seed campaign (Spark sides unchanged) --
     "q_time_cusum", "q_time_ewma", "q_time_anomaly",
-    # -- remaining r4 rows (23; the 2 rows-only at the tail) --
+    # -- r12 shared-helper rewrite rows (9): ratio_round_sql gained a
+    # negative-numerator NULL guard; every changed call site re-checks
+    # (the fingerprint tripwire can't see shared-helper rewrites) --
+    "q_llm_repetition", "q_agg_cohens_kappa", "q_event_next_pred",
+    "q_llm_ngram_jaccard", "q_llm_minhash_eval", "q_llm_gram_novelty",
+    "q_llm_boilerplate", "q_llm_embed_pq", "q_llm_retrieval_eval",
+    # -- r4 lineage drain (23; 2 rows-only at the tail) --
     "q_join_smj", "q_join_left", "q_join_full", "q_join_semi",
     "q_join_anti", "q_join_cross", "q_join_range", "q_join_bucketed",
     "q_join_dpp", "q_llm_exact_dedup", "q_llm_fingerprint",
@@ -394,10 +354,13 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_llm_cosine_pairs", "q_llm_knn", "src_fetch_profile",
     "pipe_reference_e2e", "q_scan_project", "snk_append_idem",
     "q_udf_py", "q_agg_approx_cd", "llm_near_dedup",
-    # -- r5 rows (45) --
+    # -- r5 lineage drain (8): fills the window to 50 --
     "q_fn_ts", "q_fn_array", "q_fn_json", "q_fn_cast_decimal",
     "q_fn_sql_udf", "q_agg_global_max", "q_agg_collect",
-    "q_agg_minmax_by", "q_agg_mode", "q_time_interp", "q_agg_regr",
+    "q_agg_minmax_by",
+    # ===== beyond slot 50: the next-rotation drain queue (remaining
+    # r5 rows, stalest first) =====
+    "q_agg_mode", "q_time_interp", "q_agg_regr",
     "q_agg_hll_portable", "q_agg_kmv_portable", "q_join_asof",
     "q_join_asof_fwd", "q_llm_simhash", "q_llm_tokencount",
     "q_llm_c4_filter", "q_llm_pack", "q_scan_count", "q_filter_cmp",
